@@ -1,0 +1,146 @@
+"""Headline analytic queries: the OLAP shapes the reference's report ran
+(aggregation summaries) plus the standard patterns a warehouse engine must
+nail — pricing summary (TPC-H Q1 shape), top-k per group, sessionization.
+
+Cross-engine float policy: sums are computed in exact DECIMAL and cast to
+DOUBLE (associativity-proof — a parallel Spark sum and a serial DuckDB sum
+of doubles may differ in low bits; decimal sums cannot), and averages are
+derived from those exact sums. Durations use integer microseconds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-shape pricing summary over lineitem (the canonical scan-heavy
+# group-by; whole-stage codegen end-to-end, 2-key hash agg, predicate pushed
+# to parquet).
+# ---------------------------------------------------------------------------
+@query(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag,
+           l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28, 8))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28, 8))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8))) AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(28, 8))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape: pushdown filter + 2-key hash aggregate with 8 "
+    "aggregates; exact-decimal sums for cross-engine bit stability.",
+    tags=("analytics", "agg", "bench"),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = lambda c: c.cast("decimal(28,8)")  # noqa: E731
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
+            F.sum(dec(disc_price)).cast("double").alias("sum_disc_price"),
+            F.sum(dec(charge)).cast("double").alias("sum_charge"),
+            (F.sum(dec(F.col("l_quantity"))).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            (F.sum(dec(F.col("l_extendedprice"))).cast("double") / F.count(F.lit(1))).alias("avg_price"),
+            (F.sum(dec(F.col("l_discount"))).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-K per group (SURVEY.md §2.7: the reference's report top-1 queries,
+# generalized). Window + row_number; Catalyst runs it as one shuffle on the
+# partition key.
+# ---------------------------------------------------------------------------
+@query(
+    "q_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="Top-K per group: window row_number, deterministic tie-break on key.",
+    tags=("analytics", "window", "topk"),
+)
+def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gap-based sessionization (30 min) — the standard event-stream operator
+# (guide §OLAP patterns); lag → flag → running sum → per-session agg. In
+# streaming this is session_window(ts, gap) — see streaming/pipeline.py.
+# ---------------------------------------------------------------------------
+@query(
+    "q_sessionize",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM flagged
+    )
+    SELECT user_id, session_seq,
+           COUNT(*) AS n_events,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+    FROM numbered
+    GROUP BY user_id, session_seq
+    """,
+    doc="Sessionization: lag + gap>30min flag + running sum session ids + "
+    "per-session aggregates. One shuffle on user_id serves both windows "
+    "and the final group-by.",
+    tags=("analytics", "window", "sessionize"),
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq", F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return numbered.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )

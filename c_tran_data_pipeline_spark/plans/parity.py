@@ -1,0 +1,309 @@
+"""Reference-parity queries (SURVEY.md §2-§3) on the driver fixture tables.
+
+Fixture mapping (FIXTURES.md §4): ``events`` plays the raw breadcrumb
+stream (``ts``→tstamp, ``value``→speed, ``user_id``→vehicle,
+``props.k``→direction), ``customer``/``orders`` play the Trip dim / fact
+relationships. Each query cites the reference operator it re-creates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c_tran_data_pipeline_spark.functions.transforms import null_if_empty, service_key_for
+from c_tran_data_pipeline_spark.operators.upsert import first_wins, merge_update
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.sources.readers import load_table
+
+
+# ---------------------------------------------------------------------------
+# E3 flagship: join ⋈ conjunctive filter ⋈ group-avg ⋈ null-skip
+# (tsvscript.py:29 — J1 + V6 + A1 + V7). Structure: fact(events) ⋈
+# dim(customer, broadcast) with equality/range predicates on date parts,
+# grouped per "point", averaging the measure.
+# ---------------------------------------------------------------------------
+@query(
+    "q_flagship_hotspot",
+    """
+    SELECT e.user_id AS user_id,
+           c.c_nationkey AS nationkey,
+           ROUND(AVG(e.value), 6) AS avg_value,
+           COUNT(*) AS n_readings
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+      AND c.c_mktsegment = 'BUILDING'
+      AND month(e.ts) = 1 AND day(e.ts) BETWEEN 1 AND 21
+      AND hour(e.ts) BETWEEN 9 AND 11
+      AND e.value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="tsvscript.py:29 analog: J1 inner equi-join (broadcast dim) + V6 "
+    "conjunctive filter on date parts + A1 hash-agg AVG + V7 null skip.",
+    tags=("parity", "join", "agg", "flagship"),
+)
+def q_flagship_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("c_mktsegment") == "BUILDING")
+            & (F.month("ts") == 1)
+            & F.dayofmonth("ts").between(1, 21)
+            & F.hour("ts").between(9, 11)
+            & F.col("value").isNotNull()  # V7: no NULL avg rows
+        )
+        .groupBy(F.col("user_id"), F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n_readings"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# E1 conform + validate: transform (P1-P5) + reject-row validation (V1-V5)
+# over the raw stream analog. props JSON is parsed JVM-side
+# (get_json_object), never with a Python UDF.
+# ---------------------------------------------------------------------------
+_CONFORM_ORACLE = """
+    SELECT event_id,
+           ts,
+           user_id,
+           NULLIF(TRIM(event_type), '') AS event_type,
+           value,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+           CASE WHEN dayname(ts) = 'Sunday' THEN 'Sunday'
+                WHEN dayname(ts) = 'Saturday' THEN 'Saturday'
+                ELSE 'Weekday' END AS service_key
+    FROM events
+    WHERE event_id IS NOT NULL
+      AND ts IS NOT NULL
+      AND (CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+           OR CAST(json_extract_string(props, '$.k') AS INTEGER) BETWEEN 0 AND 359)
+      AND (value IS NULL OR value BETWEEN 0 AND 200)
+"""
+
+
+@query(
+    "q_conform_validate",
+    _CONFORM_ORACLE,
+    doc="topic_consumer.py:106-165 analog: P1 null-normalize + P4 "
+    "service_key + JSON decode, then V1-V4 reject-row validation as one "
+    "conjunctive pushdown-friendly filter.",
+    tags=("parity", "transform", "validate"),
+)
+def q_conform_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    conformed = e.select(
+        "event_id",
+        "ts",
+        "user_id",
+        null_if_empty("event_type").alias("event_type"),
+        "value",
+        k.alias("k"),
+        service_key_for(F.col("ts")).alias("service_key"),
+    )
+    return conformed.filter(
+        F.col("event_id").isNotNull()  # V1
+        & F.col("ts").isNotNull()  # V2
+        & (F.col("k").isNull() | F.col("k").between(0, 359))  # V3
+        & (F.col("value").isNull() | F.col("value").between(0, 200))  # V4
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2: whole-tuple distinct (the reference's TripRows set(),
+# topic_consumer.py:185-193).
+# ---------------------------------------------------------------------------
+@query(
+    "q_distinct_tuples",
+    "SELECT DISTINCT user_id, event_type FROM events",
+    doc="topic_consumer.py:185-193 analog: set-based dedup on the full "
+    "tuple before insert — partial+final HashAggregate, map-side combine.",
+    tags=("parity", "dedup"),
+)
+def q_distinct_tuples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+
+
+# ---------------------------------------------------------------------------
+# A3: first-wins dedup by key, made deterministic (stop_consumer.py:71-79
+# keeps arrival-order-first; we pin (ts, event_id) ordering).
+# ---------------------------------------------------------------------------
+@query(
+    "q_first_wins_dedup",
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    doc="stop_consumer.py:71-79 analog: first row per key; deterministic "
+    "via row_number over (ts, event_id).",
+    tags=("parity", "dedup", "window"),
+)
+def q_first_wins_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    return first_wins(e, keys=["user_id"], order_by=["ts", "event_id"])
+
+
+# ---------------------------------------------------------------------------
+# J3/K4: insert-if-absent (ON CONFLICT DO NOTHING, topic_consumer.py:203)
+# shown as its anti-join core: keys present in incoming but not target.
+# ---------------------------------------------------------------------------
+@query(
+    "q_antijoin_absent",
+    """
+    SELECT DISTINCT e.user_id AS user_id FROM events e
+    WHERE NOT EXISTS (
+        SELECT 1 FROM customer c
+        WHERE c.c_custkey = e.user_id AND c.c_mktsegment = 'BUILDING'
+    )
+    """,
+    doc="topic_consumer.py:203 analog: the insert-if-absent key filter — "
+    "incoming keys (deduped) minus keys already in the target, as a "
+    "left-anti join whose build side is pruned to the key column.",
+    tags=("parity", "join"),
+)
+def q_antijoin_absent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    existing = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    incoming = events.select("user_id").distinct()
+    return incoming.join(
+        F.broadcast(existing), incoming.user_id == existing.c_custkey, "left_anti"
+    )
+
+
+# ---------------------------------------------------------------------------
+# K5/J2: keyed enrichment merge (stop_consumer.py:76-79). Dim rows take
+# values from a deduped update stream; unmatched rows keep their old value.
+# ---------------------------------------------------------------------------
+@query(
+    "q_enrich_merge",
+    """
+    WITH latest AS (
+        SELECT o_custkey, o_orderpriority FROM (
+            SELECT o_custkey, o_orderpriority,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+            FROM orders
+        ) WHERE rn = 1
+    )
+    SELECT c.c_custkey AS c_custkey, c.c_name AS c_name,
+           COALESCE(l.o_orderpriority, 'UNKNOWN') AS last_priority
+    FROM customer c LEFT JOIN latest l ON c.c_custkey = l.o_custkey
+    """,
+    doc="stop_consumer.py:76-79 analog: the serial per-row UPDATE re-"
+    "expressed as one set-based broadcast merge (first_wins dedup upstream, "
+    "as the reference dedups trip_ids per batch).",
+    tags=("parity", "merge", "join"),
+)
+def q_enrich_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.lit("UNKNOWN").alias("last_priority")
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    latest = (
+        orders.select("o_custkey", "o_orderpriority", "o_orderdate", "o_orderkey")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("o_custkey").orderBy(
+                    F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+                )
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .select(F.col("o_custkey").alias("c_custkey"), F.col("o_orderpriority").alias("last_priority"))
+    )
+    return merge_update(customer, latest, keys=["c_custkey"], set_cols=["last_priority"])
+
+
+# ---------------------------------------------------------------------------
+# A5 report analytics: longest trip (Project 4.pdf p10 — trip 169302880,
+# 5h30m) = group-by duration + top-k.
+# ---------------------------------------------------------------------------
+@query(
+    "q_longest_sessions",
+    """
+    SELECT user_id,
+           epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY user_id
+    ORDER BY dur_us DESC, user_id ASC
+    LIMIT 5
+    """,
+    doc="Project 4.pdf p10 'longest trip' analog: group-by min/max duration "
+    "+ TakeOrderedAndProject top-k (no full sort at scale).",
+    tags=("parity", "agg", "topk"),
+)
+def q_longest_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy(F.desc("dur_us"), F.asc("user_id"))
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 DOW profile (Project 4.pdf p7 per-weekday message averages).
+# ---------------------------------------------------------------------------
+@query(
+    "q_dow_profile",
+    """
+    SELECT dayname(ts) AS dow, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+    FROM events GROUP BY 1
+    """,
+    doc="Project 4.pdf p7 analog: per-day-of-week volume + mean measure.",
+    tags=("parity", "agg"),
+)
+def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(F.date_format("ts", "EEEE").alias("dow")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5 table summaries (Project 4.pdf p8: counts, bounds, distincts).
+# min/max are exact value picks — no float arithmetic — so they compare
+# bit-exactly against the oracle.
+# ---------------------------------------------------------------------------
+@query(
+    "q_summaries",
+    """
+    SELECT COUNT(*) AS n_rows,
+           MIN(value) AS min_value, MAX(value) AS max_value,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           MIN(ts) AS min_ts, MAX(ts) AS max_ts
+    FROM events
+    """,
+    doc="Project 4.pdf p8 analog: table-level profile (count, bounds, "
+    "cardinalities) in one pass.",
+    tags=("parity", "agg"),
+)
+def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+    )

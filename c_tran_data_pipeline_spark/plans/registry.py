@@ -1,0 +1,59 @@
+"""Query registry: every operator from SURVEY.md §2 (+ north-star
+extensions) registered as a named (Spark builder, DuckDB oracle SQL) pair.
+
+The driver runs each builder at sf=0.01 and compares against the oracle SQL
+(row-count + schema + order-insensitive value hash), so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are made bit-stable across engines by summing in exact
+  DECIMAL and casting the result to DOUBLE (associativity-proof), or by
+  rounding where the quantity is a per-row IEEE op (deterministic);
+- timestamps compare exactly because the Spark session is pinned to UTC.
+
+Oracles marked ``None`` are genuinely non-SQL-expressible (streaming,
+probabilistic LSH banding) — the driver records a weaker rows-only check
+and the pytest suite carries the real assertion.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    builder: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB over the same parquet views
+    doc: str = ""
+    tags: tuple[str, ...] = field(default_factory=tuple)
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(spec: QuerySpec) -> QuerySpec:
+    if spec.name in _REGISTRY:
+        raise ValueError(f"duplicate query name: {spec.name}")
+    _REGISTRY[spec.name] = spec
+    return spec
+
+
+def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = ()):
+    """Decorator form: @query("q_x", "SELECT ...")."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        register(QuerySpec(name=name, builder=fn, oracle=oracle, doc=doc or fn.__doc__ or "", tags=tags))
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    # Import side-effect modules that register their specs.
+    from c_tran_data_pipeline_spark.plans import parity, analytics, dedup_queries, text_queries, similarity_queries  # noqa: F401
+
+    return dict(_REGISTRY)

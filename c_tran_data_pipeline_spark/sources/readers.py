@@ -1,0 +1,70 @@
+"""Batch sources (SURVEY.md §2.1).
+
+S4 (JSON array file → rows, reference ``load_inserts.py:182-183``) maps to
+``spark.read.json(multiLine=...)`` with an explicit schema; parquet fixture
+tables load with schema verification. Column pruning and predicate pushdown
+are Catalyst's job — these readers return the raw scan and let callers
+project/filter so the pushdown reaches the file source.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; we read them as long (legacy conf) and convert to
+# microsecond timestamps with exact integer division (a double division
+# would lose precision: ns-since-epoch ~1.7e18 > 2^53). DuckDB truncates
+# TIMESTAMP_NS→micros the same way, so oracle comparisons stay exact.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table from ``sf_dir``. Plain parquet scan —
+    filters/projections applied by the caller push down into it."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Date-part semantics (hour/dayofweek) must match the UTC-naive oracle
+    # even when the caller's session (e.g. the driver's) isn't ours.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in _NANOS_TS_COLS.get(name, ()):
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register fixture tables as temp views for ``spark.sql`` plans."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_json_records(
+    spark: SparkSession, path: str, schema: T.StructType, multi_line: bool = True
+) -> DataFrame:
+    """S4: JSON file source. The reference json.load()s a whole array file
+    (``load_inserts.py:182-183``); ``multiLine=True`` covers that layout,
+    ``False`` covers JSON-lines (the scalable layout — splittable, so a
+    100 TB dump parallelizes across executors instead of one task/file)."""
+    return spark.read.json(path, schema=schema, multiLine=multi_line)

@@ -1,0 +1,119 @@
+"""Unit tests for the breadcrumb conform/validate path on dirty synthetic
+rows — the fixture requirements of FIXTURES.md §1 (empty strings,
+out-of-range direction/speed, missing trip id, >48h ACT_TIME), plus the
+reference's quirky decode semantics (P6 ''→Out, P7 'U'→Sunday)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from c_tran_data_pipeline_spark import schemas
+from c_tran_data_pipeline_spark.functions.transforms import (
+    conform_breadcrumbs,
+    conform_stop_events,
+    split_star,
+)
+from c_tran_data_pipeline_spark.functions.validation import validate, validate_with_audit
+
+
+def _raw(spark, rows):
+    full = [{f.name: r.get(f.name) for f in schemas.RAW_BREADCRUMB.fields} for r in rows]
+    return spark.createDataFrame(full, schema=schemas.RAW_BREADCRUMB)
+
+
+GOOD = {
+    "EVENT_NO_TRIP": "169302880",
+    "OPD_DATE": "25-SEP-20",
+    "VEHICLE_ID": "4008",
+    "ACT_TIME": "59350",
+    "GPS_LATITUDE": "45.523451",
+    "GPS_LONGITUDE": "-122.676207",
+    "DIRECTION": "143",
+    "VELOCITY": "12",
+}
+
+
+def test_conform_types_and_derivations(spark):
+    out = conform_breadcrumbs(_raw(spark, [GOOD])).collect()[0]
+    assert out.trip_id == 169302880
+    assert out.vehicle_id == 4008
+    # P2+P3: 25-SEP-20 (a Friday) + 59350s = 16:29:10
+    assert out.tstamp == dt.datetime(2020, 9, 25, 16, 29, 10)
+    assert out.opd_date == dt.date(2020, 9, 25)
+    assert abs(out.latitude - 45.523451) < 1e-9
+    assert out.speed == 12.0
+    assert out.service_key == "Weekday"  # P4: Friday
+    assert out.trip_direction == "Out" and out.route_id == 0  # P5 placeholders
+
+
+def test_service_key_weekend(spark):
+    sat = dict(GOOD, OPD_DATE="26-SEP-20")
+    sun = dict(GOOD, OPD_DATE="27-SEP-20")
+    rows = conform_breadcrumbs(_raw(spark, [sat, sun])).orderBy("opd_date").collect()
+    assert [r.service_key for r in rows] == ["Saturday", "Sunday"]
+
+
+def test_null_normalization_empty_strings(spark):
+    dirty = dict(GOOD, GPS_LATITUDE="", VELOCITY="", DIRECTION="")
+    out = conform_breadcrumbs(_raw(spark, [dirty])).collect()[0]
+    assert out.latitude is None and out.speed is None and out.direction is None
+
+
+def test_validate_rejects_each_rule(spark):
+    rows = [
+        GOOD,
+        dict(GOOD, EVENT_NO_TRIP=None),  # V1
+        dict(GOOD, OPD_DATE=""),  # V2 (no date → no timestamp)
+        dict(GOOD, DIRECTION="360"),  # V3
+        dict(GOOD, VELOCITY="201"),  # V4
+        dict(GOOD, ACT_TIME="172801"),  # V5: >48h past midnight
+        dict(GOOD, DIRECTION=""),  # null direction allowed
+        dict(GOOD, VELOCITY="200"),  # boundary allowed
+    ]
+    conformed = conform_breadcrumbs(_raw(spark, rows))
+    kept, obs = validate_with_audit(conformed)
+    assert kept.count() == 3
+    m = obs.get
+    assert m["rows_in"] == 8
+    assert m["failed_v1_trip_exists"] == 1
+    assert m["failed_v2_timestamp_exists"] == 1
+    assert m["failed_v3_direction_range"] == 1
+    assert m["failed_v4_speed_range"] == 1
+    assert m["failed_v5_within_48h"] == 1
+    # conservation identity: rows_in == kept + skipped (reference's
+    # reconciliation check, SURVEY.md §5.2)
+    assert m["rows_in"] == 3 + 5
+
+
+def test_act_time_rolls_into_next_day(spark):
+    late = dict(GOOD, ACT_TIME="90000")  # 25h → next day 01:00
+    out = validate(conform_breadcrumbs(_raw(spark, [late]))).collect()
+    assert len(out) == 1
+    assert out[0].tstamp == dt.datetime(2020, 9, 26, 1, 0, 0)
+
+
+def test_stop_event_decode_quirks(spark):
+    rows = [
+        Row(trip_id="1", vehicle_number="10", route_number="65", direction="0", service_key="W"),
+        Row(trip_id="2", vehicle_number="11", route_number="65", direction="1", service_key="S"),
+        Row(trip_id="3", vehicle_number="12", route_number="65", direction="", service_key="U"),
+        Row(trip_id="4", vehicle_number="13", route_number="65", direction="7", service_key="X"),
+    ]
+    df = spark.createDataFrame(rows, schema=schemas.RAW_STOP_EVENT)
+    out = {r.trip_id: r for r in conform_stop_events(df).collect()}
+    assert out[1].direction == "Out" and out[1].service_key == "Weekday"
+    assert out[2].direction == "Back" and out[2].service_key == "Saturday"
+    # P6: ''→Out; P7: 'U' falls through to Sunday (reference quirk)
+    assert out[3].direction == "Out" and out[3].service_key == "Sunday"
+    # P6: any non-'1' → Out; P7: unknown → Sunday
+    assert out[4].direction == "Out" and out[4].service_key == "Sunday"
+
+
+def test_split_star_dedups_trip_tuples(spark):
+    rows = [GOOD, dict(GOOD), dict(GOOD, VEHICLE_ID="9999")]
+    trip, bc = split_star(conform_breadcrumbs(_raw(spark, rows)))
+    assert bc.count() == 3
+    assert trip.count() == 2  # A2: whole-tuple set dedup
+    assert set(trip.columns) == {"trip_id", "route_id", "vehicle_id", "service_key", "direction"}
