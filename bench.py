@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Each query is built from the same registry the driver's correctness gate
+uses, timed end-to-end (plan + execute + collect). The metric is total
+wall seconds across the headline set, with the per-query breakdown in
+``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+# Queries that exercise the distinct physical shapes: broadcast join + agg,
+# scan-heavy 8-agg group-by, two-level window, JSON conform + validate,
+# top-k window, plus (as the registry grows) dedup/similarity/text passes.
+HEADLINE = [
+    "q_flagship_hotspot",
+    "q_pricing_summary",
+    "q_conform_validate",
+    "q_sessionize",
+    "q_top3_orders_per_customer",
+    "q_enrich_merge",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_topk",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from c_tran_data_pipeline_spark.plans import all_queries
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("bench")
+    registry = all_queries()
+
+    # Warm the JVM/catalog once so per-query numbers measure the queries,
+    # not session bring-up.
+    registry["q_summaries"].builder(spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = registry.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        spec.builder(spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from c_tran_data_pipeline_spark.functions.json_utils import json_get
 from c_tran_data_pipeline_spark.functions.transforms import null_if_empty, service_key_for
 from c_tran_data_pipeline_spark.operators.upsert import first_wins, merge_update
 from c_tran_data_pipeline_spark.plans.registry import query
@@ -95,7 +96,7 @@ _CONFORM_ORACLE = """
 )
 def q_conform_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    k = json_get("props", "$.k", "int")
     conformed = e.select(
         "event_id",
         "ts",
