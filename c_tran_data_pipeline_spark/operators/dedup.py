@@ -1,0 +1,192 @@
+"""Deduplication operators for the training-data pipeline: exact,
+n-gram-Jaccard, MinHash+LSH, SimHash (north-star extensions;
+BASELINE.json).
+
+Scale design (the part that matters at 100 TB):
+
+- Exact dedup hashes the payload FIRST (md5 → 16 bytes) so the shuffle
+  moves digests, not documents.
+- Near-dup never computes O(n²) pairs: candidates come from an equi-join
+  on shared shingles (inverted index) or shared LSH buckets, i.e. the
+  shuffle key is the shingle/bucket hash and skew is bounded by dropping
+  ultra-common shingles (stopword shingles) before the join.
+- MinHash signatures are one pass over exploded shingles with a
+  min-aggregate per (doc, seed) — partial aggregation does the heavy
+  lifting map-side.
+- All hashing is md5-based and engine-portable, so every stage has an
+  exact DuckDB oracle (plans/dedup_queries.py) — at production scale you
+  would swap md5 for xxhash64 with one line here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Column
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.functions.text import md5_long, shingles
+
+
+def exact_dedup(df: DataFrame, payload: str = "text", key: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups by payload hash; keeps min(key) as the
+    canonical representative. Returns (content_hash, rep_<key>, n_copies).
+    The groupBy key is the 32-char digest — bounded-width shuffle rows."""
+    return (
+        df.select(F.md5(F.col(payload)).alias("content_hash"), F.col(key))
+        .groupBy("content_hash")
+        .agg(F.min(key).alias(f"rep_{key}"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def shingle_index(df: DataFrame, payload: str = "text", key: str = "doc_id", n: int = 3) -> DataFrame:
+    """Inverted index: one row per (key, distinct shingle). The explode is
+    the only row-multiplying step; everything downstream groups/joins on
+    the shingle."""
+    return df.select(F.col(key), F.explode(shingles(payload, n)).alias("shingle"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by exact word-n-gram Jaccard, computed via the
+    inverted-index self-join (no cross product):
+
+        |A ∩ B| = count of shared shingles (join on shingle, group by pair)
+        |A ∪ B| = |A| + |B| − |A ∩ B|
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the join — the skew guard: a stop-shingle shared by 1M
+    docs would otherwise generate 10¹² join rows. Safe for thresholds
+    where a dropped shingle can't flip the verdict (it shrinks the
+    intersection equally for all pairs sharing it); we keep it None for
+    oracle-checked runs and set it in the large-scale path.
+    """
+    idx = shingle_index(df, payload, key, n)
+    if max_shingle_df is not None:
+        hot = idx.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        idx = idx.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = idx.groupBy(key).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .groupBy(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(key).alias("d1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col(key).alias("d2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, payload: str = "text", key: str = "doc_id", num_hashes: int = 16, n: int = 3
+) -> DataFrame:
+    """MinHash signature rows (key, seed, minhash): min over shingles of a
+    seeded 60-bit hash. Long-form rows (not an array column) so banding is
+    a plain group-by and the oracle is plain SQL. One explode + one
+    partial-aggregated groupBy — the map-side combine collapses each
+    partition to ≤ |docs|×|seeds| rows before the shuffle."""
+    idx = shingle_index(df, payload, key, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    return (
+        idx.select(F.col(key), F.col("shingle"), seeds)
+        .select(
+            F.col(key),
+            F.col("seed"),
+            md5_long(F.col("shingle"), salt=F.col("seed").cast("string")).alias("h"),
+        )
+        .groupBy(key, "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """LSH banding: group the signature into ``bands`` bands of
+    num_hashes/bands rows, bucket = md5 of the band's concatenated
+    minhashes, emit distinct candidate pairs sharing any bucket.
+
+    With 16 hashes / 4 bands (r=4), P(candidate) = 1-(1-j⁴)⁴ — ~50% at
+    j≈0.65, >99% at j≈0.9: tuned for high-similarity dedup. The bucket
+    join is an equi-join on (band, bucket_hash); bucket skew is bounded
+    because identical docs share all buckets but near-dup clusters are
+    small; a degenerate mega-cluster (e.g. empty docs) should be removed
+    by exact_dedup first."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, payload, key, num_hashes, n)
+    buckets = (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(key, "band")
+        # sort within band by seed for a deterministic concatenation
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
+        .select(
+            F.col(key),
+            F.col("band"),
+            F.md5(F.concat_ws(",", F.transform(F.col("sm"), lambda s: s.getField("minhash")))).alias(
+                "bucket"
+            ),
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .select(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, payload: str = "text", key: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over distinct word tokens: per bit, sum +1/−1 according to
+    that bit of each token's hash; bit set iff the sum is positive.
+    Pure integer math → exact cross-engine oracle. Returns (key, simhash).
+
+    Implemented as explode(tokens) × sequence(bits) → two-level aggregate;
+    the (key, bit) partial sums combine map-side, so the shuffle carries
+    ≤ |docs|×bits rows regardless of document length."""
+    toks = df.select(
+        F.col(key), F.explode(F.array_distinct(F.split(F.trim(F.col(payload)), r"\s+"))).alias("tok")
+    )
+    hashed = toks.select(F.col(key), md5_long(F.col("tok")).alias("h"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    contrib = hashed.select(
+        F.col(key),
+        bit,
+        # SQL shiftright accepts a column shift amount (the Python wrapper
+        # only takes a literal int)
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("c"),
+    )
+    return (
+        contrib.groupBy(key, "bit")
+        .agg(F.sum("c").alias("s"))
+        .groupBy(key)
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(
+                    F.lit(0).cast("bigint")
+                )
+            ).alias("simhash")
+        )
+    )

@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (north-star extensions).
+
+Two tiers, per the standard ANN playbook:
+
+- ``cosine_topk``: exact brute force — broadcast the (small) query set
+  against the full corpus, compute cosine JVM-side with array lambda
+  expressions (zip_with/aggregate — codegen, no Python), take top-k per
+  query with a window. This is the ground-truth baseline and is already
+  the right physical plan when |queries| is small: one scan of the
+  corpus, no shuffle of the embedding column beyond the top-k agg.
+
+- ``hyperplane_lsh_buckets`` / ``ann_lsh_topk``: the scale path — random-
+  hyperplane SimHash bucketing (Charikar LSH). Hyperplane components are
+  ±1 derived from md5(plane,dim) parity: deterministic, engine-portable
+  (exact SQL oracle), and needing no stored plane matrix. Candidates =
+  bucket equi-join; final ranking = exact cosine on candidates only.
+  At 100 TB the bucket join replaces the O(|corpus|×|queries|) scan with
+  a shuffle keyed on ~2^planes buckets; recall is tuned by number of
+  planes / multi-probe repeats.
+
+Cosine is computed on float64 after casting the float32 storage vectors —
+sequential left-to-right fold, matching the oracle's summation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0).cast("double"), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0).cast("double"), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(c: Column) -> Column:
+    return c.cast("array<double>")
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector (self excluded).
+    Returns (query_id, neighbor_id, rank, cosine)."""
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv")
+    )
+    q = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
+    )
+
+
+def hyperplane_sign(plane: Column, dim_index: Column) -> Column:
+    """±1 pseudo-random hyperplane component from md5 parity — portable
+    across engines, no plane matrix to broadcast."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(",", plane.cast("string"), dim_index.cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
+def hyperplane_lsh_buckets(
+    df: DataFrame,
+    planes: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    plane_offset: int = 0,
+) -> DataFrame:
+    """SimHash bucket id per vector: bit_j = [⟨v, h_{offset+j}⟩ > 0],
+    bucket = Σ bit_j·2^j. One projection per plane via array folds — no
+    shuffle. ``plane_offset`` selects an independent plane set, which is
+    how multi-table LSH derives its tables."""
+    v = _as_double(F.col(vec))
+    return df.select(F.col(key), F.col(vec), _bucket_expr(v, planes, plane_offset).alias("bucket"))
+
+
+def _plane_signs(j: int, v: Column) -> Column:
+    """±1 sign vector for plane j. NB: must be a 1-arg lambda — PySpark
+    treats a 2-arg transform lambda as (element, index), so a default-arg
+    closure (`lambda d, _j=j: ...`) silently binds the plane to the array
+    index instead."""
+
+    def sign_at(d: Column) -> Column:
+        return hyperplane_sign(F.lit(j), d)
+
+    return F.transform(F.sequence(F.lit(0), F.size(v) - 1), sign_at)
+
+
+def _bucket_expr(v: Column, planes: int, plane_offset: int = 0) -> Column:
+    acc = F.lit(0).cast("bigint")
+    for j in range(planes):
+        proj = F.aggregate(
+            F.zip_with(v, _plane_signs(plane_offset + j, v), lambda x, s: x * s),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+    return acc
+
+
+def multi_table_lsh_buckets(
+    df: DataFrame,
+    planes: int = 4,
+    tables: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Multi-table LSH: ``tables`` independent bucketings (disjoint plane
+    sets via plane_offset), long form (key, vec, table, bucket). Recall
+    for neighbors at angle θ is 1-(1-p^planes)^tables with p = 1-θ/π —
+    tables buy recall, planes buy precision (smaller candidate sets).
+    Emitted as one select with a posexplode over per-table bucket exprs:
+    still a single scan, no shuffle."""
+    v = _as_double(F.col(vec))
+    buckets = F.array(*[_bucket_expr(v, planes, t * planes) for t in range(tables)])
+    return df.select(
+        F.col(key), F.col(vec), F.posexplode(buckets).alias("table", "bucket")
+    )
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes: int = 4,
+    tables: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share any LSH table bucket with the
+    query; exact cosine re-ranks the (deduped) candidates. Recall < 1 by
+    construction — tests measure it against cosine_topk.
+
+    Scale shape: the bucket join is an equi-join on (table, bucket) — at
+    100 TB this replaces the full corpus × queries scan; the per-bucket
+    candidate lists bound the work, and hot buckets (degenerate vectors)
+    can be capped before the join the same way ngram_jaccard_pairs drops
+    hot shingles."""
+    cb = multi_table_lsh_buckets(corpus, planes, tables, key, vec).select(
+        F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"), "table", "bucket"
+    )
+    qb = multi_table_lsh_buckets(queries, planes, tables, key, vec).select(
+        F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"), "table", "bucket"
+    )
+    candidates = (
+        cb.join(qb, on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame, threshold: float = 0.4, key: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ threshold. Exact
+    (all-pairs) form — the oracle-checkable baseline; the LSH-bucketed
+    form composes hyperplane_lsh_buckets the same way ann_lsh_topk does."""
+    a = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
+    b = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
+    return (
+        a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine(F.col("__v1"), F.col("__v2")).alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .select("d1", "d2", F.round("__cos", 4).alias("cosine"))
+    )

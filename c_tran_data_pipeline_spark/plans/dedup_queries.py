@@ -1,1 +1,149 @@
-"""Placeholder — populated in later milestones."""
+"""Oracle-checked dedup queries over the ``documents`` table
+(north-star extensions; operators in operators/dedup.py).
+
+Every hash here is md5-based so DuckDB reproduces the exact values:
+Spark ``conv(substr(md5(x),1,15),16,10)::bigint`` ==
+DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` (verified bit-equal).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from c_tran_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.sources.readers import load_table
+
+# Shared SQL fragments -------------------------------------------------------
+
+_SHINGLES_CTE = """
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, len(words)-2),
+                           i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+        FROM w
+    )
+"""
+
+_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q_dedup_exact",
+    """
+    SELECT md5(text) AS content_hash, MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: md5 content hash → min-key representative. The "
+    "shuffle carries 16-byte digests, not documents.",
+    tags=("dedup",),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8
+    """,
+    doc="Near-dup pairs by exact word-3-gram Jaccard via inverted-index "
+    "self-join (|A∩B| from shared shingles; no O(n²) cross product).",
+    tags=("dedup", "join"),
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
+    "q_dedup_minhash_sig",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeded AS (
+        SELECT doc_id, seed, {_H60.format(x="concat(seed, ':', shingle)")} AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    )
+    SELECT doc_id, seed, MIN(h) AS minhash
+    FROM seeded GROUP BY doc_id, seed
+    """,
+    doc="MinHash signatures (16 seeded 60-bit hashes, long form): one "
+    "explode + min-aggregate; partial aggregation collapses map-side.",
+    tags=("dedup",),
+)
+def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_signatures(load_table(spark, sf_dir, "documents"), num_hashes=16)
+
+
+@query(
+    "q_dedup_minhash_lsh",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeded AS (
+        SELECT doc_id, seed, {_H60.format(x="concat(seed, ':', shingle)")} AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    bucketed AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+    FROM bucketed a JOIN bucketed b USING (band, bucket)
+    WHERE a.doc_id < b.doc_id
+    """,
+    doc="MinHash-LSH candidate pairs: 16 hashes, 4 bands × 4 rows; bucket "
+    "= md5 of band signature; candidates share any bucket. Equi-join on "
+    "(band, bucket) — the scalable near-dup shuffle key.",
+    tags=("dedup", "join"),
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_candidates(load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4)
+
+
+@query(
+    "q_dedup_simhash",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_H60.format(x="tok")} AS h FROM toks),
+    contrib AS (
+        SELECT doc_id, bit,
+               CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+    ),
+    sums AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit)
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+    FROM sums GROUP BY doc_id
+    """,
+    doc="32-bit SimHash per document over distinct tokens — pure integer "
+    "math, bit-exact oracle; near-dups cluster within small Hamming "
+    "distance (tests verify vs Jaccard pairs).",
+    tags=("dedup",),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash(load_table(spark, sf_dir, "documents"), bits=32)

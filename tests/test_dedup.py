@@ -1,0 +1,75 @@
+"""Behavioral tests for dedup operators: planted duplicates must be found,
+and the probabilistic paths (MinHash-LSH, SimHash) must agree with the
+exact Jaccard ground truth on high-similarity pairs."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+from c_tran_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard_pairs,
+    simhash,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden trees"
+)
+NEAR = BASE.replace("warm windowsill", "cold doorstep")  # one shingle region changed
+OTHER = (
+    "completely different content about spark query engines and columnar "
+    "execution with vectorized readers and adaptive plans at scale"
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE),
+            Row(doc_id=2, text=BASE),  # exact dup of 1
+            Row(doc_id=3, text=NEAR),  # near dup of 1
+            Row(doc_id=4, text=OTHER),
+        ]
+    )
+
+
+def test_exact_dedup_groups(spark):
+    out = exact_dedup(_docs(spark)).collect()
+    groups = {r.rep_doc_id: r.n_copies for r in out}
+    assert groups == {1: 2, 3: 1, 4: 1}
+
+
+def test_ngram_jaccard_finds_planted_pair(spark):
+    pairs = {(r.d1, r.d2): r.jaccard for r in ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_candidates_cover_planted_pairs(spark):
+    cands = {(r.d1, r.d2) for r in minhash_lsh_candidates(_docs(spark)).collect()}
+    assert (1, 2) in cands  # identical docs share all buckets
+    assert not any(4 in p for p in cands)
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    sh = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    ham = lambda a, b: bin(a ^ b).count("1")  # noqa: E731
+    assert ham(sh[1], sh[2]) == 0  # identical text → identical simhash
+    assert ham(sh[1], sh[3]) < ham(sh[1], sh[4])  # near-dup closer than unrelated
+
+
+def test_lsh_recall_on_fixture(spark):
+    """On the real documents table, LSH candidates must recover almost all
+    truly-similar pairs (jaccard ≥ 0.8; P(miss) = (1-j⁴)⁴ ≤ 2.3% at j=0.8)."""
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    truth = {(r.d1, r.d2) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    cands = {(r.d1, r.d2) for r in minhash_lsh_candidates(docs, num_hashes=16, bands=4).collect()}
+    assert truth, "fixture should contain planted near-dups"
+    recall = len(truth & cands) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"

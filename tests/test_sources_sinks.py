@@ -1,0 +1,82 @@
+"""Sources (HTML stop-event UDTF, JSON reader, Kafka plan shapes, config
+parser) and sinks (GeoJSON, Kafka message shape)."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import Row
+
+from c_tran_data_pipeline_spark import schemas
+from c_tran_data_pipeline_spark.sinks.geojson import feature_collection, features_df
+from c_tran_data_pipeline_spark.sources.html_stops import stop_events_from_html
+from c_tran_data_pipeline_spark.sources.kafka import read_ccloud_config, to_kafka_sink
+from c_tran_data_pipeline_spark.sources.readers import read_json_records
+
+PAGE = """
+<html><body>
+<h3>Stop events for trip 169302880 on 2020-10-18</h3>
+<table>
+<tr><th>vehicle_number</th><th>route_number</th><th>direction</th><th>service_key</th></tr>
+<tr><td>4008</td><td>65</td><td>0</td><td>W</td></tr>
+</table>
+<h3>Stop events for trip 169302881 on 2020-10-18</h3>
+<table>
+<tr><th>vehicle_number</th><th>route_number</th><th>direction</th><th>service_key</th></tr>
+<tr><td>4009</td><td>12</td><td>1</td><td>S</td></tr>
+</table>
+</body></html>
+"""
+
+
+def test_html_stop_event_udtf(spark):
+    pages = spark.createDataFrame([Row(url="p1", html=PAGE)])
+    out = {r.trip_id: r for r in stop_events_from_html(pages).collect()}
+    assert out["169302880"].vehicle_number == "4008"
+    assert out["169302880"].route_number == "65"
+    assert out["169302881"].direction == "1"
+    assert out["169302881"].service_key == "S"
+
+
+def test_json_array_file_source(spark, tmp_path):
+    # S4: the reference's whole-array dump files (load_inserts.py:182-183)
+    rows = [{"EVENT_NO_TRIP": "1", "OPD_DATE": "25-SEP-20", "VEHICLE_ID": "9",
+             "ACT_TIME": "100", "GPS_LATITUDE": None, "GPS_LONGITUDE": None,
+             "DIRECTION": "5", "VELOCITY": "10", "EVENT_NO_STOP": None,
+             "METERS": None, "GPS_SATELLITES": None, "GPS_HDOP": None}]
+    p = tmp_path / "dump.json"
+    p.write_text(json.dumps(rows))
+    df = read_json_records(spark, str(p), schemas.RAW_BREADCRUMB, multi_line=True)
+    assert df.count() == 1 and df.collect()[0].EVENT_NO_TRIP == "1"
+
+
+def test_ccloud_config_parse(tmp_path):
+    p = tmp_path / "ccloud.config"
+    p.write_text("# comment\nbootstrap.servers=broker:9092\n\nsasl.username = user1\n")
+    conf = read_ccloud_config(str(p))
+    assert conf == {"bootstrap.servers": "broker:9092", "sasl.username": "user1"}
+
+
+def test_kafka_sink_message_shape(spark):
+    df = spark.createDataFrame([Row(trip_id=1, speed=12.5)])
+    out = to_kafka_sink(df, "reading").collect()[0]
+    assert bytes(out.key) == b"reading"
+    assert json.loads(bytes(out.value)) == {"trip_id": 1, "speed": 12.5}
+
+
+def test_geojson_feature_collection(spark):
+    df = spark.createDataFrame([Row(longitude=-122.67, latitude=45.52, avg_speed=12.0)])
+    fc = json.loads(feature_collection(df, "longitude", "latitude", ["avg_speed"]))
+    assert fc["type"] == "FeatureCollection"
+    f = fc["features"][0]
+    assert f["geometry"]["coordinates"] == [-122.67, 45.52]
+    assert f["properties"]["avg_speed"] == 12.0
+
+
+def test_geojson_features_scale_path(spark):
+    df = spark.createDataFrame(
+        [Row(longitude=float(i), latitude=float(i), s=float(i)) for i in range(5)]
+    )
+    feats = features_df(df, "longitude", "latitude", ["s"]).collect()
+    assert len(feats) == 5
+    assert all(json.loads(r.feature)["type"] == "Feature" for r in feats)

@@ -1,0 +1,104 @@
+"""End-to-end streaming pipeline tests (E1/E2) driven by file streams —
+identical plan downstream of the source boundary, drain-then-stop via
+availableNow (the reference's idle-timeout shutdown, T2)."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row
+
+from c_tran_data_pipeline_spark import schemas
+from c_tran_data_pipeline_spark.streaming.pipeline import (
+    _TableStore,
+    run_breadcrumb_pipeline,
+    run_stop_event_pipeline,
+)
+
+
+@pytest.fixture()
+def tmpdirs(tmp_path):
+    d = {
+        "in": tmp_path / "in",
+        "trip": str(tmp_path / "trip"),
+        "crumb": str(tmp_path / "crumb"),
+        "ckpt1": str(tmp_path / "ckpt1"),
+        "in2": tmp_path / "in2",
+        "ckpt2": str(tmp_path / "ckpt2"),
+    }
+    d["in"].mkdir()
+    d["in2"].mkdir()
+    return d
+
+
+GOOD = {
+    "EVENT_NO_TRIP": "101",
+    "OPD_DATE": "25-SEP-20",
+    "VEHICLE_ID": "4008",
+    "ACT_TIME": "36000",
+    "GPS_LATITUDE": "45.52",
+    "GPS_LONGITUDE": "-122.67",
+    "DIRECTION": "90",
+    "VELOCITY": "25",
+}
+
+
+def test_breadcrumb_pipeline_end_to_end(spark, tmpdirs):
+    rows = [
+        GOOD,
+        dict(GOOD, ACT_TIME="36005", VELOCITY="30"),
+        dict(GOOD, EVENT_NO_TRIP="102", VEHICLE_ID="4009"),
+        dict(GOOD, VELOCITY="500"),  # V4 reject
+        dict(GOOD, EVENT_NO_TRIP=""),  # V1 reject
+    ]
+    (tmpdirs["in"] / "batch1.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    raw = spark.readStream.schema(schemas.RAW_BREADCRUMB).json(str(tmpdirs["in"]))
+    trip_store = _TableStore(spark, tmpdirs["trip"], schemas.TRIP)
+    crumb_store = _TableStore(spark, tmpdirs["crumb"], schemas.BREADCRUMB)
+
+    q = run_breadcrumb_pipeline(raw, trip_store, crumb_store, tmpdirs["ckpt1"])
+    q.awaitTermination(120)
+
+    crumbs = spark.read.parquet(tmpdirs["crumb"])
+    trips = spark.read.parquet(tmpdirs["trip"])
+    assert crumbs.count() == 3  # 5 in − 2 rejected
+    assert trips.count() == 2  # trips 101, 102 deduped
+    t = {r.trip_id: r for r in trips.collect()}
+    assert t[101].route_id == 0 and t[101].direction == "Out"  # P5 placeholders
+
+    # replay the same input dir with a fresh checkpoint: idempotent upsert
+    # keeps Trip stable (T4 at-least-once + idempotent sink)
+    q2 = run_breadcrumb_pipeline(raw, trip_store, crumb_store, tmpdirs["ckpt2"] + "_replay")
+    q2.awaitTermination(120)
+    assert spark.read.parquet(tmpdirs["trip"]).count() == 2
+
+
+def test_stop_event_enrichment_merge(spark, tmpdirs):
+    # seed Trip store via the breadcrumb path's placeholder shape
+    trip_store = _TableStore(spark, tmpdirs["trip"], schemas.TRIP)
+    seed = spark.createDataFrame(
+        [
+            Row(trip_id=101, route_id=0, vehicle_id=4008, service_key="Weekday", direction="Out"),
+            Row(trip_id=102, route_id=0, vehicle_id=4009, service_key="Weekday", direction="Out"),
+        ],
+        schema=schemas.TRIP,
+    )
+    seed.write.mode("overwrite").parquet(tmpdirs["trip"])
+
+    events = [
+        {"trip_id": "101", "vehicle_number": "4008", "route_number": "65", "direction": "1", "service_key": "W"},
+        {"trip_id": "101", "vehicle_number": "4008", "route_number": "99", "direction": "0", "service_key": "W"},
+    ]
+    (tmpdirs["in2"] / "stops.json").write_text("\n".join(json.dumps(r) for r in events))
+
+    raw = spark.readStream.schema(schemas.RAW_STOP_EVENT).json(str(tmpdirs["in2"]))
+    q = run_stop_event_pipeline(raw, trip_store, tmpdirs["ckpt2"])
+    q.awaitTermination(120)
+
+    t = {r.trip_id: r for r in spark.read.parquet(tmpdirs["trip"]).collect()}
+    # A3 first-wins on (direction,route,...) ordering: route 65/Back row
+    # sorts first; trip 102 untouched (K5 unmatched keeps placeholders)
+    assert t[101].route_id == 65 and t[101].direction == "Back"
+    assert t[102].route_id == 0 and t[102].direction == "Out"
