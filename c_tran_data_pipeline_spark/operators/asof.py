@@ -1,0 +1,97 @@
+"""As-of and range joins — operators Spark has no native form for
+(guide §OLAP patterns), built scalably from primitives:
+
+- ``asof_join``: the union-window method. Tag both sides, union, one
+  window per partition key ordered by (ts, side): ``last(ignorenulls)``
+  carries the most recent right row forward onto each left row. ONE
+  shuffle on the key — no join at all — versus the naive
+  per-left-row subquery; this is the textbook distributed as-of
+  (merge_asof semantics, 'backward', strict inequality).
+
+- ``range_join_bands``: banded range join. Bucketize the range key on
+  both sides, equi-join on (key, band) with the right side expanded to
+  adjacent bands, then filter the exact predicate. Turns an O(n·m)
+  theta join into an equi-join whose fan-out is bounded by band width —
+  the standard interval-join strategy (Flink/KDB do the same).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool = True,
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    right_ts < left_ts (strict) or <= (not strict), per ``on`` key.
+    Left rows with no prior right row get NULLs (left-outer semantics).
+    Right value columns are exposed as ``asof_<col>``."""
+    lcols = left.columns
+    # side ordering at equal ts: strict → right rows sort AFTER left rows
+    # (invisible to them); non-strict → before (visible).
+    l_side, r_side = (0, 1) if strict else (1, 0)
+
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+        ).alias("__r"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+    )
+    w = (
+        Window.partitionBy("__k")
+        .orderBy("__ts", "__side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = l.unionByName(r).withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    return carried.filter(F.col("__l").isNotNull()).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def range_join_bands(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+) -> DataFrame:
+    """Pairs (left, right) with same key and
+    left_ts < right_ts ≤ left_ts + window_seconds.
+
+    Band width == window size ⇒ each left row probes exactly 2 bands
+    (its own + the next); the equi-join key (__k, __band) is what
+    shuffles, so Catalyst runs a plain shuffled hash/sort-merge join
+    instead of a broadcast-nested-loop theta join."""
+    band = lambda ts: F.floor(F.unix_micros(ts) / (window_seconds * 1_000_000))  # noqa: E731
+    l = left.select(
+        F.col(on).alias("__k"), F.col(left_ts).alias("__lts"), F.struct(*left.columns).alias("__l")
+    ).withColumn("__band", F.explode(F.array(band(F.col("__lts")), band(F.col("__lts")) + 1)))
+    r = right.select(
+        F.col(on).alias("__k"), F.col(right_ts).alias("__rts"), F.struct(*right.columns).alias("__r")
+    ).withColumn("__band", band(F.col("__rts")))
+    joined = l.join(r, on=["__k", "__band"]).filter(
+        (F.col("__rts") > F.col("__lts"))
+        & (F.unix_micros("__rts") <= F.unix_micros("__lts") + window_seconds * 1_000_000)
+    )
+    return joined.select("__l.*", *[F.col(f"__r.{c}").alias(f"r_{c}") for c in right.columns])

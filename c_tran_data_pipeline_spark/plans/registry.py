@@ -54,6 +54,14 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that register their specs.
-    from c_tran_data_pipeline_spark.plans import parity, analytics, dedup_queries, text_queries, similarity_queries  # noqa: F401
+    from c_tran_data_pipeline_spark.plans import (  # noqa: F401
+        analytics,
+        dedup_queries,
+        multimodal_queries,
+        olap_queries,
+        parity,
+        similarity_queries,
+        text_queries,
+    )
 
     return dict(_REGISTRY)

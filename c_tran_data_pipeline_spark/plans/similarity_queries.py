@@ -96,7 +96,7 @@ def _bucket_sql(planes: int = 8) -> str:
     tags=("similarity",),
 )
 def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return hyperplane_lsh_buckets(load_table(spark, sf_dir, "embeddings"), planes=8).select(
+    return hyperplane_lsh_buckets(load_table(spark, sf_dir, "embeddings"), planes=8, dim=64).select(
         "vec_id", "bucket"
     )
 
@@ -111,4 +111,4 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, planes=4, tables=8)
+    return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, planes=4, tables=8, dim=64)

@@ -1,0 +1,47 @@
+"""Edge semantics of the union-window as-of join and banded range join."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import Row
+
+from c_tran_data_pipeline_spark.operators.asof import asof_join, range_join_bands
+
+
+def _ts(s):
+    return dt.datetime(2024, 1, 1, 0, 0, s)
+
+
+def test_asof_strict_excludes_same_timestamp(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k=1, ts=_ts(10)), Row(id=2, k=1, ts=_ts(20)), Row(id=3, k=2, ts=_ts(5))]
+    )
+    right = spark.createDataFrame(
+        [Row(k=1, ts=_ts(10), v=100.0), Row(k=1, ts=_ts(15), v=150.0)]
+    )
+    out = {r.id: r for r in asof_join(left, right, "k", "ts", "ts", ["v"], strict=True).collect()}
+    assert out[1].asof_v is None  # same-ts right row invisible under strict
+    assert out[2].asof_v == 150.0  # latest prior, not first
+    assert out[3].asof_v is None  # no right rows for key 2 (left outer)
+
+
+def test_asof_non_strict_includes_same_timestamp(spark):
+    left = spark.createDataFrame([Row(id=1, k=1, ts=_ts(10))])
+    right = spark.createDataFrame([Row(k=1, ts=_ts(10), v=100.0)])
+    out = asof_join(left, right, "k", "ts", "ts", ["v"], strict=False).collect()[0]
+    assert out.asof_v == 100.0
+
+
+def test_range_join_band_boundaries(spark):
+    # window 10s; right rows at +1s (in), +10s (boundary in), +11s (out),
+    # 0s (excluded: strict >), and a cross-band pair (9s → 12s spans bands)
+    left = spark.createDataFrame([Row(id=1, k=1, ts=_ts(0)), Row(id=2, k=1, ts=_ts(9))])
+    right = spark.createDataFrame(
+        [Row(rid=10, k=1, ts=_ts(0)), Row(rid=11, k=1, ts=_ts(1)),
+         Row(rid=12, k=1, ts=_ts(10)), Row(rid=13, k=1, ts=_ts(11)),
+         Row(rid=14, k=1, ts=_ts(12))]
+    )
+    out = range_join_bands(left, right, "k", "ts", "ts", window_seconds=10)
+    pairs = {(r.id, r.r_rid) for r in out.collect()}
+    assert pairs == {(1, 11), (1, 12), (2, 12), (2, 13), (2, 14)}
