@@ -98,6 +98,46 @@ def q_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (guide §OLAP patterns); lag → flag → running sum → per-session agg. In
 # streaming this is session_window(ts, gap) — see streaming/pipeline.py.
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# Tumbling event-time window (T7 extension: the hotspot-over-time shape).
+# Exactly the aggregation the streaming pipeline runs with
+# withWatermark+window — batch and stream share the plan; the oracle is
+# date_trunc since aligned tumbling windows == truncation.
+# ---------------------------------------------------------------------------
+@query(
+    "q_window_hourly",
+    """
+    SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS window_start,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(value) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling 1h event-time window aggregation (F.window) — the "
+    "Structured Streaming windowed-agg plan run in batch; partial "
+    "aggregation map-side, one shuffle on (window, type).",
+    tags=("analytics", "window", "streaming"),
+)
+def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum(F.col("value").cast("decimal(28,8)")).cast("double") / F.count("value")).alias(
+                "avg_value"
+            ),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "avg_value",
+        )
+    )
+
+
 @query(
     "q_sessionize",
     """

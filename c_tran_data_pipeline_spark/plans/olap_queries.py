@@ -181,8 +181,9 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_running_total",
     """
     SELECT user_id, event_id, ts,
-           ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING), 6) AS running_value
+           CAST(SUM(CAST(value AS DECIMAL(28, 8))) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value
     FROM events
     """,
     doc="Running total per user (cumulative frame; one shuffle on "
@@ -195,5 +196,8 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.unboundedPreceding, 0
     )
     return e.select(
-        "user_id", "event_id", "ts", F.round(F.sum("value").over(w), 6).alias("running_value")
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(28,8)")).over(w).cast("double").alias("running_value"),
     )

@@ -30,7 +30,7 @@ from c_tran_data_pipeline_spark.sources.readers import load_table
     """
     SELECT e.user_id AS user_id,
            c.c_nationkey AS nationkey,
-           ROUND(AVG(e.value), 6) AS avg_value,
+           CAST(SUM(CAST(e.value AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(e.value) AS avg_value,
            COUNT(*) AS n_readings
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     WHERE e.event_type = 'purchase'
@@ -58,7 +58,12 @@ def q_flagship_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("value").isNotNull()  # V7: no NULL avg rows
         )
         .groupBy(F.col("user_id"), F.col("c_nationkey").alias("nationkey"))
-        .agg(F.round(F.avg("value"), 6).alias("avg_value"), F.count(F.lit(1)).alias("n_readings"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,8)")).cast("double") / F.count("value")).alias(
+                "avg_value"
+            ),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
     )
 
 
@@ -112,6 +117,70 @@ def q_conform_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("k").isNull() | F.col("k").between(0, 359))  # V3
         & (F.col("value").isNull() | F.col("value").between(0, 200))  # V4
     )
+
+
+# ---------------------------------------------------------------------------
+# E1 batch conform, through the REAL production path: raw all-string
+# breadcrumb rows (constructed deterministically from events) →
+# conform_breadcrumbs (P1-P5: date parse, timestamp derivation, service
+# key, placeholders) → validate (V1-V5). The oracle recomputes the
+# expected output directly from the source columns, so this checks the
+# actual '25-SEP-20' date-parse/derive logic, not a SQL translation of it.
+# ---------------------------------------------------------------------------
+@query(
+    "q_breadcrumb_conform",
+    """
+    SELECT user_id AS trip_id,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS tstamp,
+           CAST(ts AS DATE) AS opd_date,
+           CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS latitude,
+           CAST(-CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS longitude,
+           CAST(json_extract_string(props, '$.k') AS INTEGER) * 5 AS direction,
+           CAST(floor(value) AS DOUBLE) AS speed,
+           CAST(event_id % 1000 AS INTEGER) AS vehicle_id,
+           CASE WHEN dayname(ts) = 'Sunday' THEN 'Sunday'
+                WHEN dayname(ts) = 'Saturday' THEN 'Saturday'
+                ELSE 'Weekday' END AS service_key,
+           'Out' AS trip_direction,
+           0 AS route_id
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND ts IS NOT NULL
+      AND (CAST(json_extract_string(props, '$.k') AS INTEGER) * 5 IS NULL
+           OR CAST(json_extract_string(props, '$.k') AS INTEGER) * 5 BETWEEN 0 AND 359)
+      AND (floor(value) IS NULL OR floor(value) BETWEEN 0 AND 200)
+    """,
+    doc="topic_consumer.py:106-165 through the real code path: events "
+    "re-serialized to the reference's raw string schema ('25-SEP-20' "
+    "dates, seconds-past-midnight ACT_TIME), then conform_breadcrumbs + "
+    "validate. The oracle derives the expected rows from the source "
+    "directly — a true round-trip check of P2/P3/P4 parsing.",
+    tags=("parity", "transform", "validate"),
+)
+def q_breadcrumb_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.transforms import conform_breadcrumbs
+    from c_tran_data_pipeline_spark.functions.validation import validate
+
+    e = load_table(spark, sf_dir, "events")
+    k = json_get("props", "$.k", "int")
+    secs_of_day = (
+        F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    )
+    raw = e.select(
+        F.col("user_id").cast("string").alias("EVENT_NO_TRIP"),
+        F.lit(None).cast("string").alias("EVENT_NO_STOP"),
+        F.upper(F.date_format("ts", "dd-MMM-yy")).alias("OPD_DATE"),
+        (F.col("event_id") % 1000).cast("string").alias("VEHICLE_ID"),
+        F.lit(None).cast("string").alias("METERS"),
+        secs_of_day.cast("string").alias("ACT_TIME"),
+        (-k).cast("string").alias("GPS_LONGITUDE"),
+        k.cast("string").alias("GPS_LATITUDE"),
+        F.lit(None).cast("string").alias("GPS_SATELLITES"),
+        F.lit(None).cast("string").alias("GPS_HDOP"),
+        (k * 5).cast("string").alias("DIRECTION"),
+        F.floor("value").cast("string").alias("VELOCITY"),
+    )
+    return validate(conform_breadcrumbs(raw))
 
 
 # ---------------------------------------------------------------------------
@@ -265,7 +334,8 @@ def q_longest_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_dow_profile",
     """
-    SELECT dayname(ts) AS dow, COUNT(*) AS n, ROUND(AVG(value), 6) AS avg_value
+    SELECT dayname(ts) AS dow, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(value) AS avg_value
     FROM events GROUP BY 1
     """,
     doc="Project 4.pdf p7 analog: per-day-of-week volume + mean measure.",
@@ -274,7 +344,10 @@ def q_longest_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.groupBy(F.date_format("ts", "EEEE").alias("dow")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast("decimal(28,8)")).cast("double") / F.count("value")).alias(
+            "avg_value"
+        ),
     )
 
 
