@@ -26,7 +26,10 @@ HEADLINE = [
     "q_flagship_hotspot",
     "q_pricing_summary",
     "q_conform_validate",
+    "q_breadcrumb_conform",
     "q_sessionize",
+    "q_window_hourly",
+    "q_asof_prev_purchase",
     "q_top3_orders_per_customer",
     "q_enrich_merge",
     "q_dedup_exact",
