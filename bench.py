@@ -35,6 +35,7 @@ HEADLINE = [
     "q_dedup_exact",
     "q_dedup_minhash_lsh",
     "q_ann_topk",
+    "q_ann_ivf_topk",
     "q_text_quality",
 ]
 

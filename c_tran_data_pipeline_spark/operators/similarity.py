@@ -207,6 +207,159 @@ def ann_lsh_topk(
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Deterministic k-means centroids for IVF coarse quantization:
+    seeded by the md5-hyperplane LSH buckets (log2(nlist) planes — no RNG,
+    no stored init state), refined by ``iters`` Lloyd steps. Returns
+    (centroid_id, centroid: array<double>).
+
+    Scale shape: the per-dimension mean is a posexplode + two-level
+    HashAggregate — map-side partial combine reduces the shuffle to
+    nlist×dim rows per partition regardless of corpus size; the Lloyd
+    reassignment is a broadcast of the (tiny) centroid table against one
+    corpus scan. iters is O(1) small — IVF needs a usable partition of
+    space, not converged clusters."""
+    import math
+
+    planes = max(1, math.ceil(math.log2(max(nlist, 2))))
+    assigned = hyperplane_lsh_buckets(df, planes=planes, key=key, vec=vec, dim=dim).select(
+        _as_double(F.col(vec)).alias("__v"), F.col("bucket").alias("centroid_id")
+    )
+    centroids = _materialize_centroids(df, _centroid_means(assigned, dim))
+    for _ in range(iters):
+        corpus = df.select(F.col(key), _as_double(F.col(vec)).alias("__v"))
+        assigned = _assign_nearest(corpus, centroids).select("__v", "centroid_id")
+        centroids = _materialize_centroids(df, _centroid_means(assigned, dim))
+    return centroids
+
+
+def _materialize_centroids(src: DataFrame, cents: DataFrame) -> DataFrame:
+    """Collect the (nlist-row) centroid table and rebuild it as a literal
+    DataFrame. Without this every downstream use — each Lloyd step, the
+    corpus assignment, the query probe — re-executes the whole centroid
+    lineage (a full corpus pass each); with it, one pass per round and a
+    trivially broadcastable plan. nlist×dim doubles ≈ KBs at any scale."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("centroid_id", T.LongType()),
+            T.StructField("centroid", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    rows = [(r["centroid_id"], list(r["centroid"])) for r in cents.collect()]
+    return src.sparkSession.createDataFrame(rows, schema)
+
+
+def _centroid_means(assigned: DataFrame, dim: int | None = None) -> DataFrame:
+    """Element-wise mean of __v per centroid_id. With ``dim`` known: one
+    HashAggregate of dim scalar AVGs (no explode, single shuffle of
+    nlist×dim partials). Fallback for unknown dim: posexplode + two-level
+    agg — still map-side combined, just two shuffles."""
+    if dim is not None:
+        aggd = assigned.groupBy("centroid_id").agg(
+            *[F.avg(F.col("__v")[d]).alias(f"_m{d}") for d in range(dim)]
+        )
+        return aggd.select(
+            "centroid_id", F.array(*[f"_m{d}" for d in range(dim)]).alias("centroid")
+        )
+    exploded = assigned.select("centroid_id", F.posexplode("__v").alias("pos", "x"))
+    per_dim = exploded.groupBy("centroid_id", "pos").agg(F.avg("x").alias("m"))
+    return per_dim.groupBy("centroid_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+        ).alias("centroid")
+    )
+
+
+def _assign_nearest(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid (squared L2) assignment: broadcast the centroid
+    table, min_by per key — one scan, no corpus shuffle."""
+    d = F.aggregate(
+        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    key_col = [c for c in corpus.columns if c != "__v"][0]
+    return (
+        corpus.crossJoin(F.broadcast(centroids))
+        .select(key_col, "__v", "centroid_id", d.alias("__d"))
+        .groupBy(key_col)
+        .agg(
+            F.min_by("centroid_id", F.struct("__d", "centroid_id")).alias("centroid_id"),
+            F.first("__v").alias("__v"),
+        )
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the FAISS IndexIVFFlat shape, Spark-first):
+    the corpus is partitioned into nlist Voronoi cells by the k-means
+    coarse quantizer; each query probes its nprobe nearest cells and
+    re-ranks candidates with exact cosine.
+
+    With nprobe == nlist every cell is probed, so the result equals
+    cosine_topk exactly — the property the test suite pins.
+
+    Scale shape: the candidate join is an equi-join on centroid_id — the
+    corpus is scanned once to build cell assignments (at 100 TB these
+    persist as a partitioned-by-cell table, amortized across queries);
+    per-query work is nprobe/nlist of the corpus instead of all of it.
+    Skewed cells (dense regions) are the hot-bucket analog — cap or
+    re-split them by adding planes locally."""
+    cents = kmeans_centroids(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+    corpus_cells = _assign_nearest(
+        corpus.select(F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__v")),
+        cents,
+    ).select("neighbor_id", F.col("__v").alias("__cv"), "centroid_id")
+
+    q = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    qd = F.aggregate(
+        F.zip_with(F.col("__qv"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    probe_w = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
+    query_probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("query_id", "__qv", "centroid_id", qd.alias("__d"))
+        .withColumn("__pr", F.row_number().over(probe_w))
+        .filter(F.col("__pr") <= nprobe)
+        .select("query_id", "__qv", "centroid_id")
+    )
+    candidates = (
+        corpus_cells.join(query_probes, on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.4, key: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:

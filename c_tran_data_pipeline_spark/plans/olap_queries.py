@@ -106,6 +106,81 @@ def q_rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_cube_order_matrix",
+    """
+    SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 8))) AS DOUBLE) AS sum_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE: all 2^2 grouping combinations (status × priority matrix "
+    "with row/column/grand totals) in one pass — Catalyst expands the "
+    "grouping sets and partial-aggregates each; both dims are non-null "
+    "in the fixture so COALESCE('ALL') is unambiguous.",
+    tags=("olap", "agg"),
+)
+def q_cube_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)")).cast("double").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "sum_price",
+            "n",
+        )
+    )
+
+
+_GSETS_SQL = """
+    SELECT COALESCE(CAST(ship_month AS STRING), 'ALL') AS ship_month,
+           COALESCE(l_returnflag, 'ALL') AS returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(28, 8))) AS DOUBLE) AS sum_qty,
+           COUNT(*) AS n
+    FROM (SELECT month(l_shipdate) AS ship_month, l_returnflag, l_quantity FROM lineitem)
+    GROUP BY GROUPING SETS ((ship_month), (l_returnflag), (ship_month, l_returnflag))
+"""
+
+
+@query(
+    "q_grouping_sets_shipping",
+    _GSETS_SQL,
+    doc="Explicit GROUPING SETS (neither rollup nor cube): per-ship-month, "
+    "per-returnflag, and the cross — the warehouse 'multiple reports in "
+    "one scan' shape. Spark SQL shares one Expand + HashAggregate; the "
+    "identical SQL string runs on both engines.",
+    tags=("olap", "agg"),
+)
+def q_grouping_sets_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_GSETS_SQL)
+
+
+@query(
+    "q_approx_distinct",
+    None,  # HLL estimates are engine-specific; error bound pinned in tests
+    doc="Approximate distinct counts per event_type via HyperLogLog++ "
+    "(rsd=0.01) next to exact COUNT(DISTINCT): the 100 TB cardinality "
+    "path — constant memory per group, no distinct-expand shuffle. "
+    "Rows-only driver check; tests/test_olap.py asserts the estimate is "
+    "within 3×rsd of exact.",
+    tags=("olap", "agg", "approx"),
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
     "q_pivot_event_counts",
     f"""
     SELECT user_id,

@@ -18,6 +18,7 @@ from c_tran_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     embedding_neardup_pairs,
     hyperplane_lsh_buckets,
+    ivf_topk,
 )
 from c_tran_data_pipeline_spark.plans.registry import query
 from c_tran_data_pipeline_spark.sources.readers import load_table
@@ -112,3 +113,20 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return ann_lsh_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, planes=4, tables=8, dim=64)
+
+
+@query(
+    "q_ann_ivf_topk",
+    None,  # approximate by construction; nprobe==nlist exactness + recall in tests
+    doc="IVF approximate top-3 (FAISS IndexIVFFlat shape): deterministic "
+    "LSH-seeded k-means coarse quantizer (nlist=16 cells, 2 Lloyd steps), "
+    "queries probe their 4 nearest cells, exact cosine re-ranks. Rows-only "
+    "driver check; tests/test_similarity.py pins nprobe==nlist == exact "
+    "brute force and measures recall at nprobe=4.",
+    tags=("similarity", "topk"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # iters=1: one Lloyd refinement gives recall ~0.5 at nprobe=4/16 on
+    # the fixture while saving a full corpus pass per extra iteration.
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, nlist=16, nprobe=4, iters=1, dim=64)

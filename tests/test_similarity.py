@@ -5,7 +5,12 @@ from __future__ import annotations
 
 from pyspark.sql import Row
 
-from c_tran_data_pipeline_spark.operators.similarity import ann_lsh_topk, cosine_topk
+from c_tran_data_pipeline_spark.operators.similarity import (
+    ann_lsh_topk,
+    cosine_topk,
+    ivf_topk,
+    kmeans_centroids,
+)
 
 
 def test_cosine_topk_known_geometry(spark):
@@ -39,3 +44,53 @@ def test_lsh_topk_recall_floor(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, f"LSH recall@3 {recall:.2f} (single-table was ~0.0-0.18)"
+
+
+def test_ivf_full_probe_equals_exact(spark):
+    """IVF with nprobe == nlist probes every Voronoi cell, so the
+    candidate set is the whole corpus and the result must equal the
+    brute-force baseline exactly — pins the quantize/probe/re-rank
+    plumbing independent of recall."""
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 10")
+    exact = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in cosine_topk(emb, queries, k=3).collect()
+    }
+    full = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in ivf_topk(emb, queries, k=3, nlist=8, nprobe=8, dim=64).collect()
+    }
+    assert full == exact
+
+
+def test_ivf_partial_probe_recall(spark):
+    """nprobe=4 of nlist=16 scans ~1/4 of the corpus per query; recall
+    must beat the ~nprobe/nlist floor that random cell assignment would
+    give (clustered cells put true neighbors in the probed quarter more
+    often than chance)."""
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 30")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=3).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, queries, k=3, nlist=16, nprobe=4, dim=64).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.35, f"IVF recall@3 {recall:.2f} < random-cell floor 0.25"
+
+
+def test_kmeans_centroids_shape(spark):
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    cents = kmeans_centroids(emb, nlist=8, iters=1, dim=64).collect()
+    assert 1 < len(cents) <= 8
+    assert all(len(r.centroid) == 64 for r in cents)
