@@ -71,6 +71,34 @@ def conform_validate_stream(raw: DataFrame, watermark: str = "48 hours") -> Data
     return validate(conformed).withWatermark("tstamp", watermark)
 
 
+def hourly_hotspot_stream(conformed: DataFrame) -> DataFrame:
+    """Event-time windowed aggregation (T7 extension): per-hour, per-trip
+    mean speed over the conformed breadcrumb stream — the streaming twin
+    of q_window_hourly. Tumbling 1h windows on tstamp; the UPSTREAM
+    watermark (conform_validate_stream's T5 bound — redefining it here is
+    disallowed) bounds state: windows older than the watermark finalize
+    and evict, so state is O(active windows × trips-per-hour), not
+    O(stream). Pass a tighter watermark upstream for fresher emission.
+
+    Use append output mode: rows emit exactly once, when their window
+    closes — the semantics a downstream warehouse append sink needs."""
+    return (
+        conformed.groupBy(F.window("tstamp", "1 hour").alias("w"), "trip_id")
+        .agg(
+            F.avg("speed").alias("avg_speed"),
+            F.max("speed").alias("max_speed"),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"),
+            "trip_id",
+            "avg_speed",
+            "max_speed",
+            "n_readings",
+        )
+    )
+
+
 def breadcrumb_upsert_batch(trip_store: _TableStore, crumb_store: _TableStore):
     """foreachBatch body for E1: split the conformed micro-batch into the
     star pair, then Trip insert-if-absent (K4: first-writer-wins, the

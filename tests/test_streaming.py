@@ -102,3 +102,49 @@ def test_stop_event_enrichment_merge(spark, tmpdirs):
     # sorts first; trip 102 untouched (K5 unmatched keeps placeholders)
     assert t[101].route_id == 65 and t[101].direction == "Back"
     assert t[102].route_id == 0 and t[102].direction == "Out"
+
+
+def test_hourly_hotspot_windowed_stream(spark, tmpdirs):
+    """Event-time tumbling windows + watermark in append mode: only
+    windows the watermark has passed emit (exactly once); the open
+    window holds back. maxFilesPerTrigger=1 forces two micro-batches so
+    the watermark from batch 1's max event time finalizes its windows."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import (
+        conform_validate_stream,
+        hourly_hotspot_stream,
+    )
+
+    early = [
+        dict(GOOD, ACT_TIME="32400", VELOCITY="10"),  # 09:00
+        dict(GOOD, ACT_TIME="33000", VELOCITY="30"),  # 09:10
+        dict(GOOD, ACT_TIME="36000", VELOCITY="40"),  # 10:00
+    ]
+    late = [dict(GOOD, ACT_TIME="46800", VELOCITY="5")]  # 13:00 → watermark 11:00
+    (tmpdirs["in"] / "b1.json").write_text("\n".join(json.dumps(r) for r in early))
+    (tmpdirs["in"] / "b2.json").write_text("\n".join(json.dumps(r) for r in late))
+
+    raw = (
+        spark.readStream.schema(schemas.RAW_BREADCRUMB)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmpdirs["in"]))
+    )
+    out = hourly_hotspot_stream(conform_validate_stream(raw, watermark="2 hours"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("hourly_hotspot")
+        .option("checkpointLocation", tmpdirs["ckpt1"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = {
+        (r.hour_start.hour, r.trip_id): r
+        for r in spark.sql("SELECT * FROM hourly_hotspot").collect()
+    }
+    # 09:00 and 10:00 windows are below the final 11:00 watermark → emitted;
+    # the 13:00 window is still open → withheld.
+    assert (9, 101) in rows and (10, 101) in rows and (13, 101) not in rows
+    assert rows[(9, 101)].n_readings == 2 and rows[(9, 101)].avg_speed == 20.0
+    assert rows[(10, 101)].max_speed == 40.0
