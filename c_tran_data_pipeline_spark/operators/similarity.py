@@ -220,32 +220,14 @@ def kmeans_centroids(
     no stored init state), refined by ``iters`` Lloyd steps. Returns
     (centroid_id, centroid: array<double>).
 
-    Scale shape: the per-dimension mean is a posexplode + two-level
-    HashAggregate — map-side partial combine reduces the shuffle to
-    nlist×dim rows per partition regardless of corpus size; the Lloyd
-    reassignment is a broadcast of the (tiny) centroid table against one
-    corpus scan. iters is O(1) small — IVF needs a usable partition of
+    Scale shape: each Lloyd step is ONE corpus scan — the nearest-centroid
+    assignment is a pure projection (the nlist×dim centroid table is
+    embedded as literals, see _cell_scores), fused by codegen into the
+    same stage as the per-dimension mean's partial aggregate; the only
+    shuffle per step is nlist×dim partial sums per partition, regardless
+    of corpus size. iters is O(1) small — IVF needs a usable partition of
     space, not converged clusters."""
-    import math
-
-    planes = max(1, math.ceil(math.log2(max(nlist, 2))))
-    assigned = hyperplane_lsh_buckets(df, planes=planes, key=key, vec=vec, dim=dim).select(
-        _as_double(F.col(vec)).alias("__v"), F.col("bucket").alias("centroid_id")
-    )
-    centroids = _materialize_centroids(df, _centroid_means(assigned, dim))
-    for _ in range(iters):
-        corpus = df.select(F.col(key), _as_double(F.col(vec)).alias("__v"))
-        assigned = _assign_nearest(corpus, centroids).select("__v", "centroid_id")
-        centroids = _materialize_centroids(df, _centroid_means(assigned, dim))
-    return centroids
-
-
-def _materialize_centroids(src: DataFrame, cents: DataFrame) -> DataFrame:
-    """Collect the (nlist-row) centroid table and rebuild it as a literal
-    DataFrame. Without this every downstream use — each Lloyd step, the
-    corpus assignment, the query probe — re-executes the whole centroid
-    lineage (a full corpus pass each); with it, one pass per round and a
-    trivially broadcastable plan. nlist×dim doubles ≈ KBs at any scale."""
+    rows = _kmeans_rows(df, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
     from pyspark.sql import types as T
 
     schema = T.StructType(
@@ -254,8 +236,78 @@ def _materialize_centroids(src: DataFrame, cents: DataFrame) -> DataFrame:
             T.StructField("centroid", T.ArrayType(T.DoubleType())),
         ]
     )
-    rows = [(r["centroid_id"], list(r["centroid"])) for r in cents.collect()]
-    return src.sparkSession.createDataFrame(rows, schema)
+    return df.sparkSession.createDataFrame(rows, schema)
+
+
+def _kmeans_rows(
+    df: DataFrame,
+    nlist: int,
+    iters: int,
+    key: str,
+    vec: str,
+    dim: int | None,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd loop returning the centroid table as plain driver-side rows
+    (nlist×dim doubles ≈ KBs at any scale — always collectable). Keeping
+    it driver-side lets every consumer embed the centroids as literal
+    expressions instead of a join, so assignment never shuffles the
+    corpus and each refinement step re-scans the corpus exactly once."""
+    import math
+
+    planes = max(1, math.ceil(math.log2(max(nlist, 2))))
+    assigned = hyperplane_lsh_buckets(df, planes=planes, key=key, vec=vec, dim=dim).select(
+        _as_double(F.col(vec)).alias("__v"), F.col("bucket").alias("centroid_id")
+    )
+    rows = _collect_means(assigned, dim)
+    for _ in range(iters):
+        v = _as_double(F.col(vec))
+        assigned = df.select(
+            v.alias("__v"), _nearest_cell(v, rows).alias("centroid_id")
+        )
+        rows = _collect_means(assigned, dim)
+    return rows
+
+
+def _collect_means(assigned: DataFrame, dim: int | None) -> list[tuple[int, list[float]]]:
+    return sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
+        for r in _centroid_means(assigned, dim).collect()
+    )
+
+
+def _l2sq(v: Column, c: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _cell_scores(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d,cid>> of squared-L2 distances from ``v`` to every
+    centroid, centroids embedded as literal arrays. Struct field order
+    (d first, cid second) makes array_min/array_sort rank by distance
+    with centroid_id as the deterministic tie-break."""
+    return F.array(
+        *[
+            F.struct(
+                _l2sq(v, F.array(*[F.lit(x) for x in cvec])).alias("d"),
+                F.lit(cid).cast("bigint").alias("cid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+
+
+def _nearest_cell(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    return F.array_min(_cell_scores(v, cents))["cid"]
+
+
+def _probe_cells(v: Column, cents: list[tuple[int, list[float]]], nprobe: int) -> Column:
+    """The nprobe nearest centroid ids, as an array — pure projection."""
+    return F.transform(
+        F.slice(F.array_sort(_cell_scores(v, cents)), 1, nprobe), lambda s: s["cid"]
+    )
 
 
 def _centroid_means(assigned: DataFrame, dim: int | None = None) -> DataFrame:
@@ -279,26 +331,6 @@ def _centroid_means(assigned: DataFrame, dim: int | None = None) -> DataFrame:
     )
 
 
-def _assign_nearest(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
-    """Nearest-centroid (squared L2) assignment: broadcast the centroid
-    table, min_by per key — one scan, no corpus shuffle."""
-    d = F.aggregate(
-        F.zip_with(F.col("__v"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
-    )
-    key_col = [c for c in corpus.columns if c != "__v"][0]
-    return (
-        corpus.crossJoin(F.broadcast(centroids))
-        .select(key_col, "__v", "centroid_id", d.alias("__d"))
-        .groupBy(key_col)
-        .agg(
-            F.min_by("centroid_id", F.struct("__d", "centroid_id")).alias("centroid_id"),
-            F.first("__v").alias("__v"),
-        )
-    )
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -318,31 +350,26 @@ def ivf_topk(
     With nprobe == nlist every cell is probed, so the result equals
     cosine_topk exactly — the property the test suite pins.
 
-    Scale shape: the candidate join is an equi-join on centroid_id — the
-    corpus is scanned once to build cell assignments (at 100 TB these
-    persist as a partitioned-by-cell table, amortized across queries);
-    per-query work is nprobe/nlist of the corpus instead of all of it.
-    Skewed cells (dense regions) are the hot-bucket analog — cap or
-    re-split them by adding planes locally."""
-    cents = kmeans_centroids(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
-    corpus_cells = _assign_nearest(
-        corpus.select(F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__v")),
-        cents,
-    ).select("neighbor_id", F.col("__v").alias("__cv"), "centroid_id")
-
-    q = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
-    qd = F.aggregate(
-        F.zip_with(F.col("__qv"), F.col("centroid"), lambda x, c: (x - c) * (x - c)),
-        F.lit(0.0).cast("double"),
-        lambda acc, x: acc + x,
+    Scale shape: cell assignment (corpus side) and cell probing (query
+    side) are both pure projections — the nlist×dim centroid table is
+    embedded as literal arrays (_cell_scores), so neither side shuffles
+    or joins to find its cells. The ONLY shuffles are the candidate
+    equi-join on centroid_id and the final top-k window; per-query work
+    is nprobe/nlist of the corpus instead of all of it. At 100 TB the
+    corpus-side assignment persists as a partitioned-by-cell table,
+    amortized across query batches. Skewed cells (dense regions) are the
+    hot-bucket analog — cap or re-split them by adding planes locally."""
+    cents = _kmeans_rows(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+    cv = _as_double(F.col(vec))
+    corpus_cells = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        cv.alias("__cv"),
+        _nearest_cell(cv, cents).alias("centroid_id"),
     )
-    probe_w = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("centroid_id").asc())
-    query_probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select("query_id", "__qv", "centroid_id", qd.alias("__d"))
-        .withColumn("__pr", F.row_number().over(probe_w))
-        .filter(F.col("__pr") <= nprobe)
-        .select("query_id", "__qv", "centroid_id")
+    query_probes = queries.select(
+        F.col(key).alias("query_id"),
+        cv.alias("__qv"),
+        F.explode(_probe_cells(cv, cents, nprobe)).alias("centroid_id"),
     )
     candidates = (
         corpus_cells.join(query_probes, on="centroid_id")
