@@ -99,6 +99,48 @@ def hourly_hotspot_stream(conformed: DataFrame) -> DataFrame:
     )
 
 
+def dedup_stream(conformed: DataFrame, keys: list[str] | None = None) -> DataFrame:
+    """Streaming exact dedup: drop replayed records keyed by the natural
+    id within the watermark horizon (``dropDuplicatesWithinWatermark``).
+    This is T4 done in-stream: the reference got exactly-once table state
+    from at-least-once delivery only because Postgres enforced the PK
+    (``ON CONFLICT DO NOTHING``, topic_consumer.py:203); here the replay
+    is removed before it ever reaches a sink, so even a plain append sink
+    (parquet files, Kafka) sees each record once.
+
+    State is keyed by ``keys`` and evicted once the watermark passes the
+    record's event time — bounded by (arrival rate × watermark horizon),
+    not by stream length. Requires a watermark upstream
+    (conform_validate_stream sets the T5 48h bound)."""
+    return conformed.dropDuplicatesWithinWatermark(
+        keys or ["trip_id", "tstamp", "vehicle_id"]
+    )
+
+
+def session_stream(conformed: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming sessionization via ``F.session_window``: per-trip
+    sessions that close after ``gap`` of event-time silence — the
+    streaming twin of q_sessionize (batch computes the same boundaries
+    with a lag-window cumulative sum). Session state merges adjacent
+    windows as events arrive and finalizes when the watermark passes
+    session end + gap; append mode emits each closed session exactly
+    once. State is O(open sessions), watermark-bounded."""
+    return (
+        conformed.groupBy(F.session_window("tstamp", gap).alias("w"), "trip_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_readings"),
+            F.avg("speed").alias("avg_speed"),
+        )
+        .select(
+            "trip_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_readings",
+            "avg_speed",
+        )
+    )
+
+
 def breadcrumb_upsert_batch(trip_store: _TableStore, crumb_store: _TableStore):
     """foreachBatch body for E1: split the conformed micro-batch into the
     star pair, then Trip insert-if-absent (K4: first-writer-wins, the

@@ -148,3 +148,89 @@ def test_hourly_hotspot_windowed_stream(spark, tmpdirs):
     assert (9, 101) in rows and (10, 101) in rows and (13, 101) not in rows
     assert rows[(9, 101)].n_readings == 2 and rows[(9, 101)].avg_speed == 20.0
     assert rows[(10, 101)].max_speed == 40.0
+
+
+def test_dedup_stream_removes_replays(spark, tmpdirs):
+    """dropDuplicatesWithinWatermark: a replayed batch (at-least-once
+    delivery) yields no duplicate rows downstream — T4 without relying on
+    a PK-enforcing sink. Two input files share two identical records."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import (
+        conform_validate_stream,
+        dedup_stream,
+    )
+
+    batch = [
+        GOOD,
+        dict(GOOD, ACT_TIME="36005", VELOCITY="30"),
+    ]
+    replay = [
+        GOOD,  # exact replay
+        dict(GOOD, ACT_TIME="36010", VELOCITY="35"),  # new record
+    ]
+    (tmpdirs["in"] / "b1.json").write_text("\n".join(json.dumps(r) for r in batch))
+    (tmpdirs["in"] / "b2.json").write_text("\n".join(json.dumps(r) for r in replay))
+
+    raw = (
+        spark.readStream.schema(schemas.RAW_BREADCRUMB)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmpdirs["in"]))
+    )
+    out = dedup_stream(conform_validate_stream(raw))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_stream")
+        .option("checkpointLocation", tmpdirs["ckpt1"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = spark.sql("SELECT tstamp, speed FROM dedup_stream").collect()
+    assert len(rows) == 3  # 2 + 2 inputs, 1 replay dropped
+    assert sorted(r.speed for r in rows) == [25.0, 30.0, 35.0]
+
+
+def test_session_stream_gap_windows(spark, tmpdirs):
+    """session_window: readings ≤gap apart merge into one session; a
+    >gap silence opens a new one. Late watermark (driven by a 13:00
+    record in batch 2) closes the morning sessions so append emits them."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import (
+        conform_validate_stream,
+        session_stream,
+    )
+
+    early = [
+        dict(GOOD, ACT_TIME="32400", VELOCITY="10"),  # 09:00
+        dict(GOOD, ACT_TIME="33000", VELOCITY="20"),  # 09:10 (same session)
+        dict(GOOD, ACT_TIME="36000", VELOCITY="40"),  # 10:00 (>30min gap → new)
+    ]
+    late = [dict(GOOD, ACT_TIME="46800", VELOCITY="5")]  # 13:00 → watermark 11:00
+    (tmpdirs["in"] / "b1.json").write_text("\n".join(json.dumps(r) for r in early))
+    (tmpdirs["in"] / "b2.json").write_text("\n".join(json.dumps(r) for r in late))
+
+    raw = (
+        spark.readStream.schema(schemas.RAW_BREADCRUMB)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmpdirs["in"]))
+    )
+    out = session_stream(conform_validate_stream(raw, watermark="2 hours"))
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("session_stream")
+        .option("checkpointLocation", tmpdirs["ckpt2"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = sorted(
+        spark.sql("SELECT * FROM session_stream").collect(),
+        key=lambda r: r.session_start,
+    )
+    # two closed morning sessions; the 13:00 session is still open → withheld
+    assert len(rows) == 2
+    assert rows[0].n_readings == 2 and rows[0].avg_speed == 15.0
+    assert rows[0].session_start.hour == 9
+    assert rows[1].n_readings == 1 and rows[1].session_start.hour == 10
