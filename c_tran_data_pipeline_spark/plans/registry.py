@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         multimodal_queries,
         olap_queries,
         parity,
+        scale_queries,
         similarity_queries,
         text_queries,
     )
