@@ -1,0 +1,96 @@
+"""Corpus-curation operators: the layer a training-data pipeline runs
+between raw documents and a training set. All pure Column expressions —
+shuffle only where the semantics demand one (dedup, per-domain ranking).
+
+Determinism is the design constraint everything here follows: splits,
+samples, and caps are all driven by the portable 60-bit md5 hash
+(functions.text.md5_long — DuckDB-reproducible, so every operator is
+oracle-checkable) rather than RNG. A rerun, a replay, or a different
+cluster produces the SAME training set — which is what makes dataset
+versioning and leakage audits possible at 100 TB.
+
+Scale shape: hash_split and stratified_sample are projections/filters
+(no shuffle, pushed to the scan where the planner allows); exact_dedup
+shuffles once on the content hash; domain_cap shuffles once on the
+domain key. Nothing here collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c_tran_data_pipeline_spark.functions.text import md5_long
+
+
+def split_bucket(key: Column, salt: str, buckets: int = 10_000) -> Column:
+    """Stable bucket in [0, buckets) from a key column — the primitive
+    under splits and samples. Salted so independent decisions (split vs
+    sample) decorrelate."""
+    return F.pmod(md5_long(key.cast("string"), F.lit(salt)), F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    key: str,
+    weights: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: hash the stable row key
+    into 10k buckets, slice by cumulative weight. Same key → same split,
+    forever and on any engine — the property that prevents train/test
+    leakage when the corpus is rebuilt or incrementally extended
+    (a new dump re-splits ONLY new keys)."""
+    weights = weights or {"train": 0.9, "val": 0.05, "test": 0.05}
+    bucket = split_bucket(F.col(key), salt)
+    expr: Column | None = None
+    cum = 0.0
+    for name, w in weights.items():
+        cum += w
+        bound = int(round(cum * 10_000))
+        expr = F.when(bucket < bound, F.lit(name)) if expr is None else expr.when(
+            bucket < bound, F.lit(name)
+        )
+    return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum: str,
+    fractions: dict[str, float],
+    key: str,
+    default_fraction: float = 0.0,
+    salt: str = "sample",
+) -> DataFrame:
+    """Deterministic per-stratum downsampling (e.g. cap the dominant
+    language, keep all of a rare one): keep rows whose hash bucket falls
+    under the stratum's fraction. Pure filter — pushable, shuffle-free,
+    and reproducible (unlike df.sample, whose output depends on
+    partitioning)."""
+    bucket = split_bucket(F.col(key), salt)
+    frac: Column = F.lit(default_fraction)
+    for value, f in sorted(fractions.items()):
+        frac = F.when(F.col(stratum) == value, F.lit(f)).otherwise(frac)
+    return df.filter(bucket < (frac * 10_000).cast("bigint"))
+
+
+def exact_dedup(df: DataFrame, content: str, key: str) -> DataFrame:
+    """Keep one representative (min key) per exact content hash — the
+    first pass of every dedup cascade. One shuffle on the 128-bit hash,
+    never on the content itself."""
+    w = Window.partitionBy(F.md5(F.col(content))).orderBy(F.col(key).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+    )
+
+
+def domain_cap(df: DataFrame, domain: str, order_by: list[Column], cap: int) -> DataFrame:
+    """Per-domain quota: rank within domain, keep the top ``cap`` — the
+    standard guard against one crawl source dominating the corpus.
+    ``order_by`` must be a total order (include a unique key) so the cut
+    is deterministic."""
+    w = Window.partitionBy(domain).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= cap).drop("__rn")
+    )

@@ -1,0 +1,141 @@
+"""Corpus-curation queries (operators/curation.py) — deterministic
+train/val/test splits, stratified sampling, per-domain quotas, and the
+end-to-end corpus-prep pipeline, each oracle-checked against DuckDB.
+
+The md5 bucket identity (Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)``) makes every
+"random" decision bit-reproducible across engines — see
+plans/dedup_queries.py where the same trick pins minhash signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.functions.text import lang_id, quality_score
+from c_tran_data_pipeline_spark.operators.curation import (
+    domain_cap,
+    exact_dedup,
+    hash_split,
+    stratified_sample,
+)
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.plans.text_queries import langid_case_sql, quality_sql
+from c_tran_data_pipeline_spark.sources.readers import load_table
+
+
+def _bucket_sql(key_sql: str, salt: str, buckets: int = 10_000) -> str:
+    return (
+        f"CAST('0x' || substr(md5('{salt}' || ':' || {key_sql}), 1, 15) AS BIGINT) % {buckets}"
+    )
+
+
+@query(
+    "q_train_split",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} < 9000 THEN 'train'
+                WHEN {_bucket_sql("CAST(doc_id AS VARCHAR)", "split")} < 9500 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+    """,
+    doc="operators/curation.py hash_split: 90/5/5 train/val/test by "
+    "salted md5 bucket of doc_id — same doc always lands in the same "
+    "split, on any engine (leakage-proof under corpus rebuilds). Pure "
+    "projection, no shuffle.",
+    tags=("curation", "split"),
+)
+def q_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    out = hash_split(d, key="doc_id")
+    return out.select("doc_id", F.coalesce("split", F.lit("test")).alias("split"))
+
+
+@query(
+    "q_stratified_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_bucket_sql("CAST(doc_id AS VARCHAR)", "sample", 10_000)}
+          < CAST((CASE WHEN lang = 'en' THEN 0.5 WHEN lang = 'de' THEN 1.0 ELSE 0.2 END) * 10000 AS BIGINT)
+    """,
+    doc="operators/curation.py stratified_sample: per-language "
+    "deterministic downsampling (en 50%, de 100%, rest 20%) via salted "
+    "hash buckets — a pushable filter, reproducible unlike df.sample.",
+    tags=("curation", "sample"),
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, stratum="lang", fractions={"en": 0.5, "de": 1.0}, key="doc_id", default_fraction=0.2
+    ).select("doc_id", "lang")
+
+
+@query(
+    "q_domain_cap",
+    """
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 15
+    """,
+    doc="operators/curation.py domain_cap: keep the 15 largest docs per "
+    "source — the anti-domination quota every crawl corpus needs. One "
+    "shuffle on the domain key.",
+    tags=("curation", "quota"),
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    return domain_cap(
+        d, domain="source", order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()], cap=15
+    )
+
+
+@query(
+    "q_corpus_prep",
+    f"""
+    WITH scored AS (
+        SELECT doc_id, source, n_chars, text,
+               {langid_case_sql()} AS pred_lang,
+               {quality_sql()} AS quality
+        FROM documents
+    ),
+    kept AS (
+        SELECT * FROM scored WHERE pred_lang = 'en' AND quality >= 0.2
+    ),
+    dedup AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    )
+    SELECT doc_id, source, n_chars, ROUND(quality, 6) AS quality FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rn2
+        FROM dedup
+    ) WHERE rn2 <= 15
+    """,
+    doc="End-to-end corpus prep: language filter (lang_id = en) → "
+    "quality floor → exact dedup (min doc per content hash) → per-source "
+    "quality-ranked cap (15/source). The composition every training-data pipeline "
+    "runs, as ONE declarative plan: the filters fuse into the scan, then "
+    "exactly two shuffles (content hash, domain quota).",
+    tags=("curation", "pipeline"),
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.2))
+    deduped = exact_dedup(kept, content="text", key="doc_id")
+    capped = domain_cap(
+        deduped, domain="source", order_by=[F.col("quality").desc(), F.col("doc_id").asc()], cap=15
+    )
+    return capped.select("doc_id", "source", "n_chars", F.round("quality", 6).alias("quality"))

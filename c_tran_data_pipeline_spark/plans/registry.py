@@ -56,6 +56,7 @@ def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect modules that register their specs.
     from c_tran_data_pipeline_spark.plans import (  # noqa: F401
         analytics,
+        curation_queries,
         dedup_queries,
         multimodal_queries,
         olap_queries,

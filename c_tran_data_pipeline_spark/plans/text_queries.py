@@ -54,6 +54,37 @@ def _score_sql(lang: str) -> str:
 _LANGS = sorted(LANG_PROFILES)
 
 
+def langid_case_sql() -> str:
+    """Self-contained DuckDB expression for lang_id(text) — shared with
+    the curation oracles (plans/curation_queries.py)."""
+    g = ", ".join(_score_sql(lang) for lang in _LANGS)
+    return (
+        f"CASE WHEN greatest({g}) = 0 THEN 'und' "
+        + " ".join(f"WHEN {_score_sql(lang)} = greatest({g}) THEN '{lang}'" for lang in _LANGS)
+        + " END"
+    )
+
+
+_PUNCT_SQL = "ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1), 6)"
+_STOP_SQL = (
+    r"ROUND(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that|for|with)\b')) * 1.0"
+    r" / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)"
+)
+_MWL_SQL = (
+    r"ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0"
+    r" / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)"
+)
+
+
+def quality_sql() -> str:
+    """DuckDB twin of functions.text.quality_score — shared with the
+    curation oracles."""
+    return (
+        f"ROUND(least(1.0, {_STOP_SQL} * 2) - {_PUNCT_SQL}"
+        f" + CASE WHEN {_MWL_SQL} BETWEEN 3 AND 10 THEN 0.5 ELSE 0.0 END, 6)"
+    )
+
+
 @query(
     "q_text_langid",
     f"""
@@ -81,22 +112,12 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_text_quality",
-    r"""
+    f"""
     SELECT doc_id,
-           ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0
-                 / greatest(length(text), 1), 6) AS punct_ratio,
-           ROUND(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that|for|with)\b')) * 1.0
-                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS stopword_ratio,
-           ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
-                 / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) AS mean_word_len,
-           ROUND(least(1.0,
-                       ROUND(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that|for|with)\b')) * 1.0
-                             / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6) * 2)
-                 - ROUND(len(regexp_extract_all(text, '[.,!?;:]')) * 1.0 / greatest(length(text), 1), 6)
-                 + CASE WHEN ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
-                                   / greatest(len(string_split_regex(trim(text), '\s+')), 1), 6)
-                             BETWEEN 3 AND 10 THEN 0.5 ELSE 0.0 END,
-                 6) AS quality
+           {_PUNCT_SQL} AS punct_ratio,
+           {_STOP_SQL} AS stopword_ratio,
+           {_MWL_SQL} AS mean_word_len,
+           {quality_sql()} AS quality
     FROM documents
     """,
     doc="Quality scoring: punctuation/stopword/word-length signals + "

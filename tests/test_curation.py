@@ -1,0 +1,81 @@
+"""Curation operators: the properties the oracles can't express —
+split stability under corpus growth (the leakage guard), sample
+determinism across reruns, dedup representative choice."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.operators.curation import (
+    domain_cap,
+    exact_dedup,
+    hash_split,
+    stratified_sample,
+)
+from c_tran_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_ORACLE
+
+
+def test_hash_split_stable_under_corpus_growth(spark):
+    """Adding new docs must not move ANY existing doc across splits —
+    the property that prevents train/test leakage on incremental
+    rebuilds (a fraction-based randomSplit fails this)."""
+    docs = load_table(spark, SF_ORACLE, "documents")
+    first = {r["doc_id"]: r["split"] for r in hash_split(docs.limit(200), "doc_id").select("doc_id", "split").collect()}
+    full = {r["doc_id"]: r["split"] for r in hash_split(docs, "doc_id").select("doc_id", "split").collect()}
+    assert all(full[k] == v for k, v in first.items())
+
+
+def test_hash_split_proportions(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    counts = {
+        r["split"]: r["count"]
+        for r in hash_split(docs, "doc_id").groupBy("split").count().collect()
+    }
+    total = sum(counts.values())
+    assert total == docs.count()
+    assert 0.8 < counts["train"] / total < 0.97  # 90% ±, small-N noise
+    assert set(counts) <= {"train", "val", "test"}
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    docs = load_table(spark, SF_ORACLE, "documents")
+    out = stratified_sample(
+        docs, stratum="lang", fractions={"en": 0.5, "de": 1.0}, key="doc_id", default_fraction=0.0
+    )
+    a = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert a == b  # rerun-identical (df.sample is not, across partitionings)
+    kept = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    base = {r["lang"]: r["count"] for r in docs.groupBy("lang").count().collect()}
+    assert kept["de"] == base["de"]  # fraction 1.0 keeps everything
+    assert 0.3 < kept["en"] / base["en"] < 0.7  # ~50%
+    assert set(kept) == {"en", "de"}  # default 0.0 drops other strata
+
+
+def test_exact_dedup_keeps_min_key(spark):
+    df = spark.createDataFrame(
+        [(3, "same"), (1, "same"), (2, "same"), (9, "other")], "doc_id int, text string"
+    )
+    out = exact_dedup(df, content="text", key="doc_id").collect()
+    assert sorted((r["doc_id"], r["text"]) for r in out) == [(1, "same"), (9, "other")]
+
+
+def test_domain_cap_total_order(spark):
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "source", "n_chars")
+    out = domain_cap(
+        docs, domain="source", order_by=[F.col("n_chars").desc(), F.col("doc_id").asc()], cap=5
+    )
+    per = out.groupBy("source").count().collect()
+    assert all(r["count"] <= 5 for r in per)
+    # kept docs per source are exactly the 5 largest (ties by doc_id)
+    src = per[0]["source"]
+    kept = sorted(
+        (r["n_chars"], -r["doc_id"])
+        for r in out.filter(F.col("source") == src).collect()
+    )
+    best = sorted(
+        ((r["n_chars"], -r["doc_id"]) for r in docs.filter(F.col("source") == src).collect()),
+        reverse=True,
+    )[:5]
+    assert sorted(best) == kept
