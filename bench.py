@@ -37,6 +37,8 @@ HEADLINE = [
     "q_ann_topk",
     "q_ann_ivf_topk",
     "q_text_quality",
+    "q_corpus_prep",
+    "q_skew_salted_join",
 ]
 
 

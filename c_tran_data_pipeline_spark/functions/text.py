@@ -94,14 +94,28 @@ def lang_score(col: Column | str, lang: str) -> Column:
 
 def lang_id(col: Column | str) -> Column:
     """argmax over lang_score with (score desc, lang asc) tie-break;
-    'und' (undetermined) when no profile hits at all."""
+    'und' (undetermined) when no profile hits at all.
+
+    Shape matters: ONE array of (score, -index, lang) structs and an
+    array_max — each profile regex appears exactly once in the plan.
+    (A when-chain fold duplicates the whole accumulated chain in every
+    condition AND branch — exponential expression blowup that made the
+    corpus-prep plan inline ~100 regex calls per row.) Struct comparison
+    is field-order lexicographic, so max = highest score, ties broken by
+    smallest index = alphabetically first language."""
     c = F.col(col) if isinstance(col, str) else col
-    scored = None
-    for lang in sorted(LANG_PROFILES):
-        s = lang_score(c, lang)
-        entry = F.struct(s.alias("score"), F.lit(lang).alias("lang"))
-        scored = entry if scored is None else F.when(s > scored.getField("score"), entry).otherwise(scored)
-    return F.when(scored.getField("score") > 0, scored.getField("lang")).otherwise(F.lit("und"))
+    entries = F.array(
+        *[
+            F.struct(
+                lang_score(c, lang).alias("score"),
+                F.lit(-i).alias("ni"),
+                F.lit(lang).alias("lang"),
+            )
+            for i, lang in enumerate(sorted(LANG_PROFILES))
+        ]
+    )
+    best = F.array_max(entries)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
 # ---------------------------------------------------------------------------
