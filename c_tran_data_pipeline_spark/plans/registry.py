@@ -60,6 +60,7 @@ def all_queries() -> dict[str, QuerySpec]:
         dedup_queries,
         multimodal_queries,
         olap_queries,
+        packing_queries,
         parity,
         scale_queries,
         similarity_queries,
