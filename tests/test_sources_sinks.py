@@ -11,7 +11,10 @@ from c_tran_data_pipeline_spark import schemas
 from c_tran_data_pipeline_spark.sinks.geojson import feature_collection, features_df
 from c_tran_data_pipeline_spark.sources.html_stops import stop_events_from_html
 from c_tran_data_pipeline_spark.sources.kafka import read_ccloud_config, to_kafka_sink
-from c_tran_data_pipeline_spark.sources.readers import read_json_records
+from c_tran_data_pipeline_spark.sources.readers import load_table, read_json_records
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_ORACLE
 
 PAGE = """
 <html><body>
@@ -80,3 +83,42 @@ def test_geojson_features_scale_path(spark):
     feats = features_df(df, "longitude", "latitude", ["s"]).collect()
     assert len(feats) == 5
     assert all(json.loads(r.feature)["type"] == "Feature" for r in feats)
+
+
+def test_partitioned_write_prunes_and_overwrites_dynamically(spark, tmp_path):
+    """sinks/partitioned.py: (1) a date filter prunes the scan to the
+    matching directories (PartitionFilters + partition count in the
+    plan); (2) dynamic overwrite of one day leaves other days intact."""
+    from c_tran_data_pipeline_spark.sinks.partitioned import (
+        read_partition_range,
+        write_partitioned,
+    )
+
+    events = load_table(spark, SF_ORACLE, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    path = str(tmp_path / "events_by_date")
+    write_partitioned(events, path, ["event_date"])
+    n_days = events.select("event_date").distinct().count()
+    assert n_days > 2
+
+    one_day = events.select(F.min("event_date")).first()[0]
+    pruned = read_partition_range(spark, path, "event_date", one_day, one_day)
+    pruned.collect()
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "event_date" in plan.split("PartitionFilters")[1][:200]
+    # the scan reports reading only the selected partition's files
+    expected = events.filter(F.col("event_date") == one_day).count()
+    assert pruned.count() == expected
+
+    # dynamic overwrite: rewrite ONE day with a marker value; other days untouched
+    marker = (
+        events.filter(F.col("event_date") == one_day)
+        .withColumn("value", F.lit(-1.0))
+    )
+    write_partitioned(marker, path, ["event_date"])
+    back = spark.read.parquet(path)
+    assert back.filter(F.col("event_date") == one_day).filter(F.col("value") != -1.0).count() == 0
+    assert back.filter(F.col("event_date") != one_day).count() == events.filter(
+        F.col("event_date") != one_day
+    ).count()
