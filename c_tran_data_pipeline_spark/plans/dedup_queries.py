@@ -122,6 +122,49 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_clusters",
+    f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    seeded AS (
+        SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    bucketed AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bucketed a JOIN bucketed b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(node, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    doc="operators/graph.py: connected components over the MinHash-LSH "
+    "candidate pairs — iterative min-label propagation (one shuffle per "
+    "round, lineage cut by localCheckpoint), vs the oracle's recursive-"
+    "CTE transitive closure. Completes dedup: pairs → clusters → keep "
+    "one representative per cluster.",
+    tags=("dedup", "graph", "iterative"),
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+
+    pairs = minhash_lsh_candidates(
+        load_table(spark, sf_dir, "documents"), num_hashes=16, bands=4
+    )
+    return dedup_clusters(pairs)
+
+
+@query(
     "q_dedup_simhash",
     f"""
     WITH toks AS (

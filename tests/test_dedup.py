@@ -73,3 +73,34 @@ def test_lsh_recall_on_fixture(spark):
     assert truth, "fixture should contain planted near-dups"
     recall = len(truth & cands) / len(truth)
     assert recall >= 0.9, f"LSH recall {recall:.2f} over {len(truth)} true pairs"
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3 + isolated pair (8,9) + triangle (4,5,6): three
+    components with min-id representatives; chain forces >1 round."""
+    from c_tran_data_pipeline_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (8, 9), (4, 5), (5, 6), (4, 6)], "d1 bigint, d2 bigint"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 8: 8, 9: 8, 4: 4, 5: 4, 6: 4}
+
+
+def test_dedup_clusters_cover_all_candidate_pairs(spark):
+    """Every doc in a candidate pair lands in a cluster, both ends of a
+    pair share a component, and representatives are cluster minima."""
+    from c_tran_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    pairs = minhash_lsh_candidates(docs, num_hashes=16, bands=4)
+    comp = {r["doc_id"]: r["component"] for r in dedup_clusters(pairs).collect()}
+    for r in pairs.collect():
+        assert comp[r["d1"]] == comp[r["d2"]]
+    by_comp = {}
+    for d, c in comp.items():
+        by_comp.setdefault(c, []).append(d)
+    assert all(c == min(ds) for c, ds in by_comp.items())
