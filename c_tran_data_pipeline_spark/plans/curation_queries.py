@@ -139,3 +139,89 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         deduped, domain="source", order_by=[F.col("quality").desc(), F.col("doc_id").asc()], cap=15
     )
     return capped.select("doc_id", "source", "n_chars", F.round("quality", 6).alias("quality"))
+
+
+@query(
+    "q_corpus_prep_neardup",
+    f"""
+    WITH RECURSIVE scored AS (
+        SELECT doc_id, source, text,
+               {langid_case_sql()} AS pred_lang,
+               {quality_sql()} AS quality
+        FROM documents
+    ),
+    kept AS (
+        SELECT doc_id, source, text, quality FROM scored
+        WHERE pred_lang = 'en' AND quality >= 0.2
+    ),
+    exact AS (
+        SELECT * FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+            FROM kept
+        ) WHERE rn = 1
+    ),
+    w AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM exact),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, len(words)-2),
+                           i -> array_to_string(words[i:i+2], ' ')))) AS shingle
+        FROM w
+    ),
+    seeded AS (
+        SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    bucketed AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bucketed a JOIN bucketed b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    edges AS (SELECT d1 AS a, d2 AS b FROM pairs UNION SELECT d2, d1 FROM pairs),
+    reach(node, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node)
+    SELECT doc_id, source, ROUND(quality, 6) AS quality FROM (
+        SELECT e.*, ROW_NUMBER() OVER (PARTITION BY e.source ORDER BY e.quality DESC, e.doc_id) AS rn2
+        FROM exact e LEFT JOIN comp c ON e.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.component = e.doc_id
+    ) WHERE rn2 <= 15
+    """,
+    doc="The FULL training-data prep: langid → quality floor → exact "
+    "dedup → MinHash-LSH near-dup clustering (connected components; "
+    "keep each cluster's min-id representative) → per-source quality "
+    "quota. One declarative plan plus the iterative cluster loop; the "
+    "oracle runs the identical cascade with a recursive-CTE closure.",
+    tags=("curation", "dedup", "graph", "pipeline"),
+)
+def q_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id", "source", "text", lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+    )
+    kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.2))
+    exact = exact_dedup(kept, content="text", key="doc_id")
+    pairs = minhash_lsh_candidates(exact, num_hashes=16, bands=4)
+    comp = dedup_clusters(pairs)
+    # survivors: docs not in any cluster, or the cluster representative
+    survivors = (
+        exact.join(comp, on="doc_id", how="left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .drop("component")
+    )
+    capped = domain_cap(
+        survivors, domain="source", order_by=[F.col("quality").desc(), F.col("doc_id").asc()], cap=15
+    )
+    return capped.select("doc_id", "source", F.round("quality", 6).alias("quality"))
