@@ -68,3 +68,30 @@ def read_json_records(
     ``False`` covers JSON-lines (the scalable layout — splittable, so a
     100 TB dump parallelizes across executors instead of one task/file)."""
     return spark.read.json(path, schema=schema, multiLine=multi_line)
+
+
+def read_json_with_quarantine(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """JSON-lines ingest that survives malformed records: PERMISSIVE mode
+    captures unparseable lines in ``_corrupt_record`` instead of failing
+    the job (one poison message must not kill a 100 TB load). Returns
+    (good, quarantined) — quarantined rows keep the raw line for replay/
+    forensics, the batch twin of the reference's decode-failure skip
+    counters (``topic_consumer.py:268-271`` counts, we retain)."""
+    crpt = "_corrupt_record"
+    full = T.StructType([*schema.fields, T.StructField(crpt, T.StringType())])
+    # text scan + from_json (not .json(path)): Spark refuses plans that
+    # reference ONLY the corrupt column of a raw JSON scan
+    # (QUERY_ONLY_CORRUPT_RECORD_COLUMN); parsing as an expression keeps
+    # both halves of the split legal AND stays one splittable pass.
+    parsed = spark.read.text(path).select(
+        F.from_json(
+            "value", full, {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": crpt}
+        ).alias("r")
+    )
+    good = parsed.filter(F.col(f"r.{crpt}").isNull()).select("r.*").drop(crpt)
+    quarantined = parsed.filter(F.col(f"r.{crpt}").isNotNull()).select(
+        F.col(f"r.{crpt}").alias("raw")
+    )
+    return good, quarantined

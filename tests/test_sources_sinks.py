@@ -122,3 +122,23 @@ def test_partitioned_write_prunes_and_overwrites_dynamically(spark, tmp_path):
     assert back.filter(F.col("event_date") != one_day).count() == events.filter(
         F.col("event_date") != one_day
     ).count()
+
+
+def test_json_quarantine_splits_poison_records(spark, tmp_path):
+    """PERMISSIVE ingest: malformed lines land in quarantine with the
+    raw text preserved; good rows parse; nothing throws, nothing lost."""
+    from c_tran_data_pipeline_spark.sources.readers import read_json_with_quarantine
+
+    p = tmp_path / "mixed.json"
+    p.write_text(
+        '{"EVENT_NO_TRIP": "1", "ACT_TIME": "100"}\n'
+        "this is not json at all\n"
+        '{"EVENT_NO_TRIP": "2", "ACT_TIME": "200"}\n'
+        '{"EVENT_NO_TRIP": "3", "ACT_TIME":\n'
+    )
+    good, quarantined = read_json_with_quarantine(spark, str(p), schemas.RAW_BREADCRUMB)
+    assert sorted(r.EVENT_NO_TRIP for r in good.collect()) == ["1", "2"]
+    bad = [r.raw for r in quarantined.collect()]
+    assert len(bad) == 2 and "not json" in bad[0]
+    # conservation: every input line is accounted for exactly once
+    assert good.count() + quarantined.count() == 4
