@@ -253,6 +253,26 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_approx_percentiles",
+    None,  # sketch-based by construction; tests bound error vs q_percentiles
+    doc="GK-sketch percentiles (percentile_approx, accuracy 10000) per "
+    "event_type — the 100 TB path: mergeable fixed-size sketches, "
+    "map-side combined, vs the exact sort-based percentile which must "
+    "see every value. tests/test_olap.py bounds the rank error against "
+    "the exact twin q_percentiles.",
+    tags=("olap", "agg", "approx"),
+)
+def q_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile_approx("value", F.lit(0.25), F.lit(10000)).alias("p25"),
+        F.percentile_approx("value", F.lit(0.50), F.lit(10000)).alias("p50"),
+        F.percentile_approx("value", F.lit(0.75), F.lit(10000)).alias("p75"),
+        F.count("value").alias("n"),
+    )
+
+
+@query(
     "q_running_total",
     """
     SELECT user_id, event_id, ts,

@@ -234,3 +234,23 @@ def test_session_stream_gap_windows(spark, tmpdirs):
     assert rows[0].n_readings == 2 and rows[0].avg_speed == 15.0
     assert rows[0].session_start.hour == 9
     assert rows[1].n_readings == 1 and rows[1].session_start.hour == 10
+
+
+def test_decode_breadcrumb_messages_batch(spark):
+    """decode_breadcrumb_messages is source-agnostic: feed it a batch
+    DataFrame shaped like the Kafka source (binary key/value) — V8 null
+    drop + JSON decode + schema projection, no stream required."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import decode_breadcrumb_messages
+
+    rows = [
+        ("reading", json.dumps(GOOD)),
+        ("reading", None),  # V8: dropped
+        ("reading", json.dumps(dict(GOOD, EVENT_NO_TRIP="202", VELOCITY="7"))),
+    ]
+    kafka_like = spark.createDataFrame(rows, "key string, value string").selectExpr(
+        "CAST(key AS BINARY) AS key", "CAST(value AS BINARY) AS value"
+    )
+    out = decode_breadcrumb_messages(kafka_like)
+    got = sorted(r.EVENT_NO_TRIP for r in out.collect())
+    assert got == ["101", "202"]
+    assert out.schema.fieldNames() == schemas.RAW_BREADCRUMB.fieldNames()
