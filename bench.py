@@ -57,12 +57,18 @@ def main() -> None:
     registry["q_summaries"].builder(spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
         t0 = time.perf_counter()
-        spec.builder(spark, sf_dir).collect()
+        try:
+            spec.builder(spark, sf_dir).collect()
+        except Exception as exc:  # one broken query must not lose the whole run
+            failed.append(name)
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
