@@ -39,6 +39,10 @@ HEADLINE = [
     "q_text_quality",
     "q_corpus_prep",
     "q_skew_salted_join",
+    "q_dedup_clusters",
+    "q_corpus_prep_neardup",
+    "q_vocab_topk",
+    "q_pack_sequences",
 ]
 
 
