@@ -25,6 +25,29 @@ from c_tran_data_pipeline_spark.sources.readers import load_table
 # dim(customer, broadcast) with equality/range predicates on date parts,
 # grouped per "point", averaging the measure.
 # ---------------------------------------------------------------------------
+def _hotspot(spark: SparkSession, sf_dir: str, h0: int, h1: int) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
+        .filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("c_mktsegment") == "BUILDING")
+            & (F.month("ts") == 1)
+            & F.dayofmonth("ts").between(1, 21)
+            & F.hour("ts").between(h0, h1)
+            & F.col("value").isNotNull()  # V7: no NULL avg rows
+        )
+        .groupBy(F.col("user_id"), F.col("c_nationkey").alias("nationkey"))
+        .agg(
+            (F.sum(F.col("value").cast("decimal(28,8)")).cast("double") / F.count("value")).alias(
+                "avg_value"
+            ),
+            F.count(F.lit(1)).alias("n_readings"),
+        )
+    )
+
+
 @query(
     "q_flagship_hotspot",
     """
@@ -45,26 +68,32 @@ from c_tran_data_pipeline_spark.sources.readers import load_table
     tags=("parity", "join", "agg", "flagship"),
 )
 def q_flagship_hotspot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = load_table(spark, sf_dir, "events")
-    customer = load_table(spark, sf_dir, "customer")
-    return (
-        events.join(F.broadcast(customer), events.user_id == customer.c_custkey)
-        .filter(
-            (F.col("event_type") == "purchase")
-            & (F.col("c_mktsegment") == "BUILDING")
-            & (F.month("ts") == 1)
-            & F.dayofmonth("ts").between(1, 21)
-            & F.hour("ts").between(9, 11)
-            & F.col("value").isNotNull()  # V7: no NULL avg rows
-        )
-        .groupBy(F.col("user_id"), F.col("c_nationkey").alias("nationkey"))
-        .agg(
-            (F.sum(F.col("value").cast("decimal(28,8)")).cast("double") / F.count("value")).alias(
-                "avg_value"
-            ),
-            F.count(F.lit(1)).alias("n_readings"),
-        )
-    )
+    return _hotspot(spark, sf_dir, 9, 11)
+
+
+@query(
+    "q_flagship_hotspot_pm",
+    """
+    SELECT e.user_id AS user_id,
+           c.c_nationkey AS nationkey,
+           CAST(SUM(CAST(e.value AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(e.value) AS avg_value,
+           COUNT(*) AS n_readings
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+      AND c.c_mktsegment = 'BUILDING'
+      AND month(e.ts) = 1 AND day(e.ts) BETWEEN 1 AND 21
+      AND hour(e.ts) BETWEEN 16 AND 18
+      AND e.value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="The reference's evening-window hotspot variant (Project 4.pdf "
+    "p13 runs the tsvscript query for hours 16-18 as well as 9-11): "
+    "same plan, different hour predicate — pinned as its own oracle "
+    "entry so both published map queries stay reproducible.",
+    tags=("parity", "join", "agg", "flagship"),
+)
+def q_flagship_hotspot_pm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _hotspot(spark, sf_dir, 16, 18)
 
 
 # ---------------------------------------------------------------------------
