@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from c_tran_data_pipeline_spark.operators.similarity import (
     ann_lsh_topk,
     cosine_topk,
+    cosine_topk_arrow,
     embedding_neardup_pairs,
     hyperplane_lsh_buckets,
     ivf_topk,
@@ -51,6 +52,36 @@ _COS = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding A
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@query(
+    "q_ann_topk_arrow",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               {_COS} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 20
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Same contract as q_ann_topk, BLAS physical strategy: Arrow-"
+    "batched numpy GEMM per partition emitting local top-k, global "
+    "window re-rank (shuffle O(k·queries·partitions), not O(corpus)) — "
+    "the path that wins at production embedding widths. Same exact-SQL "
+    "oracle as the JVM fold; tests additionally pin row-level equality "
+    "between the two strategies.",
+    tags=("similarity", "topk", "udf"),
+)
+def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk_arrow(emb, emb.filter(F.col("vec_id") < 20), k=3)
 
 
 @query(

@@ -4,6 +4,7 @@ vectors; LSH recall floor against the exact baseline on the fixture."""
 from __future__ import annotations
 
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from c_tran_data_pipeline_spark.operators.similarity import (
     ann_lsh_topk,
@@ -94,3 +95,21 @@ def test_kmeans_centroids_shape(spark):
     cents = kmeans_centroids(emb, nlist=8, iters=1, dim=64).collect()
     assert 1 < len(cents) <= 8
     assert all(len(r.centroid) == 64 for r in cents)
+
+
+def test_cosine_topk_arrow_matches_jvm_path(spark):
+    """The BLAS (mapInPandas GEMM) and JVM (zip_with fold) exact top-k
+    must return identical neighbors and ranks — either physical strategy
+    can serve cosine_topk's contract."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_arrow,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    jvm = sorted(map(tuple, cosine_topk(emb, queries, k=3).collect()))
+    blas = sorted(map(tuple, cosine_topk_arrow(emb, queries, k=3).collect()))
+    assert jvm == blas
