@@ -108,3 +108,28 @@ def main() -> int:
 
 if __name__ == "__main__":
     raise SystemExit(main())
+
+
+def write_inventory(path: str = "QUERIES.md") -> None:
+    """Generate the query-inventory doc from the registry (run:
+    ``python -c "from c_tran_data_pipeline_spark.oracle import
+    write_inventory; write_inventory()"``)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    lines = [
+        "# Query inventory (auto-generated from plans/registry)",
+        "",
+        "One row per registered query: driver-gate oracle kind, tags, and",
+        "what it demonstrates. `exact` = DuckDB value-hash parity at",
+        "sf0.01 AND sf0.1; `rows-only` = non-SQL-expressible (approximate/",
+        "iterative/UDF) with the real assertion in tests/.",
+        "",
+        "| query | oracle | tags | demonstrates |",
+        "|---|---|---|---|",
+    ]
+    for name, spec in sorted(all_queries().items()):
+        kind = "exact" if spec.oracle else "rows-only"
+        doc = " ".join((spec.doc or "").split())
+        lines.append(f"| `{name}` | {kind} | {', '.join(spec.tags)} | {doc} |")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
