@@ -254,3 +254,52 @@ def test_decode_breadcrumb_messages_batch(spark):
     got = sorted(r.EVENT_NO_TRIP for r in out.collect())
     assert got == ["101", "202"]
     assert out.schema.fieldNames() == schemas.RAW_BREADCRUMB.fieldNames()
+
+
+def test_streaming_hotspot_to_geojson_sink(spark, tmpdirs, tmp_path):
+    """E1→E3 composed as ONE streaming pipeline: conform/validate the
+    breadcrumb stream, aggregate avg speed per GPS point per micro-batch
+    in foreachBatch, and emit GeoJSON Feature lines (K6) — the
+    reference's nightly tsvscript run becomes a continuous sink."""
+    import glob
+
+    from c_tran_data_pipeline_spark.sinks.geojson import features_df
+    from c_tran_data_pipeline_spark.streaming.pipeline import conform_validate_stream
+    from pyspark.sql import functions as F
+
+    rows = [
+        GOOD,
+        dict(GOOD, ACT_TIME="36010", VELOCITY="35"),
+        dict(GOOD, GPS_LATITUDE="45.60", GPS_LONGITUDE="-122.50", VELOCITY="10"),
+    ]
+    (tmpdirs["in"] / "b.json").write_text("\n".join(json.dumps(r) for r in rows))
+    raw = spark.readStream.schema(schemas.RAW_BREADCRUMB).json(str(tmpdirs["in"]))
+    out_dir = tmp_path / "geo"
+
+    def emit(batch, epoch_id):
+        agg = (
+            batch.groupBy("latitude", "longitude")
+            .agg(F.avg("speed").alias("avg_speed"))
+            .filter(F.col("avg_speed").isNotNull())  # V7
+        )
+        features_df(agg, "longitude", "latitude", ["avg_speed"]).write.mode(
+            "append"
+        ).text(str(out_dir / f"epoch={epoch_id}"))
+
+    q = (
+        conform_validate_stream(raw)
+        .writeStream.foreachBatch(emit)
+        .option("checkpointLocation", tmpdirs["ckpt1"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    feats = []
+    for f in glob.glob(str(out_dir / "**" / "*.txt"), recursive=True):
+        feats += [json.loads(l) for l in open(f).read().splitlines() if l]
+    assert len(feats) == 2  # two distinct GPS points
+    by_coord = {tuple(f["geometry"]["coordinates"]): f for f in feats}
+    assert by_coord[(-122.67, 45.52)]["properties"]["avg_speed"] == 30.0  # (25+35)/2
+    assert by_coord[(-122.5, 45.6)]["properties"]["avg_speed"] == 10.0
+    assert all(f["type"] == "Feature" and f["geometry"]["type"] == "Point" for f in feats)
