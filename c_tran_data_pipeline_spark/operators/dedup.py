@@ -200,3 +200,51 @@ def simhash(df: DataFrame, payload: str = "text", key: str = "doc_id", bits: int
             ).alias("simhash")
         )
     )
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    bits: int = 32,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``,
+    found the scalable way: split the ``bits``-bit signature into
+    ``bands`` equal bands — any pair within distance d < bands must
+    share at least one EXACT band (pigeonhole), so candidates come from
+    an equi-join on (band, band_value) and only candidates pay the
+    XOR/popcount check. Shuffle keys on band values, never all-pairs.
+    Returns (d1, d2, hamming)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    sig = simhash(df, payload=payload, key=key, bits=bits)
+    banded = sig.select(
+        F.col(key),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(f"shiftright(simhash, {b * width}) & {mask}").alias("val"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bv"),
+    ).select(key, "simhash", "bv.band", "bv.val")
+    a = banded.select(
+        F.col(key).alias("d1"), F.col("simhash").alias("s1"), "band", "val"
+    )
+    b = banded.select(
+        F.col(key).alias("d2"), F.col("simhash").alias("s2"), "band", "val"
+    )
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", F.bit_count(F.col("s1").bitwiseXOR(F.col("s2"))).alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

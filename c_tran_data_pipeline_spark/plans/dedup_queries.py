@@ -190,3 +190,43 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"), bits=32)
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    f"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(list_distinct(string_split_regex(trim(text), '\\s+'))) AS tok
+        FROM documents
+    ),
+    hashed AS (SELECT doc_id, {_H60.format(x="tok")} AS h FROM toks),
+    contrib AS (
+        SELECT doc_id, bit,
+               CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END AS c
+        FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS bit)
+    ),
+    sums AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit),
+    sig AS (
+        SELECT doc_id,
+               SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+        FROM sums GROUP BY doc_id
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="SimHash near-dup pairs, Hamming ≤ 3 of 32 bits. Spark finds "
+    "candidates via pigeonhole banding (4 bands of 8 bits — any pair at "
+    "distance < 4 shares an exact band, so the shuffle is an equi-join "
+    "on band values, never all-pairs); the oracle brute-forces all "
+    "pairs, proving the banding loses nothing.",
+    tags=("dedup", "join"),
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import simhash_neardup_pairs
+
+    return simhash_neardup_pairs(
+        load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3, bands=4
+    )
