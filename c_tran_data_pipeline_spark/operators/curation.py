@@ -94,3 +94,22 @@ def domain_cap(df: DataFrame, domain: str, order_by: list[Column], cap: int) -> 
     return (
         df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= cap).drop("__rn")
     )
+
+
+def incremental_ingest(
+    incoming: DataFrame, existing: DataFrame, content: str = "text", key: str = "doc_id"
+) -> DataFrame:
+    """Daily-dump ingest against an already-ingested corpus: drop
+    incoming docs whose exact content already exists (anti-join on the
+    md5 digest — the shuffle moves 16-byte hashes, never documents),
+    then exact-dedup WITHIN the batch. The K4 insert-if-absent pattern
+    (reference: ON CONFLICT DO NOTHING, topic_consumer.py:203) applied
+    to content rather than keys; at production scale ``existing`` is the
+    stored fingerprint table, not the corpus itself."""
+    existing_hashes = existing.select(F.md5(F.col(content)).alias("__h")).distinct()
+    fresh = (
+        incoming.withColumn("__h", F.md5(F.col(content)))
+        .join(existing_hashes, on="__h", how="left_anti")
+        .drop("__h")
+    )
+    return exact_dedup(fresh, content=content, key=key)

@@ -225,3 +225,36 @@ def q_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors, domain="source", order_by=[F.col("quality").desc(), F.col("doc_id").asc()], cap=15
     )
     return capped.select("doc_id", "source", F.round("quality", 6).alias("quality"))
+
+
+@query(
+    "q_incremental_ingest",
+    """
+    WITH existing AS (
+        SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 5 = 0
+    ),
+    incoming AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),
+    fresh AS (
+        SELECT i.* FROM incoming i LEFT JOIN existing e ON md5(i.text) = e.h
+        WHERE e.h IS NULL
+    )
+    SELECT doc_id, source, n_chars FROM (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM fresh
+    ) WHERE rn = 1
+    """,
+    doc="operators/curation.py incremental_ingest: a new dump anti-joins "
+    "its content hashes against the already-ingested fingerprint set "
+    "(docs with doc_id%5=0 stand in for the historical corpus), then "
+    "dedups within the batch — the content-level ON CONFLICT DO NOTHING "
+    "every recurring crawl ingest needs. Digest-width shuffles only.",
+    tags=("curation", "dedup", "incremental"),
+)
+def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import incremental_ingest
+
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 5 == 0)
+    incoming = d.filter(F.col("doc_id") % 5 != 0)
+    return incremental_ingest(incoming, existing).select("doc_id", "source", "n_chars")
