@@ -432,6 +432,8 @@ def cosine_topk_arrow(
 
     def score(batches):
         for pdf in batches:
+            if pdf.empty:
+                continue
             ids = pdf["__id"].to_numpy(dtype=np.int64)
             cm = np.asarray([list(v) for v in pdf["__v"]], dtype=np.float64)
             cm = cm / np.linalg.norm(cm, axis=1, keepdims=True)

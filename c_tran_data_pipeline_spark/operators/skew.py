@@ -46,7 +46,15 @@ def salted_join(
     """Equi-join with the big side's hot keys fanned out over ``salt``
     sub-keys. Deterministic: the salt is a hash of the big side's full
     row, not a random draw, so replays/retries produce identical plans
-    and results."""
+    and results.
+
+    Only inner/left(semi/anti) joins are result-invariant under salting
+    — each big row carries exactly one salt. right/full would emit every
+    unmatched small row ``salt`` times (it exists once per sub-key), so
+    those are rejected rather than silently wrong."""
+    if how not in ("inner", "left", "leftouter", "left_outer", "semi", "leftsemi",
+                   "left_semi", "anti", "leftanti", "left_anti"):
+        raise ValueError(f"salted_join: '{how}' join is not salt-invariant (use inner/left/semi/anti)")
     bsalt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt)).alias("__salt")
     b = big.select("*", bsalt)
     s = small.select(

@@ -90,3 +90,16 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         assert joined.count() == expected
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_salted_join_rejects_non_invariant_how(spark):
+    import pytest as _pytest
+
+    big = spark.createDataFrame([(1, 1)], "k int, p int")
+    small = spark.createDataFrame([(1, "x")], "k int, name string")
+    with _pytest.raises(ValueError, match="not salt-invariant"):
+        salted_join(big, small, keys=["k"], how="full")
+    # left join remains supported: unmatched big rows survive exactly once
+    big2 = spark.createDataFrame([(1, 1), (2, 2)], "k int, p int")
+    out = salted_join(big2, small, keys=["k"], salt=4, how="left").collect()
+    assert len(out) == 2 and {r["k"] for r in out} == {1, 2}
