@@ -338,6 +338,63 @@ def _centroid_means(assigned: DataFrame, dim: int | None = None) -> DataFrame:
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    nlist: int = 16,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Build the IVF index once: (centroid rows, cell-assigned corpus).
+    The assignment DataFrame is what you persist at scale —
+    ``write.partitionBy('centroid_id')`` turns every later search's
+    candidate join into a partition-pruned read of nprobe cells. Reuse
+    across query batches amortizes the k-means passes to zero."""
+    cents = _kmeans_rows(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+    cv = _as_double(F.col(vec))
+    assigned = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        cv.alias("__cv"),
+        _nearest_cell(cv, cents).alias("centroid_id"),
+    )
+    return cents, assigned
+
+
+def ivf_search(
+    index: tuple[list[tuple[int, list[float]]], DataFrame],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Search a prebuilt IVF index: probe nprobe cells per query (pure
+    projection), equi-join candidates on centroid_id, exact-cosine
+    re-rank. See ivf_topk for the one-shot convenience form."""
+    cents, corpus_cells = index
+    qv = _as_double(F.col(vec))
+    query_probes = queries.select(
+        F.col(key).alias("query_id"),
+        qv.alias("__qv"),
+        F.explode(_probe_cells(qv, cents, nprobe)).alias("centroid_id"),
+    )
+    candidates = (
+        corpus_cells.join(query_probes, on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+    )
+    scored = candidates.select(
+        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -366,32 +423,8 @@ def ivf_topk(
     corpus-side assignment persists as a partitioned-by-cell table,
     amortized across query batches. Skewed cells (dense regions) are the
     hot-bucket analog — cap or re-split them by adding planes locally."""
-    cents = _kmeans_rows(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
-    cv = _as_double(F.col(vec))
-    corpus_cells = corpus.select(
-        F.col(key).alias("neighbor_id"),
-        cv.alias("__cv"),
-        _nearest_cell(cv, cents).alias("centroid_id"),
-    )
-    query_probes = queries.select(
-        F.col(key).alias("query_id"),
-        cv.alias("__qv"),
-        F.explode(_probe_cells(cv, cents, nprobe)).alias("centroid_id"),
-    )
-    candidates = (
-        corpus_cells.join(query_probes, on="centroid_id")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
-    )
-    scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
-    )
+    index = ivf_index(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+    return ivf_search(index, queries, k=k, nprobe=nprobe, key=key, vec=vec)
 
 
 def cosine_topk_arrow(

@@ -113,3 +113,25 @@ def test_cosine_topk_arrow_matches_jvm_path(spark):
     jvm = sorted(map(tuple, cosine_topk(emb, queries, k=3).collect()))
     blas = sorted(map(tuple, cosine_topk_arrow(emb, queries, k=3).collect()))
     assert jvm == blas
+
+
+def test_ivf_index_reusable_across_query_batches(spark):
+    """Build once, search twice: a prebuilt index answers different
+    query batches identically to the one-shot form — the persistable-
+    index contract (at scale the assignment table is written
+    partitionBy(centroid_id) and the k-means cost amortizes to zero)."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        ivf_index,
+        ivf_search,
+        ivf_topk,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    idx = ivf_index(emb, nlist=8, iters=1, dim=64)
+    for lo, hi in ((0, 5), (5, 10)):
+        batch = emb.filter((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        a = sorted(map(tuple, ivf_search(idx, batch, k=3, nprobe=8).collect()))
+        b = sorted(map(tuple, ivf_topk(emb, batch, k=3, nlist=8, nprobe=8, iters=1, dim=64).collect()))
+        assert a == b
