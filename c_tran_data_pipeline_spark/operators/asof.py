@@ -30,11 +30,17 @@ def asof_join(
     right_ts: str,
     value_cols: list[str],
     strict: bool = True,
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the latest right row with
     right_ts < left_ts (strict) or <= (not strict), per ``on`` key.
     Left rows with no prior right row get NULLs (left-outer semantics).
-    Right value columns are exposed as ``asof_<col>``."""
+    Right value columns are exposed as ``asof_<col>``.
+
+    ``tolerance_seconds`` bounds the lookback (pandas merge_asof
+    tolerance): matches older than left_ts − tolerance null out. Carried
+    matches stay one window pass — the tolerance is a post-filter on the
+    carried right timestamp, not a second join."""
     lcols = left.columns
     # side ordering at equal ts: strict → right rows sort AFTER left rows
     # (invisible to them); non-strict → before (visible).
@@ -62,6 +68,18 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l.unionByName(r).withColumn("__match", F.last("__r", ignorenulls=True).over(w))
+    if tolerance_seconds is not None:
+        # the right row's event time, carried by the same window+order as
+        # its values, so both refer to the same matched row
+        rts = F.last(
+            F.when(F.col("__r").isNotNull(), F.col("__ts")), ignorenulls=True
+        ).over(w)
+        within = F.unix_micros(F.col("__ts")) - F.unix_micros(rts) <= int(
+            tolerance_seconds
+        ) * 1_000_000
+        carried = carried.withColumn(
+            "__match", F.when(within, F.col("__match"))
+        )
     return carried.filter(F.col("__l").isNotNull()).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in value_cols],

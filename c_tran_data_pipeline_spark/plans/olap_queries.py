@@ -52,6 +52,47 @@ def q_asof_prev_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_asof_tolerance",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+                THEN r.event_id END AS asof_event_id,
+           CASE WHEN epoch_us(l.ts) - epoch_us(r.ts) <= 86400000000
+                THEN r.value END AS asof_value
+    FROM events l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts > r.ts
+    """,
+    doc="As-of join with a 24h tolerance bound (merge_asof tolerance): "
+    "prior purchases older than the lookback null out. Same single "
+    "window pass as q_asof_prev_purchase — the bound is a post-filter "
+    "on the carried match timestamp, not a second join. Oracle: native "
+    "ASOF JOIN + CASE on match age (the latest prior row is outside "
+    "tolerance iff no in-tolerance row exists).",
+    tags=("olap", "join", "asof"),
+)
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("r_event_id"), F.col("value").alias("r_value")
+    )
+    out = asof_join(
+        left,
+        right.withColumnRenamed("r_event_id", "event_id").withColumnRenamed("r_value", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        strict=True,
+        tolerance_seconds=86400,
+    )
+    return out.select(
+        "event_id", "user_id", "ts", F.col("asof_event_id"), F.col("asof_value")
+    )
+
+
+@query(
     "q_range_join_follows",
     """
     SELECT a.event_id AS event_id, a.user_id AS user_id,

@@ -45,3 +45,29 @@ def test_range_join_band_boundaries(spark):
     out = range_join_bands(left, right, "k", "ts", "ts", window_seconds=10)
     pairs = {(r.id, r.r_rid) for r in out.collect()}
     assert pairs == {(1, 11), (1, 12), (2, 12), (2, 13), (2, 14)}
+
+
+def test_asof_tolerance_nulls_stale_matches(spark):
+    """merge_asof tolerance semantics: a prior right row beyond the
+    lookback bound does NOT match; within the bound it does; and the
+    bound applies to the LATEST prior row (no fallback to older rows)."""
+    from datetime import datetime
+
+    from c_tran_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", datetime(2020, 1, 1, 12, 0)), (2, "A", datetime(2020, 1, 3, 12, 0))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", datetime(2020, 1, 1, 11, 0), 100.0)], "k string, ts timestamp, v double"
+    )
+    out = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], tolerance_seconds=7200,
+        ).collect()
+    }
+    assert out[1] == 100.0   # 1h old → within 2h tolerance
+    assert out[2] is None    # 2 days old → nulled
