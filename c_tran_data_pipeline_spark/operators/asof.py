@@ -31,19 +31,27 @@ def asof_join(
     value_cols: list[str],
     strict: bool = True,
     tolerance_seconds: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_ts < left_ts (strict) or <= (not strict), per ``on`` key.
-    Left rows with no prior right row get NULLs (left-outer semantics).
-    Right value columns are exposed as ``asof_<col>``.
+    """For each left row, attach the nearest right row per ``on`` key:
+    direction='backward' (default) takes the latest right_ts < left_ts
+    (or <= when not strict); direction='forward' the earliest
+    right_ts > left_ts. Left rows with no match get NULLs (left-outer
+    semantics). Right value columns are exposed as ``asof_<col>``.
 
-    ``tolerance_seconds`` bounds the lookback (pandas merge_asof
-    tolerance): matches older than left_ts − tolerance null out. Carried
-    matches stay one window pass — the tolerance is a post-filter on the
+    ``tolerance_seconds`` bounds the lookback/lookahead (pandas
+    merge_asof tolerance): matches farther than the bound null out.
+    Either direction is the SAME single window pass — forward just
+    orders the union descending, so the carried "last seen" right row
+    is the nearest future one; tolerance is a post-filter on the
     carried right timestamp, not a second join."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
     # side ordering at equal ts: strict → right rows sort AFTER left rows
-    # (invisible to them); non-strict → before (visible).
+    # (invisible to them); non-strict → before (visible). The same side
+    # values work for both directions because ties order by side ASC
+    # regardless of the timestamp sort direction.
     l_side, r_side = (0, 1) if strict else (1, 0)
 
     l = left.select(
@@ -62,9 +70,10 @@ def asof_join(
         F.lit(None).cast(l.schema["__l"].dataType.simpleString()).alias("__l"),
         F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
     )
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = l.unionByName(r).withColumn("__match", F.last("__r", ignorenulls=True).over(w))
@@ -74,11 +83,11 @@ def asof_join(
         rts = F.last(
             F.when(F.col("__r").isNotNull(), F.col("__ts")), ignorenulls=True
         ).over(w)
-        within = F.unix_micros(F.col("__ts")) - F.unix_micros(rts) <= int(
-            tolerance_seconds
-        ) * 1_000_000
+        gap = F.unix_micros(F.col("__ts")) - F.unix_micros(rts)
+        if direction == "forward":
+            gap = -gap
         carried = carried.withColumn(
-            "__match", F.when(within, F.col("__match"))
+            "__match", F.when(gap <= int(tolerance_seconds) * 1_000_000, F.col("__match"))
         )
     return carried.filter(F.col("__l").isNotNull()).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],

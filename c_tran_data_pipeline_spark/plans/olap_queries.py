@@ -337,3 +337,38 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum(F.col("value").cast("decimal(28,8)")).over(w).cast("double").alias("running_value"),
     )
+
+
+@query(
+    "q_asof_next_purchase",
+    """
+    SELECT l.event_id, l.user_id, l.ts,
+           r.event_id AS asof_event_id,
+           r.value AS asof_value
+    FROM events l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+    ON l.user_id = r.user_id AND l.ts < r.ts
+    """,
+    doc="Forward as-of join: each event annotated with the user's NEXT "
+    "purchase (time-to-conversion shape). Same union-window pass as "
+    "backward, ordered descending. Oracle: DuckDB ASOF with l.ts < r.ts "
+    "(nearest future row).",
+    tags=("olap", "join", "asof"),
+)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("r_event_id"), F.col("value").alias("r_value")
+    )
+    out = asof_join(
+        left,
+        right.withColumnRenamed("r_event_id", "event_id").withColumnRenamed("r_value", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        strict=True,
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "ts", F.col("asof_event_id"), F.col("asof_value"))

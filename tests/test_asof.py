@@ -71,3 +71,37 @@ def test_asof_tolerance_nulls_stale_matches(spark):
     }
     assert out[1] == 100.0   # 1h old → within 2h tolerance
     assert out[2] is None    # 2 days old → nulled
+
+
+def test_asof_forward_direction(spark):
+    """direction='forward': nearest FUTURE right row, strict; tolerance
+    bounds the lookahead."""
+    from datetime import datetime
+
+    from c_tran_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "A", datetime(2020, 1, 1, 12, 0)), (2, "A", datetime(2020, 1, 4, 12, 0))],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", datetime(2020, 1, 2, 12, 0), 100.0), ("A", datetime(2020, 1, 3, 12, 0), 200.0)],
+        "k string, ts timestamp, v double",
+    )
+    fwd = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="forward",
+        ).collect()
+    }
+    assert fwd[1] == 100.0  # nearest future, not the later 200
+    assert fwd[2] is None   # no future rows
+    bounded = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="forward", tolerance_seconds=3600,
+        ).collect()
+    }
+    assert bounded[1] is None  # 1 day ahead > 1h lookahead bound
