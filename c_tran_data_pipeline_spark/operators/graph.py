@@ -34,7 +34,15 @@ def connected_components(
     """(node, component) for every node appearing in ``edges``;
     component = min node id reachable — deterministic cluster
     representative. Undirected; converges when a full round changes no
-    label (checked per round, one count on the changed set)."""
+    label (checked per round, one count on the changed set).
+
+    Raises RuntimeError if ``max_iter`` rounds pass without convergence
+    (a component with diameter > max_iter would otherwise return WRONG
+    labels silently — the min propagates one hop per round). Dedup
+    graphs converge in single digits; raise ``max_iter`` for
+    long-chain graphs, or switch to large-star/small-star."""
+    if max_iter < 1:
+        raise ValueError("connected_components: max_iter must be >= 1")
     sym = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).unionByName(
         edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
     )
@@ -65,8 +73,11 @@ def connected_components(
         n_changed = proposed.filter(F.col("__changed")).count()
         labels = proposed.drop("__changed")
         if n_changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components: not converged after {max_iter} rounds "
+        f"({n_changed} labels still changing) — raise max_iter"
+    )
 
 
 def dedup_clusters(pairs: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:

@@ -104,3 +104,20 @@ def test_dedup_clusters_cover_all_candidate_pairs(spark):
     for d, c in comp.items():
         by_comp.setdefault(c, []).append(d)
     assert all(c == min(ds) for c, ds in by_comp.items())
+
+
+def test_connected_components_long_chain_and_nonconvergence(spark):
+    """A 12-node chain needs ~11 rounds: converges with ample max_iter,
+    and REFUSES (rather than silently mislabels) when max_iter is too
+    small for the diameter."""
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "d1 bigint, d2 bigint"
+    )
+    out = {r["node"]: r["component"] for r in connected_components(chain, max_iter=15).collect()}
+    assert set(out.values()) == {1} and len(out) == 12
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain, max_iter=3)
