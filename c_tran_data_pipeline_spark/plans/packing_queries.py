@@ -63,3 +63,52 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return pack_sequences(d, max_tokens=512, shards=16)
+
+
+@query(
+    "q_tfidf_top_terms",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM toks GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, token, ROUND(tf * ln(n_docs * 1.0 / df), 6) AS tfidf
+    FROM (
+        SELECT tf.doc_id, tf.token,
+               ROW_NUMBER() OVER (
+                   PARTITION BY tf.doc_id
+                   ORDER BY tf * ln(n_docs * 1.0 / df) DESC, tf.token
+               ) AS rn,
+               tf.tf, df.df, n.n_docs
+        FROM tf JOIN df USING (token) CROSS JOIN n
+    ) WHERE rn <= 3
+    """,
+    doc="TF-IDF featurization: term frequency per doc × ln(N/df), top-3 "
+    "terms per doc (tfidf desc, token asc). One explode, two partial-"
+    "aggregated shuffles (doc-term tf, term df), df table broadcast back "
+    "onto tf, window top-k. The classic sparse featurizer for corpus "
+    "exploration/filtering.",
+    tags=("text", "vocab", "topk"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()  # scalar; at scale a cheap metadata count
+    toks = d.select("doc_id", F.explode(words("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("__tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__tfidf").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", F.round("__tfidf", 6).alias("tfidf"))
+    )
