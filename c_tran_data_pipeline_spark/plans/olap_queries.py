@@ -372,3 +372,52 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="forward",
     )
     return out.select("event_id", "user_id", "ts", F.col("asof_event_id"), F.col("asof_value"))
+
+
+@query(
+    "q_region_revenue",
+    """
+    SELECT n_name AS nation,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8))) AS DOUBLE)
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey
+      AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey
+      AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shape six-table join (local-supplier revenue by nation "
+    "for one region): the multi-way join chain the engine hadn't "
+    "exercised — Catalyst orders the joins, broadcasts every dim "
+    "(region→nation→supplier/customer), and the only shuffles are the "
+    "two fact-fact legs (orders⋈lineitem) and the final agg. Filter on "
+    "r_name prunes to one region BEFORE any fact is touched.",
+    tags=("olap", "join", "agg", "multiway"),
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    asia = F.broadcast(r.filter(F.col("r_name") == "ASIA"))
+    nat = F.broadcast(n.join(asia, n.n_regionkey == r.r_regionkey))
+    sup = F.broadcast(s.join(nat, s.s_nationkey == nat.n_nationkey))
+    cust = F.broadcast(c)
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .join(sup, (li.l_suppkey == sup.s_suppkey) & (cust.c_nationkey == sup.s_nationkey))
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
