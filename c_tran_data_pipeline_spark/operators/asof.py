@@ -35,16 +35,23 @@ def asof_join(
 ) -> DataFrame:
     """For each left row, attach the nearest right row per ``on`` key:
     direction='backward' (default) takes the latest right_ts < left_ts
-    (or <= when not strict); direction='forward' the earliest
-    right_ts > left_ts. Left rows with no match get NULLs (left-outer
-    semantics). Right value columns are exposed as ``asof_<col>``.
+    (or <= when not strict); 'forward' the earliest right_ts > left_ts;
+    'nearest' whichever of the two is closer in time (tie → backward,
+    pandas merge_asof precedence). Left rows with no match get NULLs
+    (left-outer semantics). Right value columns are exposed as
+    ``asof_<col>``.
 
     ``tolerance_seconds`` bounds the lookback/lookahead (pandas
     merge_asof tolerance): matches farther than the bound null out.
-    Either direction is the SAME single window pass — forward just
-    orders the union descending, so the carried "last seen" right row
-    is the nearest future one; tolerance is a post-filter on the
+    backward/forward are ONE window pass over the tagged union (forward
+    just orders it descending); 'nearest' runs both passes over the same
+    union — still one shuffle, since both windows partition by the same
+    key and Spark reuses the exchange. Tolerance is a post-filter on the
     carried right timestamp, not a second join."""
+    if direction == "nearest":
+        return _asof_nearest(
+            left, right, on, left_ts, right_ts, value_cols, strict, tolerance_seconds
+        )
     if direction not in ("backward", "forward"):
         raise ValueError(f"asof_join: unknown direction {direction!r}")
     lcols = left.columns
@@ -92,6 +99,68 @@ def asof_join(
     return carried.filter(F.col("__l").isNotNull()).select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in value_cols],
+    )
+
+
+def _asof_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    value_cols: list[str],
+    strict: bool,
+    tolerance_seconds: int | None,
+) -> DataFrame:
+    """Nearest-of-both-directions: carry the backward match with an
+    ascending window and the forward match with a descending one over
+    the SAME tagged union, then pick the smaller absolute gap (tie →
+    backward). Both windows share the partition key, so AQE/codegen
+    reuse one hash exchange; only the sorts differ."""
+    lcols = left.columns
+    l_side, r_side = (0, 1) if strict else (1, 0)
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_ts).alias("__ts"),
+        F.lit(l_side).alias("__side"),
+        F.struct(*lcols).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in value_cols) + ">"
+        ).alias("__r"),
+    )
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_ts).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.struct(*[F.col(c) for c in value_cols]).alias("__r"),
+    )
+    u = l.unionByName(r)
+    frame = (Window.unboundedPreceding, 0)
+    wb = Window.partitionBy("__k").orderBy(F.col("__ts").asc(), F.col("__side").asc()).rowsBetween(*frame)
+    wf = Window.partitionBy("__k").orderBy(F.col("__ts").desc(), F.col("__side").asc()).rowsBetween(*frame)
+    carried = (
+        u.withColumn("__mb", F.last("__r", ignorenulls=True).over(wb))
+        .withColumn("__tb", F.last(F.when(F.col("__r").isNotNull(), F.col("__ts")), ignorenulls=True).over(wb))
+        .withColumn("__mf", F.last("__r", ignorenulls=True).over(wf))
+        .withColumn("__tf", F.last(F.when(F.col("__r").isNotNull(), F.col("__ts")), ignorenulls=True).over(wf))
+    )
+    gap_b = F.unix_micros(F.col("__ts")) - F.unix_micros(F.col("__tb"))
+    gap_f = F.unix_micros(F.col("__tf")) - F.unix_micros(F.col("__ts"))
+    if tolerance_seconds is not None:
+        bound = int(tolerance_seconds) * 1_000_000
+        carried = carried.withColumn("__mb", F.when(gap_b <= bound, F.col("__mb"))).withColumn(
+            "__mf", F.when(gap_f <= bound, F.col("__mf"))
+        )
+    pick_backward = F.col("__mf").isNull() | (F.col("__mb").isNotNull() & (gap_b <= gap_f))
+    chosen = F.when(pick_backward, F.col("__mb")).otherwise(F.col("__mf"))
+    return (
+        carried.withColumn("__match", chosen)
+        .filter(F.col("__l").isNotNull())
+        .select(
+            *[F.col(f"__l.{c}").alias(c) for c in lcols],
+            *[F.col(f"__match.{c}").alias(f"asof_{c}") for c in value_cols],
+        )
     )
 
 

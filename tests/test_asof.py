@@ -105,3 +105,41 @@ def test_asof_forward_direction(spark):
         ).collect()
     }
     assert bounded[1] is None  # 1 day ahead > 1h lookahead bound
+
+
+def test_asof_nearest_direction(spark):
+    """direction='nearest': picks the temporally closer of prior/next,
+    tie → backward (pandas precedence); tolerance bounds both sides."""
+    from datetime import datetime
+
+    from c_tran_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "A", datetime(2020, 1, 2, 10, 0)),   # prior 1h ago, next 3h ahead → prior
+            (2, "A", datetime(2020, 1, 2, 12, 30)),  # prior 3.5h, next 0.5h → next
+            (3, "A", datetime(2020, 1, 2, 12, 0)),   # exactly between (3h/1h) → next
+        ],
+        "id int, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [("A", datetime(2020, 1, 2, 9, 0), 1.0), ("A", datetime(2020, 1, 2, 13, 0), 2.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r["id"]: r["asof_v"]
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts",
+            value_cols=["v"], direction="nearest",
+        ).collect()
+    }
+    assert out == {1: 1.0, 2: 2.0, 3: 2.0}
+    # equidistant tie → backward
+    tie = spark.createDataFrame([(9, "A", datetime(2020, 1, 2, 11, 0))], "id int, k string, ts timestamp")
+    got = asof_join(tie, right, on="k", left_ts="ts", right_ts="ts",
+                    value_cols=["v"], direction="nearest").collect()[0]
+    assert got["asof_v"] == 1.0
+    # tolerance nulls both directions when out of range
+    far = asof_join(tie, right, on="k", left_ts="ts", right_ts="ts",
+                    value_cols=["v"], direction="nearest", tolerance_seconds=60).collect()[0]
+    assert far["asof_v"] is None
