@@ -421,3 +421,52 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_items"),
     )
+
+
+@query(
+    "q_asof_nearest_purchase",
+    """
+    WITH purch AS (SELECT * FROM events WHERE event_type = 'purchase'),
+    b AS (
+        SELECT l.event_id, l.user_id, l.ts,
+               r.ts AS bts, r.event_id AS bid, r.value AS bv
+        FROM events l
+        ASOF LEFT JOIN purch r ON l.user_id = r.user_id AND l.ts > r.ts
+    ),
+    f AS (
+        SELECT l.event_id, r.ts AS fts, r.event_id AS fid, r.value AS fv
+        FROM events l
+        ASOF LEFT JOIN purch r ON l.user_id = r.user_id AND l.ts < r.ts
+    )
+    SELECT b.event_id, b.user_id, b.ts,
+           CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                     epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bid ELSE fid END AS asof_event_id,
+           CASE WHEN fts IS NULL OR (bts IS NOT NULL AND
+                     epoch_us(b.ts) - epoch_us(bts) <= epoch_us(fts) - epoch_us(b.ts))
+                THEN bv ELSE fv END AS asof_value
+    FROM b JOIN f USING (event_id)
+    """,
+    doc="Nearest-direction as-of join: the temporally closer of the "
+    "user's prior/next purchase, backward winning ties (merge_asof "
+    "'nearest'). One tagged union, two windows sharing one hash "
+    "exchange. Oracle: two native ASOF joins + gap comparison.",
+    tags=("olap", "join", "asof"),
+)
+def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    left = e.select("event_id", "user_id", "ts")
+    right = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("r_event_id"), F.col("value").alias("r_value")
+    )
+    out = asof_join(
+        left,
+        right.withColumnRenamed("r_event_id", "event_id").withColumnRenamed("r_value", "value"),
+        on="user_id",
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["event_id", "value"],
+        strict=True,
+        direction="nearest",
+    )
+    return out.select("event_id", "user_id", "ts", F.col("asof_event_id"), F.col("asof_value"))
