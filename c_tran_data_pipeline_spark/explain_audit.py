@@ -45,6 +45,9 @@ def main() -> int:
     names = sys.argv[1:] or sorted(registry)
     spark = get_spark("explain-audit")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # untruncated plans — a clipped ReadSchema line reads as "no pruning"
+    spark.conf.set("spark.sql.debug.maxToStringFields", "1000")
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
     print(f"{'query':34} exch bcast cgen push scans udf read_cols")
     for n in names:
         df = registry[n].builder(spark, sf_dir)
