@@ -184,3 +184,38 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
     )
+
+
+@query(
+    "q_profile_events",
+    """
+    SELECT 'event_id' AS column_name, COUNT(*) AS n_rows,
+           COUNT(*) - COUNT(event_id) AS n_nulls,
+           COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id) FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type) FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*), COUNT(*) - COUNT(value), COUNT(DISTINCT value) FROM events
+    """,
+    doc="Column profiling (count / nulls / distinct per column) — the "
+    "ingest health check every pipeline runs before trusting a new "
+    "dump. ONE scan, one aggregate: all per-column stats are computed "
+    "as parallel aggregate expressions then unpivoted with stack(), vs "
+    "the oracle's four scans — same numbers, 4× less I/O.",
+    tags=("parity", "agg", "profiling"),
+)
+def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggd = e.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.count(c).alias(f"__nn_{c}") for c in cols],
+        *[F.countDistinct(c).alias(f"__nd_{c}") for c in cols],
+    )
+    stack = ", ".join(f"'{c}', __n - __nn_{c}, __nd_{c}" for c in cols)
+    return aggd.selectExpr(
+        f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)", "__n AS n_rows"
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct")
