@@ -161,3 +161,109 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the fixture while saving a full corpus pass per extra iteration.
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, nlist=16, nprobe=4, iters=1, dim=64)
+
+
+@query(
+    "q_hybrid_search",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+        FROM documents
+    ),
+    qt AS (SELECT * FROM toks WHERE doc_id < 5),
+    overlap AS (
+        SELECT qt.doc_id AS query_id, t.doc_id AS cand, COUNT(*) AS n_common
+        FROM qt JOIN toks t USING (tok)
+        WHERE t.doc_id != qt.doc_id
+        GROUP BY 1, 2
+    ),
+    rt AS (
+        SELECT query_id, cand,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n_common DESC, cand) AS rnk
+        FROM overlap
+    ),
+    ve AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON b.vec_id != a.vec_id
+        WHERE a.vec_id < 5
+    ),
+    rv AS (
+        SELECT query_id, cand,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, cand) AS rnk
+        FROM ve
+    ),
+    fused AS (
+        SELECT COALESCE(rt.query_id, rv.query_id) AS query_id,
+               COALESCE(rt.cand, rv.cand) AS neighbor_id,
+               COALESCE(1.0 / (60 + rt.rnk), 0) + COALESCE(1.0 / (60 + rv.rnk), 0) AS rrf
+        FROM rt FULL JOIN rv ON rt.query_id = rv.query_id AND rt.cand = rv.cand
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(rrf, 6) AS rrf FROM (
+        SELECT query_id, neighbor_id, rrf,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) AS rank
+        FROM fused
+    ) WHERE rank <= 5
+    """,
+    doc="Hybrid retrieval: lexical ranking (distinct-token overlap via "
+    "inverted-index join — the BM25 shape) and dense ranking (exact "
+    "embedding cosine) fused with reciprocal rank fusion "
+    "(1/(60+rank), the standard RRF constant), top-5 per query. The "
+    "modern two-tower retrieval pattern as one declarative plan over "
+    "the documents + embeddings tables; each leg is the scalable form "
+    "already proven by q_dedup_ngram_jaccard / q_ann_topk.",
+    tags=("similarity", "text", "topk", "hybrid"),
+)
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.functions.text import words
+    from c_tran_data_pipeline_spark.operators.similarity import cosine, _as_double
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(words("text"))).alias("tok")
+    )
+    qt = toks.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    overlap = (
+        qt.join(toks, on="tok")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("doc_id").alias("cand"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.col("n_common").desc(), F.col("cand").asc())
+    rt = overlap.select("query_id", "cand", F.row_number().over(wt).alias("rnk_t"))
+
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("__qv")
+    )
+    c = emb.select(F.col("vec_id").alias("cand"), _as_double(F.col("embedding")).alias("__cv"))
+    ve = (
+        c.join(F.broadcast(q), F.col("cand") != F.col("query_id"))
+        .select("query_id", "cand", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand").asc())
+    rv = ve.select("query_id", "cand", F.row_number().over(wv).alias("rnk_v"))
+
+    fused = (
+        rt.join(rv, on=["query_id", "cand"], how="full")
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            (
+                F.coalesce(F.lit(1.0) / (60 + F.col("rnk_t")), F.lit(0.0))
+                + F.coalesce(F.lit(1.0) / (60 + F.col("rnk_v")), F.lit(0.0))
+            ).alias("rrf"),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("neighbor_id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "rank", F.round("rrf", 6).alias("rrf"))
+    )
