@@ -505,12 +505,56 @@ def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.4, key: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold. Exact
-    (all-pairs) form — the oracle-checkable baseline; the LSH-bucketed
-    form composes hyperplane_lsh_buckets the same way ann_lsh_topk does."""
+    (all-pairs) form — O(n²), the oracle/recall baseline ONLY; the
+    registered scale path is embedding_neardup_pairs_lsh."""
     a = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
     b = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
     return (
         a.join(b, F.col("d1") < F.col("d2"))
+        .select("d1", "d2", cosine(F.col("__v1"), F.col("__v2")).alias("__cos"))
+        .filter(F.col("__cos") >= threshold)
+        .select("d1", "d2", F.round("__cos", 4).alias("cosine"))
+    )
+
+
+def embedding_neardup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.4,
+    planes: int = 4,
+    tables: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+    max_bucket_size: int | None = 200,
+) -> DataFrame:
+    """Scalable embedding near-dup: candidate pairs share any LSH table
+    bucket (equi-join on (table, bucket) — never all-pairs), exact cosine
+    re-ranks, keep pairs ≥ threshold. Same banding shape as ann_lsh_topk.
+
+    Recall is probabilistic (tests measure ≥0.9 vs the exact pairs);
+    precision is exact — every emitted pair is re-scored with the true
+    cosine, so false bucket collisions cost compute, never correctness.
+
+    ``max_bucket_size`` drops degenerate hot buckets (near-zero vectors
+    all hash together) before the self-join — the embedding-space twin of
+    ngram_jaccard_pairs' max_shingle_df guard: a bucket of size B emits
+    B²/2 candidates, so one hot bucket is the whole quadratic risk."""
+    b = multi_table_lsh_buckets(df, planes, tables, key, vec, dim)
+    if max_bucket_size is not None:
+        keep = (
+            b.groupBy("table", "bucket")
+            .agg(F.count(F.lit(1)).alias("__bsz"))
+            .filter(F.col("__bsz") <= max_bucket_size)
+            .select("table", "bucket")
+        )
+        b = b.join(F.broadcast(keep), on=["table", "bucket"])
+    left = b.select("table", "bucket", F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
+    right = b.select("table", "bucket", F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
+    return (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2", "__v1", "__v2")
+        .dropDuplicates(["d1", "d2"])  # union across tables
         .select("d1", "d2", cosine(F.col("__v1"), F.col("__v2")).alias("__cos"))
         .filter(F.col("__cos") >= threshold)
         .select("d1", "d2", F.round("__cos", 4).alias("cosine"))

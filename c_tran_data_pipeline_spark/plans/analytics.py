@@ -150,8 +150,8 @@ def q_window_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), numbered AS (
         SELECT user_id, ts, event_id,
-               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS UNBOUNDED PRECEDING) AS session_seq
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
         FROM flagged
     )
     SELECT user_id, session_seq,

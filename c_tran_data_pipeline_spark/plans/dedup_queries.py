@@ -180,7 +180,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sums AS (SELECT doc_id, bit, SUM(c) AS s FROM contrib GROUP BY doc_id, bit)
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS simhash
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << bit ELSE 0 END) AS BIGINT) AS simhash
     FROM sums GROUP BY doc_id
     """,
     doc="32-bit SimHash per document over distinct tokens — pure integer "

@@ -225,7 +225,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_pivot_event_counts",
     f"""
     SELECT user_id,
-           {", ".join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in EVENT_TYPES)}
+           {", ".join(f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in EVENT_TYPES)}
     FROM events GROUP BY user_id
     """,
     doc="Pivot: per-user event-type count matrix (explicit value list → "

@@ -57,12 +57,23 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="operators/packing.py: greedy first-fit sequence packing of "
     "token counts into a 512-token budget across 16 deterministic hash "
     "shards; Arrow-batched grouped-map over (doc_id, n_tokens) pairs "
-    "only — text never crosses into Python.",
+    "only — text never crosses into Python. The gate projection "
+    "serializes doc_ids to a comma-joined string (the library operator "
+    "keeps array<long>): external comparators sort rows column-wise and "
+    "can't order list cells.",
     tags=("packing", "udf"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    return pack_sequences(d, max_tokens=512, shards=16)
+    packed = pack_sequences(d, max_tokens=512, shards=16)
+    return packed.select(
+        "shard",
+        "pack_seq",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias("doc_ids_csv"),
+        "n_docs",
+        "total_tokens",
+        "overflow",
+    )
 
 
 @query(

