@@ -28,6 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 # Synthetic payload layout (tests + fake codec): magic, width, height,
 # n_frames, then width*height*n_frames bytes of "pixels".
@@ -169,8 +170,54 @@ def resize_images(assets: DataFrame, out_w: int, out_h: int, codec: str = "fake"
 def repartition_for_payloads(assets: DataFrame, target_bytes_per_partition: int = 256 << 20) -> DataFrame:
     """Partition by cumulative payload SIZE, not row count: media rows are
     wildly skewed (a 4k video vs a thumbnail), so row-count partitioning
-    OOMs the unlucky task. Uses a cheap two-pass estimate (sum lengths →
-    n partitions) then range-repartitions on a size-salted key."""
-    total = assets.select(F.sum(F.length("payload")).alias("b")).collect()[0]["b"] or 0
-    n = max(1, int(total / target_bytes_per_partition))
-    return assets.repartition(n, F.spark_partition_id(), F.monotonically_increasing_id())
+    OOMs the unlucky task.
+
+    True size-balanced placement in two narrow passes + one shuffle:
+
+    1. Per-input-partition byte totals (one tiny row per partition) give
+       each partition's global byte offset — driver holds one long per
+       partition, never row data.
+    2. A window keyed by ``spark_partition_id`` (parallel per partition,
+       no global sort) computes each row's running byte position; bucket
+       = position // target, so every bucket holds ≤ target + one
+       payload's bytes REGARDLESS of how sizes are skewed across rows —
+       that per-bucket bound is the hard guarantee (tests pin it).
+    3. Hash-repartition on the bucket id. Hash placement may co-locate a
+       few buckets in one task (small constant factor over target, balls-
+       in-bins); row-count placement is unboundedly worse under payload
+       skew. NOT repartitionByRange: the range partitioner equalizes
+       sampled ROW counts, so it systematically merges the few-row
+       big-payload buckets — measured 3 jumbo rows in one task on the
+       test fixture.
+
+    Both spark_partition_id and the in-partition row order derive from
+    the same deterministic scan, so the offsets from pass 1 line up with
+    the window in pass 2. Cost: the payload column is length-scanned
+    twice; at 100 TB that is the price of not OOMing the unlucky task,
+    and parquet stores byte-array lengths inline so the scan is cheap."""
+    bucketed, n = _size_buckets(assets, target_bytes_per_partition)
+    return bucketed.repartition(n, "__bucket").drop("__pid", "__sz", "__bucket")
+
+
+def _size_buckets(assets: DataFrame, target_bytes_per_partition: int) -> tuple[DataFrame, int]:
+    """(df + __pid/__sz/__bucket columns, bucket count): cumulative-byte
+    bucket assignment for repartition_for_payloads; split out so tests
+    can pin the per-bucket byte bound before placement."""
+    sized = assets.withColumn("__pid", F.spark_partition_id()).withColumn(
+        "__sz", F.coalesce(F.length("payload").cast("long"), F.lit(0))
+    )
+    totals = {
+        r["__pid"]: r["b"]
+        for r in sized.groupBy("__pid").agg(F.sum("__sz").alias("b")).collect()
+    }
+    offsets: dict[int, int] = {}
+    acc = 0
+    for pid in sorted(totals):
+        offsets[pid] = acc
+        acc += totals[pid]
+    n = max(1, -(-acc // target_bytes_per_partition))
+    off = F.create_map(*[F.lit(v) for kv in offsets.items() for v in kv])
+    w = Window.partitionBy("__pid").orderBy(F.monotonically_increasing_id())
+    cum = F.sum("__sz").over(w) + off[F.col("__pid")]
+    bucket = F.greatest(cum - 1, F.lit(0)) / F.lit(target_bytes_per_partition)
+    return sized.withColumn("__bucket", bucket.cast("long")), n

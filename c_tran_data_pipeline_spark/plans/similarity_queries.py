@@ -190,10 +190,12 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
         FROM documents
     ),
-    qt AS (SELECT * FROM toks WHERE doc_id < 5),
+    hot AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) > 100),
+    toks_f AS (SELECT * FROM toks ANTI JOIN hot USING (tok)),
+    qt AS (SELECT * FROM toks_f WHERE doc_id < 5),
     overlap AS (
         SELECT qt.doc_id AS query_id, t.doc_id AS cand, COUNT(*) AS n_common
-        FROM qt JOIN toks t USING (tok)
+        FROM qt JOIN toks_f t USING (tok)
         WHERE t.doc_id != qt.doc_id
         GROUP BY 1, 2
     ),
@@ -232,7 +234,11 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(1/(60+rank), the standard RRF constant), top-5 per query. The "
     "modern two-tower retrieval pattern as one declarative plan over "
     "the documents + embeddings tables; each leg is the scalable form "
-    "already proven by q_dedup_ngram_jaccard / q_ann_topk.",
+    "already proven by q_dedup_ngram_jaccard / q_ann_topk. The lexical "
+    "leg drops tokens with document frequency > 100 BEFORE the inverted-"
+    "index join (same skew guard as ngram max_shingle_df, applied "
+    "identically in the oracle): a stopword appearing in every doc "
+    "would otherwise emit |queries|×|corpus| join rows.",
     tags=("similarity", "text", "topk", "hybrid"),
 )
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -247,6 +253,11 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("tok")
     )
+    # Hot-token guard: drop df>100 tokens before the inverted-index join
+    # (broadcast anti-join on the tiny hot-token list). Without it a
+    # corpus-wide stopword makes the join quadratic in corpus size.
+    hot = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 100)
+    toks = toks.join(F.broadcast(hot.select("tok")), on="tok", how="left_anti")
     qt = toks.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "tok"
     )

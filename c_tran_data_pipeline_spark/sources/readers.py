@@ -95,3 +95,40 @@ def read_json_with_quarantine(
         F.col(f"r.{crpt}").alias("raw")
     )
     return good, quarantined
+
+
+def fetch_json_to_df(
+    spark: SparkSession,
+    url: str,
+    schema: T.StructType,
+    transport=None,
+) -> DataFrame:
+    """S1: HTTP JSON acquisition (reference ``producer.py:76-78``:
+    ``requests.get(url)`` → ``json.loads`` → one record per array
+    element). The fetch itself is a single driver-side call — acquisition
+    from one HTTP endpoint is inherently not distributable — but each
+    record is kept as its raw JSON line and parsed executor-side with
+    ``from_json``, so schema projection and type coercion scale out and
+    malformed elements become NULL-field rows instead of a driver crash.
+
+    ``transport`` is a ``Callable[[str], str]`` returning the response
+    body; the default uses stdlib urllib. Tests inject a fake transport —
+    the parse path downstream of the fetch is identical either way.
+    """
+    import json as _json
+
+    if transport is None:
+
+        def transport(u: str) -> str:
+            from urllib.request import urlopen
+
+            with urlopen(u, timeout=60) as resp:
+                return resp.read().decode("utf-8")
+
+    records = _json.loads(transport(url))
+    if not isinstance(records, list):
+        records = [records]
+    lines = spark.createDataFrame(
+        [(_json.dumps(r),) for r in records], T.StructType([T.StructField("value", T.StringType())])
+    )
+    return lines.select(F.from_json("value", schema).alias("r")).select("r.*")

@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from c_tran_data_pipeline_spark import schemas
 from c_tran_data_pipeline_spark.operators.multimodal import (
@@ -64,3 +65,36 @@ def test_real_codec_raises(assets):
     with pytest.raises(Exception) as exc_info:
         extract_image_features(assets, codec="jpeg").collect()
     assert "NotImplementedError" in str(exc_info.value) or "not available" in str(exc_info.value)
+
+
+def test_repartition_for_payloads_balances_bytes(spark):
+    """Skewed payloads (one 10 KiB row among 1-byte rows, repeated) must
+    spread by BYTES. The hard guarantee is per-BUCKET: cumulative-byte
+    assignment bounds every bucket at target + one payload. Placement is
+    hash-on-bucket, so a task may receive a couple of buckets — assert a
+    small multiple, where row-count partitioning would concentrate all
+    jumbo rows arbitrarily."""
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _size_buckets,
+        repartition_for_payloads,
+    )
+
+    rows = []
+    for i in range(64):
+        rows.append(Row(asset_id=i, payload=bytes(10240 if i % 8 == 0 else 1)))
+    df = spark.createDataFrame(rows).repartition(4)
+    target = 16 << 10
+    total = 8 * 10240 + 56
+
+    bucketed, n = _size_buckets(df, target)
+    per_bucket = bucketed.groupBy("__bucket").agg(F.sum("__sz").alias("b")).collect()
+    assert n == -(-total // target) and len(per_bucket) <= n
+    assert max(r.b for r in per_bucket) <= target + 10240  # the hard bound
+    assert sum(r.b for r in per_bucket) == total
+
+    out = repartition_for_payloads(df, target_bytes_per_partition=target)
+    per_part = out.select(
+        F.spark_partition_id().alias("p"), F.length("payload").alias("b")
+    ).groupBy("p").sum("b").collect()
+    assert max(r["sum(b)"] for r in per_part) <= 3 * (target + 10240)
+    assert sorted(r.asset_id for r in out.collect()) == list(range(64))

@@ -142,3 +142,37 @@ def test_json_quarantine_splits_poison_records(spark, tmp_path):
     assert len(bad) == 2 and "not json" in bad[0]
     # conservation: every input line is accounted for exactly once
     assert good.count() + quarantined.count() == 4
+
+
+def test_http_fetch_json_to_df_roundtrip(spark):
+    """S1 (producer.py:76-78): injected-transport fetch → typed parse →
+    conform_breadcrumbs produces a tstamp, proving the acquisition output
+    feeds the conform path unchanged."""
+    from c_tran_data_pipeline_spark.functions.transforms import conform_breadcrumbs
+    from c_tran_data_pipeline_spark.sources.readers import fetch_json_to_df
+
+    body = json.dumps(
+        [
+            {"EVENT_NO_TRIP": "7", "OPD_DATE": "25-SEP-20", "VEHICLE_ID": "9",
+             "ACT_TIME": "3600", "GPS_LATITUDE": "45.5", "GPS_LONGITUDE": "-122.6",
+             "DIRECTION": "90", "VELOCITY": "10", "EVENT_NO_STOP": "8",
+             "METERS": "100", "GPS_SATELLITES": "7", "GPS_HDOP": "0.9"},
+            {"EVENT_NO_TRIP": "8", "OPD_DATE": "25-SEP-20", "VEHICLE_ID": "9",
+             "ACT_TIME": "3700", "GPS_LATITUDE": None, "GPS_LONGITUDE": None,
+             "DIRECTION": None, "VELOCITY": None, "EVENT_NO_STOP": None,
+             "METERS": None, "GPS_SATELLITES": None, "GPS_HDOP": None},
+        ]
+    )
+    seen = []
+
+    def fake_transport(url: str) -> str:
+        seen.append(url)
+        return body
+
+    raw = fetch_json_to_df(spark, "http://example.invalid/getBreadCrumbData",
+                           schemas.RAW_BREADCRUMB, transport=fake_transport)
+    assert seen == ["http://example.invalid/getBreadCrumbData"]
+    assert raw.columns == [f.name for f in schemas.RAW_BREADCRUMB.fields]
+    conformed = {r.trip_id: r for r in conform_breadcrumbs(raw).collect()}
+    assert conformed[7].tstamp.isoformat().startswith("2020-09-25T01:00")
+    assert conformed[8].speed is None

@@ -103,6 +103,16 @@ def test_stop_event_enrichment_merge(spark, tmpdirs):
     assert t[101].route_id == 65 and t[101].direction == "Back"
     assert t[102].route_id == 0 and t[102].direction == "Out"
 
+    # T4 on the E2 path: replay the same input with a fresh checkpoint
+    # (at-least-once duplicate delivery) — the keyed UPDATE merge is
+    # idempotent, so Trip must be byte-identical after the second run
+    q2 = run_stop_event_pipeline(raw, trip_store, tmpdirs["ckpt2"] + "_replay")
+    q2.awaitTermination(120)
+    t2 = {r.trip_id: r for r in spark.read.parquet(tmpdirs["trip"]).collect()}
+    assert len(t2) == len(t)
+    for k in t:
+        assert t2[k] == t[k]
+
 
 def test_hourly_hotspot_windowed_stream(spark, tmpdirs):
     """Event-time tumbling windows + watermark in append mode: only
