@@ -59,6 +59,9 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("component").alias("neighbor_component"))
         )
+        # lazy checkpoint: the convergence count below is the action that
+        # materializes it, so each round runs ONE job (an eager checkpoint
+        # would spend a second full job just to cache before counting)
         proposed = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
@@ -69,7 +72,7 @@ def connected_components(
                 ).alias("component"),
                 (F.col("neighbor_component") < F.col("component")).alias("__changed"),
             )
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         n_changed = proposed.filter(F.col("__changed")).count()
         labels = proposed.drop("__changed")
         if n_changed == 0:
@@ -77,6 +80,74 @@ def connected_components(
     raise RuntimeError(
         f"connected_components: not converged after {max_iter} rounds "
         f"({n_changed} labels still changing) — raise max_iter"
+    )
+
+
+def connected_components_star(
+    edges: DataFrame, src: str = "d1", dst: str = "d2", max_iter: int = 50
+) -> DataFrame:
+    """(node, component) via alternating large-star/small-star (Kiveris
+    et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    converges in O(log² n) rounds regardless of component DIAMETER, so it
+    handles the adversarial long-chain graphs where one-hop-per-round
+    min-propagation needs diameter rounds. Same per-round primitives
+    (one groupBy + one join per star op); prefer ``connected_components``
+    for dedup graphs (shallow components, fewer rounds, simpler loop).
+
+    large-star(u): every neighbor v > u re-points to min(N(u) ∪ {u});
+    small-star(u): every neighbor v ≤ u (and u itself) re-points to the
+    min among them. Both strictly reduce total edge weight until the
+    graph is a forest of stars rooted at component minima."""
+    if max_iter < 1:
+        raise ValueError("connected_components_star: max_iter must be >= 1")
+
+    def _large(e: DataFrame) -> DataFrame:
+        m = e.groupBy("u").agg(F.min("v").alias("mv")).select(
+            "u", F.least("mv", "u").alias("m")
+        )
+        return (
+            e.filter(F.col("v") > F.col("u"))
+            .join(m, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+
+    def _small(e: DataFrame) -> DataFrame:
+        low = e.filter(F.col("v") <= F.col("u"))
+        m = low.groupBy("u").agg(F.min("v").alias("m"))
+        re_pointed = (
+            low.join(m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        self_edge = m.select(F.col("u"), F.col("m").alias("v"))
+        return re_pointed.unionByName(self_edge)
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # symmetrize before each star op: both ops read full neighborhoods
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+        after_large = _large(sym).distinct()
+        sym2 = after_large.unionByName(
+            after_large.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        ).distinct()
+        new_e = _small(sym2).filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+        changed = new_e.exceptAll(e).limit(1).count() + e.exceptAll(new_e).limit(1).count()
+        e = new_e
+        if changed == 0:
+            # stars: every edge points child → component min
+            members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+            roots = e.select(F.col("v").alias("node")).distinct().withColumn(
+                "component", F.col("node")
+            )
+            return members.unionByName(roots).distinct()
+    raise RuntimeError(
+        f"connected_components_star: not converged after {max_iter} rounds"
     )
 
 

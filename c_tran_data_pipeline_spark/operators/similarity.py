@@ -285,24 +285,17 @@ def _l2sq(v: Column, c: Column) -> Column:
 
 def _cell_scores(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
     """array<struct<d,cid>> of squared-L2 distances from ``v`` to every
-    centroid, centroids embedded as ONE literal array<struct<cid,c>> with
-    a single transform computing the distance — the distance expression
-    appears once in the plan, not nlist times (16 duplicated aggregate
-    chains made Catalyst analysis + codegen the dominant cost of the
-    whole IVF query at small SF). Struct field order of the result
-    (d first, cid second) makes array_min/array_sort rank by distance
-    with centroid_id as the deterministic tie-break."""
-    cents_lit = F.array(
-        *[
-            F.struct(
-                F.lit(cid).cast("bigint").alias("cid"),
-                F.array(*[F.lit(x) for x in cvec]).alias("c"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    return F.transform(
-        cents_lit, lambda s: F.struct(_l2sq(v, s["c"]).alias("d"), s["cid"].alias("cid"))
+    centroid. The centroid matrix and id list are each ONE nested-array
+    Literal node (not nlist×dim scalar literals): with per-element
+    literals, Catalyst analysis + codegen over the >1k-node tree was the
+    dominant cost of the whole IVF query at small SF, and the distance
+    expression appears once via zip_with, not nlist times. Struct field
+    order of the result (d first, cid second) makes array_min/array_sort
+    rank by distance with centroid_id as the deterministic tie-break."""
+    cvecs = F.lit([cvec for _, cvec in cents])
+    cids = F.lit([int(cid) for cid, _ in cents]).cast("array<bigint>")
+    return F.zip_with(
+        cvecs, cids, lambda c, cid: F.struct(_l2sq(v, c).alias("d"), cid.alias("cid"))
     )
 
 

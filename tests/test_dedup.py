@@ -121,3 +121,46 @@ def test_connected_components_long_chain_and_nonconvergence(spark):
     assert set(out.values()) == {1} and len(out) == 12
     with _pytest.raises(RuntimeError, match="not converged"):
         connected_components(chain, max_iter=3)
+
+
+def test_star_cc_long_chain_where_min_propagation_refuses(spark):
+    """A 40-node chain (diameter 39 ≫ 25): one-hop min-propagation at the
+    default max_iter correctly refuses, while large-star/small-star
+    converges in O(log² n) rounds and labels every node with the chain
+    minimum — the documented escalation path for adversarial graphs."""
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], "d1 bigint, d2 bigint"
+    )
+    with _pytest.raises(RuntimeError, match="not converged"):
+        connected_components(chain)  # default max_iter=25 < diameter
+
+    out = {
+        r["node"]: r["component"]
+        for r in connected_components_star(chain, max_iter=12).collect()
+    }
+    assert len(out) == 40 and set(out.values()) == {1}
+
+
+def test_star_cc_matches_min_propagation_on_mixed_graph(spark):
+    """Same labels as min-propagation on a multi-component graph with a
+    triangle, a chain, an isolated pair, and a star — including
+    non-contiguous ids."""
+    from c_tran_data_pipeline_spark.operators.graph import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(2, 3), (1, 2), (8, 9), (4, 5), (5, 6), (4, 6), (100, 50), (100, 70), (100, 60)],
+        "d1 bigint, d2 bigint",
+    )
+    a = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    b = {r["node"]: r["component"] for r in connected_components_star(edges).collect()}
+    assert a == b
