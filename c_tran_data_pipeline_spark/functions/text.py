@@ -150,3 +150,41 @@ def quality_score(col: Column | str) -> Column:
         + F.when(mean_word_len(c).between(3, 10), 0.5).otherwise(0.0),
         6,
     )
+
+
+def dup_token_fraction(col: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token — the
+    Gopher-style duplicate-content signal (word-soup analog of its
+    duplicate-line fraction). Pure array expr, shuffle-free."""
+    w = words(col)
+    n = F.array_size(w)
+    return F.round(
+        (n - F.array_size(F.array_distinct(w))) / F.greatest(n, F.lit(1)), 6
+    )
+
+
+def bigrams(col: Column | str) -> Column:
+    """NON-distinct word 2-grams (repetition analysis needs multiplicity;
+    dedup's ``shingles`` dedups)."""
+    w = words(col)
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.array_size(w) - 2, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(w, i + 1, 2)),
+    )
+
+
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+# Both patterns are deliberately within the common subset of Java regex
+# (Spark) and RE2 (DuckDB/Go tooling): no lookaround, no backrefs — so the
+# scrub is reproducible outside the JVM and oracle-checkable.
+
+
+def pii_scrub(col: Column | str) -> Column:
+    """Redact emails → [EMAIL] and NNN-NNN-NNNN phones → [PHONE]. The
+    standard pre-training PII pass, as two chained codegen'd
+    regexp_replace ops (JVM-side; no UDF)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(
+        F.regexp_replace(c, PII_EMAIL, "[EMAIL]"), PII_PHONE, "[PHONE]"
+    )

@@ -113,3 +113,35 @@ def incremental_ingest(
         .drop("__h")
     )
     return exact_dedup(fresh, content=content, key=key)
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text: str = "text",
+    key: str = "doc_id",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: per train doc, the number of distinct
+    word ``n``-grams it shares with ANY eval/benchmark document (the
+    standard test-set-leakage audit before pre-training; n=13 over
+    characters in GPT-3's protocol, word-5-grams here to suit short
+    fixtures). Returns (key, n_shared) for contaminated docs only —
+    downstream anti-joins them away or thresholds on n_shared.
+
+    Scale shape: eval sets are small by construction (benchmarks, not
+    corpora), so the distinct eval shingle set BROADCASTS and the check
+    is one corpus scan + explode + broadcast hash join + one partial-
+    aggregated groupBy on the train key. The corpus never self-joins and
+    never shuffles its text."""
+    from c_tran_data_pipeline_spark.functions.text import shingles
+
+    eval_sh = (
+        eval_df.select(F.explode(shingles(text, n)).alias("shingle")).distinct()
+    )
+    train_sh = train.select(F.col(key), F.explode(shingles(text, n)).alias("shingle"))
+    return (
+        train_sh.join(F.broadcast(eval_sh), on="shingle")
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

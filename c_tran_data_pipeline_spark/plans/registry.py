@@ -79,6 +79,10 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_dedup_simhash",
     "q_pivot_event_counts",
     "q_pack_sequences",
+    # new this round — no prior evidence:
+    "q_text_repetition",
+    "q_pii_scrub",
+    "q_decontaminate",
 )
 
 

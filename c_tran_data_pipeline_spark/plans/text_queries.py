@@ -153,3 +153,149 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", rolling_hash("text").alias("fingerprint"))
+
+
+@query(
+    "q_text_repetition",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+    base AS (
+        SELECT doc_id, len(words) AS n_tokens,
+               ROUND((len(words) - len(list_distinct(words))) * 1.0
+                     / greatest(len(words), 1), 6) AS dup_token_frac
+        FROM w
+    ),
+    bg AS (
+        SELECT doc_id, unnest(list_transform(generate_series(1, len(words)-1),
+                                             i -> array_to_string(words[i:i+1], ' '))) AS b
+        FROM w
+    ),
+    c AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+    top AS (
+        SELECT doc_id, MAX(c) AS top_bigram_count, CAST(SUM(c) AS BIGINT) AS n_bigrams
+        FROM c GROUP BY 1
+    )
+    SELECT base.doc_id, n_tokens, dup_token_frac, top_bigram_count,
+           ROUND(top_bigram_count * 1.0 / n_bigrams, 6) AS top_bigram_frac
+    FROM base LEFT JOIN top USING (doc_id)
+    """,
+    doc="Gopher-style repetition signals: duplicate-token fraction "
+    "(shuffle-free array expr) + most-frequent-bigram fraction (explode "
+    "→ partial-agg count → per-doc max; two keyed shuffles, text never "
+    "moves — only (doc_id, bigram) pairs).",
+    tags=("text", "quality"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import bigrams, dup_token_fraction
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        dup_token_fraction("text").alias("dup_token_frac"),
+    )
+    counts = (
+        d.select("doc_id", F.explode(bigrams("text")).alias("b"))
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.groupBy("doc_id").agg(
+        F.max("c").alias("top_bigram_count"), F.sum("c").alias("n_bigrams")
+    )
+    return base.join(top, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_count",
+        F.round(F.col("top_bigram_count") / F.col("n_bigrams"), 6).alias("top_bigram_frac"),
+    )
+
+
+_PII_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE_SQL = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+
+@query(
+    "q_pii_scrub",
+    f"""
+    WITH synth AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || doc_id ||
+                         '@example.com or call ' ||
+                         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+                         '-555-0199 now'
+                    ELSE text END AS text2
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text2, '{_PII_EMAIL_SQL}')) AS n_emails,
+           len(regexp_extract_all(text2, '{_PII_PHONE_SQL}')) AS n_phones,
+           md5(regexp_replace(regexp_replace(text2, '{_PII_EMAIL_SQL}', '[EMAIL]', 'g'),
+                              '{_PII_PHONE_SQL}', '[PHONE]', 'g')) AS scrubbed_hash
+    FROM synth
+    """,
+    doc="PII scrub round-trip: deterministic synthetic emails/phones are "
+    "planted on every 7th doc (the fixture has none), then redacted with "
+    "chained JVM regexp_replace and counted. Patterns live in the "
+    "Java-regex ∩ RE2 subset so the oracle redacts bit-identically; "
+    "output carries md5(scrubbed) so the compared rows stay narrow.",
+    tags=("text", "quality"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import PII_EMAIL, PII_PHONE, pii_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or call "),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-555-0199 now"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text2"),
+    )
+    return synth.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(PII_EMAIL)).alias("n_emails"),
+        F.regexp_count("text2", F.lit(PII_PHONE)).alias("n_phones"),
+        F.md5(pii_scrub("text2")).alias("scrubbed_hash"),
+    )
+
+
+@query(
+    "q_decontaminate",
+    r"""
+    WITH w AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents),
+    sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            list_transform(generate_series(1, len(words)-4),
+                           i -> array_to_string(words[i:i+4], ' ')))) AS shingle
+        FROM w
+    ),
+    ev AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 20),
+    tr AS (SELECT doc_id, shingle FROM sh WHERE doc_id >= 20)
+    SELECT tr.doc_id, COUNT(*) AS n_shared
+    FROM tr JOIN ev USING (shingle)
+    GROUP BY 1
+    """,
+    doc="Benchmark decontamination (operators/curation.py:decontaminate): "
+    "train docs (id ≥ 20) sharing any word-5-gram with the eval set "
+    "(id < 20), with the shared-shingle count. Eval shingles broadcast "
+    "(benchmarks are small); one corpus scan, no corpus self-join.",
+    tags=("curation", "text"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import decontaminate
+
+    d = load_table(spark, sf_dir, "documents")
+    return decontaminate(
+        d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
+    )

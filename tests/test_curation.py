@@ -79,3 +79,25 @@ def test_domain_cap_total_order(spark):
         reverse=True,
     )[:5]
     assert sorted(best) == kept
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    """A train doc embedding an eval doc's 5-gram is flagged with the
+    right shared count; an unrelated doc is not."""
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.curation import decontaminate
+
+    ev = spark.createDataFrame(
+        [Row(doc_id=1, text="the quick brown fox jumps over the lazy dog")]
+    )
+    tr = spark.createDataFrame(
+        [
+            # contains 'quick brown fox jumps over' (and one more shifted 5-gram)
+            Row(doc_id=100, text="note quick brown fox jumps over the fence today"),
+            Row(doc_id=101, text="completely unrelated words appear in this one here"),
+        ]
+    )
+    out = {r.doc_id: r.n_shared for r in decontaminate(tr, ev, n=5).collect()}
+    assert 100 in out and out[100] >= 2
+    assert 101 not in out

@@ -117,3 +117,33 @@ def test_split_star_dedups_trip_tuples(spark):
     assert bc.count() == 3
     assert trip.count() == 2  # A2: whole-tuple set dedup
     assert set(trip.columns) == {"trip_id", "route_id", "vehicle_id", "service_key", "direction"}
+
+
+def test_pii_scrub_redacts_and_preserves(spark):
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.functions.text import pii_scrub
+
+    df = spark.createDataFrame(
+        [
+            Row(id=1, t="mail a.user+tag@sub.example.org or 503-555-0142 now"),
+            Row(id=2, t="no pii here, just 1234-5678 and @mentions"),
+        ]
+    )
+    out = {r.id: r.s for r in df.select("id", pii_scrub("t").alias("s")).collect()}
+    assert out[1] == "mail [EMAIL] or [PHONE] now"
+    assert out[2] == "no pii here, just 1234-5678 and @mentions"
+
+
+def test_dup_token_fraction_known_values(spark):
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.functions.text import dup_token_fraction
+
+    df = spark.createDataFrame(
+        [Row(id=1, t="a b a b a"), Row(id=2, t="x y z"), Row(id=3, t="w w w w")]
+    )
+    out = {r.id: r.f for r in df.select("id", dup_token_fraction("t").alias("f")).collect()}
+    assert out[1] == 0.6  # 5 tokens, 2 distinct -> 3/5
+    assert out[2] == 0.0
+    assert out[3] == 0.75
