@@ -43,6 +43,8 @@ HEADLINE = [
     "q_corpus_prep_neardup",
     "q_vocab_topk",
     "q_pack_sequences",
+    "q_ann_neardup_lsh",
+    "q_decontaminate",
 ]
 
 

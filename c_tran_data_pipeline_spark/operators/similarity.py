@@ -518,7 +518,8 @@ def embedding_neardup_pairs_lsh(
     key: str = "vec_id",
     vec: str = "embedding",
     dim: int | None = None,
-    max_bucket_size: int | None = 200,
+    max_bucket_size: int | None = None,
+    max_bucket_factor: float | None = 8.0,
 ) -> DataFrame:
     """Scalable embedding near-dup: candidate pairs share any LSH table
     bucket (equi-join on (table, bucket) — never all-pairs), exact cosine
@@ -528,26 +529,56 @@ def embedding_neardup_pairs_lsh(
     precision is exact — every emitted pair is re-scored with the true
     cosine, so false bucket collisions cost compute, never correctness.
 
-    ``max_bucket_size`` drops degenerate hot buckets (near-zero vectors
-    all hash together) before the self-join — the embedding-space twin of
-    ngram_jaccard_pairs' max_shingle_df guard: a bucket of size B emits
-    B²/2 candidates, so one hot bucket is the whole quadratic risk."""
+    Sizing at scale: expected bucket size is n/2^planes, and candidate
+    volume grows as tables × n²/2^planes — so ``planes`` must grow
+    ~log2(n/target_bucket) with corpus size (and ``tables`` with it to
+    hold recall: recall ≈ 1-(1-p^planes)^tables). The 3×12 default is
+    tuned for the fixture corpus sizes (measured recall 0.985-0.992).
+
+    Hot-bucket guard — the embedding-space twin of ngram_jaccard_pairs'
+    max_shingle_df (a bucket of size B emits B²/2 candidates, so one
+    degenerate bucket is the whole quadratic risk):
+
+    - ``max_bucket_factor`` (default, scale-safe) drops buckets larger
+      than factor × the MEAN bucket size, so the cap tracks corpus size
+      and only degenerate spikes (e.g. near-zero vectors, which share
+      every table's bucket) are dropped. An absolute cap does NOT scale:
+      capping at 200 on a 2000-vector corpus whose expected bucket is
+      250 dropped 89/96 buckets and collapsed recall to 0.125.
+    - ``max_bucket_size`` (absolute) remains for explicit bounds."""
     b = multi_table_lsh_buckets(df, planes, tables, key, vec, dim)
-    if max_bucket_size is not None:
-        keep = (
-            b.groupBy("table", "bucket")
-            .agg(F.count(F.lit(1)).alias("__bsz"))
-            .filter(F.col("__bsz") <= max_bucket_size)
-            .select("table", "bucket")
-        )
+    if max_bucket_size is not None or max_bucket_factor is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        keep_pred = F.lit(True)
+        if max_bucket_size is not None:
+            keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_size)
+        if max_bucket_factor is not None:
+            # mean over (table, bucket) cells ≈ n/2^planes for sane data;
+            # the sizes table is tiny (tables × 2^planes rows), so the
+            # global-mean window costs nothing
+            sizes = sizes.withColumn(
+                "__avg", F.avg("__bsz").over(Window.partitionBy(F.lit(1)))
+            )
+            keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_factor * F.col("__avg"))
+        keep = sizes.filter(keep_pred).select("table", "bucket")
         b = b.join(F.broadcast(keep), on=["table", "bucket"])
-    left = b.select("table", "bucket", F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
-    right = b.select("table", "bucket", F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
-    return (
+    # Candidate generation carries IDS ONLY — the bucket self-join can emit
+    # tables × B²/2 rows, and shuffling two dim-wide vectors per row was a
+    # measured 4× slowdown. Vectors re-attach AFTER the pair dedup; the
+    # re-rank set is far smaller than the raw candidate stream.
+    left = b.select("table", "bucket", F.col(key).alias("d1"))
+    right = b.select("table", "bucket", F.col(key).alias("d2"))
+    pairs = (
         left.join(right, on=["table", "bucket"])
         .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2", "__v1", "__v2")
+        .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])  # union across tables
+    )
+    v1 = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
+    v2 = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
+    return (
+        pairs.join(v1, "d1")
+        .join(v2, "d2")
         .select("d1", "d2", cosine(F.col("__v1"), F.col("__v2")).alias("__cos"))
         .filter(F.col("__cos") >= threshold)
         .select("d1", "d2", F.round("__cos", 4).alias("cosine"))
