@@ -103,3 +103,51 @@ def test_salted_join_rejects_non_invariant_how(spark):
     big2 = spark.createDataFrame([(1, 1), (2, 2)], "k int, p int")
     out = salted_join(big2, small, keys=["k"], salt=4, how="left").collect()
     assert len(out) == 2 and {r["k"] for r in out} == {1, 2}
+
+
+# ---------------------------------------------------------------------------
+# Registry-wide physical-plan invariants: the ".explain and iterate" loop
+# made durable. Every registered query's OPTIMIZED plan must uphold the
+# SCALE.md rules — no accidental cartesian products, no Python in
+# relational paths — so a regression fails CI, not a 100 TB run.
+# ---------------------------------------------------------------------------
+
+# Queries whose SEMANTICS are an all-pairs comparison (oracle/recall
+# baselines, small-SF only by contract — SCALE.md documents each), plus
+# q_hybrid_search, whose dense leg broadcasts the CONSTANT-SIZED query
+# batch against the corpus (a != join over a tiny broadcast side is one
+# linear corpus pass, not a quadratic blowup).
+_ALLOWED_NESTED_LOOP = {"q_ann_topk", "q_ann_topk_arrow", "q_ann_neardup", "q_hybrid_search"}
+
+# Queries that legitimately cross into Python (Arrow-batched, SURVEY §2.10).
+_ALLOWED_PYTHON = {"q_multimodal_features", "q_pack_sequences", "q_ann_topk_arrow"}
+
+
+def _registry_plans(spark):
+    from c_tran_data_pipeline_spark.plans import all_queries
+    from tests.conftest import SF_SMOKE
+
+    for name, spec in all_queries().items():
+        df = spec.builder(spark, SF_SMOKE)
+        # static physical plan (pre-AQE) — join strategy and Python-eval
+        # nodes are already decided here, no execution needed
+        yield name, df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_no_unexpected_nested_loop_joins(spark):
+    offenders = [
+        n
+        for n, plan in _registry_plans(spark)
+        if "NestedLoopJoin" in plan and n not in _ALLOWED_NESTED_LOOP
+    ]
+    assert not offenders, f"quadratic join shape crept into: {offenders}"
+
+
+def test_no_unexpected_python_in_plans(spark):
+    markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+    offenders = [
+        n
+        for n, plan in _registry_plans(spark)
+        if any(m in plan for m in markers) and n not in _ALLOWED_PYTHON
+    ]
+    assert not offenders, f"Python eval crept into relational plans: {offenders}"
