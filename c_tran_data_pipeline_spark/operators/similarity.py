@@ -354,6 +354,39 @@ def ivf_index(
     return cents, assigned
 
 
+def write_ivf_index(
+    index: tuple[list[tuple[int, list[float]]], DataFrame], path: str
+) -> None:
+    """Persist an IVF index: the cell-assigned corpus partitioned BY CELL
+    (``partitionBy('centroid_id')``) plus the centroid table as an
+    underscore-prefixed JSON sidecar (Spark readers skip ``_``-files).
+    The layout is the point: a later search that filters on probed cells
+    reads only those cells' directories — partition pruning does the
+    nprobe/nlist work reduction at the STORAGE layer."""
+    import json
+    import os
+
+    cents, assigned = index
+    assigned.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump(cents, f)
+
+
+def read_ivf_index(
+    spark: SparkSession, path: str
+) -> tuple[list[tuple[int, list[float]]], DataFrame]:
+    """Load a persisted IVF index (see write_ivf_index). The returned
+    corpus DataFrame is the partitioned-by-cell scan; pass it to
+    ivf_search with ``static_cell_pruning=True`` so only probed cell
+    partitions are read."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in json.load(f)]
+    return cents, spark.read.parquet(path)
+
+
 def ivf_search(
     index: tuple[list[tuple[int, list[float]]], DataFrame],
     queries: DataFrame,
@@ -361,10 +394,17 @@ def ivf_search(
     nprobe: int = 4,
     key: str = "vec_id",
     vec: str = "embedding",
+    static_cell_pruning: bool = False,
 ) -> DataFrame:
     """Search a prebuilt IVF index: probe nprobe cells per query (pure
     projection), equi-join candidates on centroid_id, exact-cosine
-    re-rank. See ivf_topk for the one-shot convenience form."""
+    re-rank. See ivf_topk for the one-shot convenience form.
+
+    ``static_cell_pruning``: collect the probed-cell union (≤ nlist ids;
+    the query batch is small by contract) and push it as a literal IN
+    filter on the corpus side. Against a write_ivf_index layout this
+    becomes a parquet PartitionFilter — the scan physically reads only
+    the probed cells' directories instead of relying on runtime DPP."""
     cents, corpus_cells = index
     qv = _as_double(F.col(vec))
     query_probes = queries.select(
@@ -372,6 +412,11 @@ def ivf_search(
         qv.alias("__qv"),
         F.explode(_probe_cells(qv, cents, nprobe)).alias("centroid_id"),
     )
+    if static_cell_pruning:
+        probed = sorted(
+            r["centroid_id"] for r in query_probes.select("centroid_id").distinct().collect()
+        )
+        corpus_cells = corpus_cells.filter(F.col("centroid_id").isin(probed))
     candidates = (
         corpus_cells.join(query_probes, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
