@@ -78,12 +78,19 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    # The headline set grew from 20 (r1) to 22 queries in r2
+    # (+q_ann_neardup_lsh, +q_decontaminate); r01_comparable_total sums
+    # only the original 20 so round-over-round totals compare
+    # like-for-like.
+    r01_set = [n for n in HEADLINE if n not in ("q_ann_neardup_lsh", "q_decontaminate")]
     print(
         json.dumps(
             {
                 "metric": "headline_total",
                 "value": total,
                 "unit": "sec",
+                "n_queries": len(timings),
+                "r01_comparable_total": round(sum(timings.get(n, 0.0) for n in r01_set), 3),
                 "queries": timings,
                 "sf": sf,
             }
