@@ -10,6 +10,10 @@ test:
 oracle:
 	python -m c_tran_data_pipeline_spark.oracle
 
+# adds the external-comparator dtype checks (float-vs-int, list columns)
+oracle-typed:
+	python -m c_tran_data_pipeline_spark.oracle --typed
+
 oracle-sf01:
 	SPARK_GRAFT_ORACLE_SF=/root/testdata/sf0.1 python -m c_tran_data_pipeline_spark.oracle
 

@@ -88,6 +88,41 @@ def compare_query(spark: SparkSession, name: str, sf_dir: str) -> CompareResult:
     return CompareResult(name, True, len(s_rows), len(o_rows))
 
 
+def typed_gate_check(spark: SparkSession, name: str, sf_dir: str) -> str | None:
+    """Detect the two dtype classes that break an EXTERNAL typed-value
+    comparator even when canonical values match (both bit us in round 1):
+
+    - a column that is floating on one engine and integral on the other
+      (DuckDB widens integer SUMs to HUGEINT, which pandas materializes
+      as float — '1.0' vs '1' hash mismatch);
+    - an unsortable (list-typed) output column (pandas sort_values
+      crashes, the comparator records an error instead of a result).
+
+    Width-only gaps (int32 vs int64, ns vs us timestamps) are fine —
+    round 1 evidence shows the driver canonicalizes those."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    spec = all_queries()[name]
+    if spec.oracle is None:
+        sdf = spec.builder(spark, sf_dir).toPandas()
+        odf = None
+    else:
+        sdf = spec.builder(spark, sf_dir).toPandas()
+        odf = duckdb_connect(sf_dir).execute(spec.oracle).df()
+    problems = []
+    frames = [("spark", sdf)] + ([("oracle", odf)] if odf is not None else [])
+    for side, df in frames:
+        for c in df.columns:
+            if df[c].map(lambda v: isinstance(v, (list, dict))).any():
+                problems.append(f"{side}.{c} is list/dict-typed (comparator sort crash)")
+    if odf is not None:
+        for c in set(sdf.columns) & set(odf.columns):
+            sk, ok_ = sdf[c].dtype.kind, odf[c].dtype.kind
+            if {sk, ok_} == {"f", "i"} or {sk, ok_} == {"f", "u"}:
+                problems.append(f"{c}: float on one engine, integer on the other")
+    return "; ".join(problems) or None
+
+
 def main() -> int:
     import sys
 
@@ -95,14 +130,21 @@ def main() -> int:
     from c_tran_data_pipeline_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF", "/root/testdata/sf0.01")
-    names = sys.argv[1:] or list(all_queries())
+    args = sys.argv[1:]
+    typed = "--typed" in args
+    names = [a for a in args if not a.startswith("--")] or list(all_queries())
     spark = get_spark("oracle-parity")
     failures = 0
     for n in names:
         r = compare_query(spark, n, sf_dir)
         status = "OK  " if r.ok else "FAIL"
-        print(f"{status} {n}: spark={r.spark_rows} oracle={r.oracle_rows} {r.detail}")
-        failures += 0 if r.ok else 1
+        extra = ""
+        if typed:
+            t = typed_gate_check(spark, n, sf_dir)
+            if t:
+                status, extra = "FAIL", f" [typed-gate: {t}]"
+        print(f"{status} {n}: spark={r.spark_rows} oracle={r.oracle_rows} {r.detail}{extra}")
+        failures += 0 if status.startswith("OK") else 1
     return 1 if failures else 0
 
 

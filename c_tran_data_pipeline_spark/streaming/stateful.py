@@ -24,6 +24,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 TRIP_SUMMARY_SCHEMA = T.StructType(
     [
@@ -129,5 +130,87 @@ def track_trips(crumbs: DataFrame) -> DataFrame:
             stateStructType=STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-vehicle running stats via transformWithStateInPandas — the Spark 4
+# arbitrary-state API (successor to applyInPandasWithState): typed state
+# handles (ValueState/ListState/MapState), timers, and TTL live on a
+# StatefulProcessorHandle, and state is served by the RocksDB state store
+# (set spark.sql.streaming.stateStore.providerClass to
+# RocksDBStateStoreProvider — required by transformWithState, and the
+# right provider at 100 TB anyway: state spills to disk instead of
+# executor heap). Same engine contract as track_trips: state partitions
+# by key across executors, O(1) aggregates per key, never buffered rows.
+# ---------------------------------------------------------------------------
+
+VEHICLE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("vehicle_id", T.IntegerType()),
+        T.StructField("n_readings", T.LongType()),
+        T.StructField("max_speed", T.DoubleType()),
+        T.StructField("sum_speed", T.DoubleType()),
+        T.StructField("n_speeding", T.LongType()),
+    ]
+)
+
+_VEHICLE_STATE_DDL = "n BIGINT, max_speed DOUBLE, sum_speed DOUBLE, n_speeding BIGINT"
+
+
+class VehicleStatsProcessor(StatefulProcessor):
+    """StatefulProcessor: per-vehicle odometer — reading count, max/sum
+    speed, count of speed > threshold readings (the reference's V4 bound
+    re-used as a 'speeding' telemetry signal)."""
+
+    def __init__(self, speeding_threshold: float = 70.0):
+        self._threshold = speeding_threshold
+
+    def init(self, handle) -> None:
+        self._agg = handle.getValueState("agg", _VEHICLE_STATE_DDL)
+
+    def handleInputRows(self, key, rows, timerValues):
+        if self._agg.exists():
+            n, mx, sm, nsp = self._agg.get()
+        else:
+            n, mx, sm, nsp = 0, float("-inf"), 0.0, 0
+        for pdf in rows:
+            speeds = pdf["speed"].dropna()
+            n += len(pdf)
+            if len(speeds):
+                mx = max(mx, float(speeds.max()))
+                sm += float(speeds.sum())
+                nsp += int((speeds > self._threshold).sum())
+        self._agg.update((n, mx, sm, nsp))
+        yield pd.DataFrame(
+            {
+                "vehicle_id": [int(key[0])],
+                "n_readings": [n],
+                "max_speed": [None if mx == float("-inf") else mx],
+                "sum_speed": [sm],
+                "n_speeding": [nsp],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def track_vehicle_stats(crumbs: DataFrame, speeding_threshold: float = 70.0) -> DataFrame:
+    """Streaming per-vehicle stats over conformed breadcrumbs via
+    transformWithStateInPandas. Requires the RocksDB state store:
+
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    """
+    return (
+        crumbs.select("vehicle_id", "speed")
+        .groupBy("vehicle_id")
+        .transformWithStateInPandas(
+            statefulProcessor=VehicleStatsProcessor(speeding_threshold),
+            outputStructType=VEHICLE_STATS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )
