@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 
 from c_tran_data_pipeline_spark.functions.json_utils import json_get
 from c_tran_data_pipeline_spark.functions.transforms import null_if_empty, service_key_for
+from c_tran_data_pipeline_spark.operators.fence import eval_once
 from c_tran_data_pipeline_spark.operators.upsert import first_wins, merge_update
 from c_tran_data_pipeline_spark.plans.registry import query
 from c_tran_data_pipeline_spark.sources.readers import load_table
@@ -140,12 +141,14 @@ def q_conform_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.alias("k"),
         service_key_for(F.col("ts")).alias("service_key"),
     )
-    # No exchange fence: re-measured at sf0.1 (r2), the unfenced plan is
-    # FASTER (1.2-1.4 s vs 1.4-2.2 s) — pushdown lets V1/V2/V4 reach the
-    # parquet scan for row-group skipping, and the JSON re-evaluation it
-    # costs is cheaper than a full-table shuffle, which would be the
-    # dominant cost at 100 TB. (At that scale the real answer is
-    # materializing the conformed silver table once; see SCALE.md.)
+    # Generate fence (operators/fence.py): without it, pushdown expands
+    # the V1-V5 filter to five copies of the variant parseJson per row —
+    # FilterExec does no subexpression elimination — measured 2.65 s vs
+    # 0.36-0.73 s fenced at sf0.1 (compute alone is 0.03 s). The fence is
+    # shuffle-free, so nothing here gets more expensive at 100 TB; the
+    # predicates it blocks from the scan are all on derived/variant
+    # values, which were never parquet-pushable anyway.
+    conformed = eval_once(conformed)
     return conformed.filter(
         F.col("event_id").isNotNull()  # V1
         & F.col("ts").isNotNull()  # V2
@@ -215,12 +218,11 @@ def q_breadcrumb_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         (k * 5).cast("string").alias("DIRECTION"),
         F.floor("value").cast("string").alias("VELOCITY"),
     )
-    # No exchange fence (see q_conform_validate): re-measured at sf0.1
-    # (r2), fenced and unfenced plans run within noise (~2.1 s) — codegen
-    # subexpression elimination already evaluates the shared date-parse
-    # chain once per stage — so the plan keeps the scan→filter shape that
-    # avoids a full-table shuffle at scale.
-    return validate(conform_breadcrumbs(raw))
+    # Generate fence before validate (see q_conform_validate and
+    # operators/fence.py): V3/V5 otherwise re-expand the variant parse
+    # and date-derivation chains inside the filter, where no
+    # subexpression elimination applies. Shuffle-free.
+    return validate(eval_once(conform_breadcrumbs(raw)))
 
 
 # ---------------------------------------------------------------------------

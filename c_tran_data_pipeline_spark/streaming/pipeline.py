@@ -38,6 +38,7 @@ from c_tran_data_pipeline_spark.functions.transforms import (
     split_star,
 )
 from c_tran_data_pipeline_spark.functions.validation import validate
+from c_tran_data_pipeline_spark.operators.fence import eval_once
 from c_tran_data_pipeline_spark.operators.upsert import first_wins, insert_if_absent, merge_update
 
 
@@ -69,7 +70,11 @@ def conform_validate_stream(raw: DataFrame, watermark: str = "48 hours") -> Data
     """Shared conform+validate plan: P1-P5 transforms, V1-V5 reject-row
     validation, watermark = the reference's 48h bound made a real
     event-time watermark (T5)."""
-    conformed = conform_breadcrumbs(raw)
+    # eval_once: stateless Generate fence — the V1-V5 filter otherwise
+    # re-evaluates the conform derivations per predicate reference (see
+    # operators/fence.py). Safe pre-watermark: it neither reorders nor
+    # drops rows.
+    conformed = eval_once(conform_breadcrumbs(raw))
     return validate(conformed).withWatermark("tstamp", watermark)
 
 
