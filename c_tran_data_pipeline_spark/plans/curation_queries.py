@@ -212,7 +212,12 @@ def q_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_score("text").alias("quality"),
     )
     kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.2))
-    exact = exact_dedup(kept, content="text", key="doc_id")
+    # exact is consumed TWICE (shingled into LSH pairs, then joined against
+    # the cluster labels) — materialize the scan→score→dedup cascade once.
+    # Lazy checkpoint: the CC loop's eager checkpoint of its edge list is
+    # the first action, so this caches as a byproduct of work already done
+    # (the cluster equivalent of writing the silver layer before near-dup).
+    exact = exact_dedup(kept, content="text", key="doc_id").localCheckpoint(eager=False)
     pairs = minhash_lsh_candidates(exact, num_hashes=16, bands=4)
     comp = dedup_clusters(pairs)
     # survivors: docs not in any cluster, or the cluster representative
