@@ -680,10 +680,11 @@ def embedding_neardup_pairs_lsh(
             keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_size)
         if max_bucket_factor is not None:
             # mean over (table, bucket) cells ≈ n/2^planes for sane data;
-            # the sizes table is tiny (tables × 2^planes rows), so the
-            # global-mean window costs nothing
-            sizes = sizes.withColumn(
-                "__avg", F.avg("__bsz").over(Window.partitionBy(F.lit(1)))
+            # partial-agg the scalar and broadcast it back — a global
+            # window here would single-partition the sizes table (Catalyst
+            # folds a literal partition key away)
+            sizes = sizes.crossJoin(
+                F.broadcast(sizes.agg(F.avg("__bsz").alias("__avg")))
             )
             keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_factor * F.col("__avg"))
         keep = sizes.filter(keep_pred).select("table", "bucket")
