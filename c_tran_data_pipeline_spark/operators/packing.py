@@ -29,6 +29,47 @@ from pyspark.sql import types as T
 
 from c_tran_data_pipeline_spark.functions.text import md5_long, token_count
 
+def chunk_documents(
+    docs: DataFrame,
+    chunk_size: int = 64,
+    stride: int = 48,
+    key: str = "doc_id",
+    text: str = "text",
+) -> DataFrame:
+    """Context-window chunking — the step BEFORE packing: split each
+    document's token stream into fixed-size chunks every ``stride``
+    tokens (stride < chunk_size ⇒ consecutive chunks overlap by
+    chunk_size - stride, the sliding-window scheme tokenizer pipelines
+    use so no span is ever cut without context). Emits one row per
+    (doc, chunk): chunk_id, start token ordinal (1-based), the chunk's
+    token count (< chunk_size only on the tail), and md5 of the
+    space-rejoined chunk so downstream dedup/verification never carries
+    chunk text.
+
+    Scale shape: split + sequence + explode + slice — a pure per-row
+    projection pipeline, zero shuffle, stays in codegen end-to-end. The
+    fan-out factor is ~n_tokens/stride; Spark's explode streams it, so
+    no row ever materializes the full chunk list."""
+    if chunk_size < 1 or stride < 1:
+        raise ValueError("chunk_documents: chunk_size and stride must be >= 1")
+    w = F.split(F.trim(F.col(text)), r"\s+")
+    starts = F.explode(
+        F.sequence(F.lit(1), F.greatest(F.array_size("__w"), F.lit(1)), F.lit(stride))
+    )
+    chunk = F.slice(F.col("__w"), F.col("s"), chunk_size)
+    return (
+        docs.select(F.col(key), w.alias("__w"))
+        .select(F.col(key), F.col("__w"), starts.alias("s"))
+        .select(
+            F.col(key),
+            ((F.col("s") - 1) / stride).cast("long").alias("chunk_id"),
+            F.col("s").alias("chunk_start"),
+            F.array_size(chunk).cast("long").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+        )
+    )
+
+
 PACK_SCHEMA = T.StructType(
     [
         T.StructField("shard", T.LongType()),

@@ -9,7 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from c_tran_data_pipeline_spark.functions.text import words
-from c_tran_data_pipeline_spark.operators.packing import pack_sequences
+from c_tran_data_pipeline_spark.operators.packing import chunk_documents, pack_sequences
 from c_tran_data_pipeline_spark.plans.registry import query
 from c_tran_data_pipeline_spark.sources.readers import load_table
 
@@ -74,6 +74,37 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_tokens",
         "overflow",
     )
+
+
+@query(
+    "q_chunk_documents",
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        FROM documents
+    ),
+    starts AS (
+        SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words), 1), 48)) AS s
+        FROM w
+    )
+    SELECT doc_id,
+           CAST((s - 1) / 48 AS BIGINT) AS chunk_id,
+           s AS chunk_start,
+           CAST(len(words[s:s+63]) AS BIGINT) AS n_tokens,
+           md5(array_to_string(words[s:s+63], ' ')) AS chunk_hash
+    FROM starts
+    """,
+    doc="operators/packing.py chunk_documents: sliding context-window "
+    "chunking (64-token chunks every 48 tokens → 16-token overlap), the "
+    "tokenize→window step before packing. Pure split+sequence+explode+"
+    "slice projection — zero shuffle, codegen end-to-end; chunks leave "
+    "as md5 fingerprints so text never fans out.",
+    tags=("packing", "text"),
+)
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=64, stride=48)
 
 
 @query(

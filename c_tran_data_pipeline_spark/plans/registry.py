@@ -83,6 +83,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_text_repetition",
     "q_pii_scrub",
     "q_decontaminate",
+    "q_chunk_documents",
 )
 
 
