@@ -84,6 +84,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_pii_scrub",
     "q_decontaminate",
     "q_chunk_documents",
+    "q_length_histogram",
 )
 
 

@@ -44,6 +44,46 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_length_histogram",
+    r"""
+    WITH n AS (
+        SELECT len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    )
+    SELECT CAST(least(floor(n_tokens / 32), 15) AS BIGINT) AS bucket,
+           CAST(least(floor(n_tokens / 32), 15) AS BIGINT) * 32 AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM n
+    GROUP BY 1, 2
+    """,
+    doc="Token-length histogram (32-token buckets, top bucket open-ended "
+    "at 480+): the corpus diagnostic behind chunk/pack sizing — bucket "
+    "width vs chunk budget decides padding waste. Engine-portable "
+    "explicit bucket arithmetic (no width_bucket dialect drift); "
+    "partial-agg to 16 rows before one exchange.",
+    tags=("text", "histogram"),
+)
+def q_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(token_count("text") / 32), F.lit(15)).cast("long")
+    return (
+        d.select(bucket.alias("bucket"), token_count("text").alias("__n"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__n").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 32).alias("bucket_lo"),
+            "n_docs",
+            "total_tokens",
+        )
+    )
+
+
 def _score_sql(lang: str) -> str:
     pattern = r"\b(" + "|".join(LANG_PROFILES[lang]) + r")\b"
     return f"len(regexp_extract_all(lower(text), '{pattern}'))"
