@@ -612,6 +612,33 @@ def cosine_topk_arrow(
     )
 
 
+def label_centroids(
+    df: DataFrame, label: str = "label", vec: str = "embedding"
+) -> DataFrame:
+    """Per-label element-wise embedding mean in LONG form
+    (label, dim, n_vecs, mean) — class centroids for nearest-class-mean
+    classification, cluster diagnostics, and coarse-quantizer seeding
+    (the distributed twin of _centroid_means, which keeps the same
+    computation driver-side for IVF's nlist×dim KBs).
+
+    Scale shape: posexplode fans each vector into (label, dim, x) rows,
+    map-side partial aggregation collapses every partition to
+    |labels|×dim sums before the single exchange — the corpus's float
+    payload never shuffles. Sums run in exact DECIMAL then cast to
+    DOUBLE so the result is associativity-proof (bit-stable on any
+    partitioning / any engine); long form keeps gate output scalar."""
+    pos = df.select(
+        F.col(label), F.posexplode(_as_double(F.col(vec))).alias("dim", "x")
+    )
+    n = F.count(F.lit(1))
+    return pos.groupBy(label, "dim").agg(
+        n.alias("n_vecs"),
+        F.round(
+            F.sum(F.col("x").cast("decimal(30,10)")).cast("double") / n, 6
+        ).alias("mean"),
+    ).select(F.col(label), F.col("dim").cast("long").alias("dim"), "n_vecs", "mean")
+
+
 def embedding_neardup_pairs(
     df: DataFrame, threshold: float = 0.4, key: str = "vec_id", vec: str = "embedding"
 ) -> DataFrame:

@@ -85,6 +85,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_decontaminate",
     "q_chunk_documents",
     "q_length_histogram",
+    "q_label_centroids",
 )
 
 

@@ -21,6 +21,7 @@ from c_tran_data_pipeline_spark.operators.similarity import (
     embedding_neardup_pairs_lsh,
     hyperplane_lsh_buckets,
     ivf_topk,
+    label_centroids,
 )
 from c_tran_data_pipeline_spark.plans.registry import query
 from c_tran_data_pipeline_spark.sources.readers import load_table
@@ -117,6 +118,31 @@ def q_ann_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs_lsh(
         load_table(spark, sf_dir, "embeddings"), threshold=0.4, planes=3, tables=12, dim=64
     )
+
+
+@query(
+    "q_label_centroids",
+    """
+    WITH pos AS (
+        SELECT label,
+               unnest(list_transform(CAST(embedding AS DOUBLE[]),
+                                     (x, i) -> {'x': x, 'i': i})) AS s
+        FROM embeddings
+    )
+    SELECT label, CAST(s.i - 1 AS BIGINT) AS dim,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(s.x AS DECIMAL(30,10))) AS DOUBLE) / COUNT(*), 6) AS mean
+    FROM pos GROUP BY 1, 2
+    """,
+    doc="operators/similarity.py label_centroids: per-label element-wise "
+    "embedding mean (class centroids) in long (label, dim) form. "
+    "posexplode fan-out, map-side partial agg to |labels|×dim sums "
+    "before the one exchange — vectors never shuffle; DECIMAL-exact "
+    "sums cast to DOUBLE make the mean associativity-proof.",
+    tags=("similarity", "agg"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
 def _bucket_sql(planes: int = 8) -> str:

@@ -213,3 +213,31 @@ def test_ivf_index_persist_prune_roundtrip(spark, tmp_path):
 
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "centroid_id" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_label_centroids_match_numpy_and_partitioning_invariant(spark):
+    import numpy as np
+    from c_tran_data_pipeline_spark.operators.similarity import label_centroids
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    out = {
+        (r["label"], r["dim"]): (r["n_vecs"], r["mean"])
+        for r in label_centroids(emb).collect()
+    }
+    rows = emb.collect()
+    by_label: dict[int, list] = {}
+    for r in rows:
+        by_label.setdefault(r["label"], []).append(np.array(r["embedding"], dtype=np.float64))
+    for label, vecs in by_label.items():
+        m = np.mean(np.stack(vecs), axis=0)
+        for dim in range(len(m)):
+            n_vecs, mean = out[(label, dim)]
+            assert n_vecs == len(vecs)
+            assert abs(mean - m[dim]) < 1e-6
+    # decimal-exact sums: identical on any partitioning
+    repartitioned = label_centroids(emb.repartition(17)).collect()
+    assert sorted(map(tuple, repartitioned)) == sorted(
+        (l, d, n, v) for (l, d), (n, v) in out.items()
+    )
