@@ -47,6 +47,7 @@ HEADLINE = [
     "q_decontaminate",
     "q_chunk_documents",
     "q_label_centroids",
+    "q_boilerplate_scrub",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -56,6 +57,7 @@ _POST_R01 = (
     "q_decontaminate",
     "q_chunk_documents",
     "q_label_centroids",
+    "q_boilerplate_scrub",
 )
 
 

@@ -115,6 +115,68 @@ def incremental_ingest(
     return exact_dedup(fresh, content=content, key=key)
 
 
+def boilerplate_scrub(
+    df: DataFrame,
+    lines: str = "lines",
+    key: str = "doc_id",
+    min_df: int = 3,
+    min_df_frac: float = 0.05,
+    sep: str = "\n",
+) -> DataFrame:
+    """C4-style line-level boilerplate removal: a line that recurs across
+    ``max(min_df, ceil(min_df_frac · n_docs))`` distinct documents is
+    boilerplate (nav bars, cookie banners, license footers) and is dropped
+    from every document; survivors are reassembled in original order.
+    The relative threshold is what survives a 100× corpus growth — an
+    absolute cutoff silently stops firing as n_docs grows.
+
+    Input: one row per document with an ordered ``array<string>`` line
+    column. Output: (key, n_lines, n_kept, n_dropped, clean_text).
+
+    Scale shape: line frequency aggregates on the 128-bit line digest
+    (the shuffle carries 16-byte hashes + doc keys, never text); the
+    boiler set is tiny by construction (high-frequency lines are few
+    distinct) so the removal is a broadcast anti-join; reassembly is the
+    single shuffle that moves text, once, keyed by document. No driver
+    collection anywhere."""
+    ex = df.select(
+        F.col(key),
+        F.posexplode(F.col(lines)).alias("__pos", "__line"),
+    ).withColumn("__h", F.md5(F.col("__line")))
+    dfreq = ex.groupBy("__h").agg(F.countDistinct(key).alias("__df"))
+    ndocs = df.select(F.countDistinct(key).alias("__n"))
+    boiler = (
+        dfreq.crossJoin(F.broadcast(ndocs))
+        .filter(
+            F.col("__df")
+            >= F.greatest(F.lit(min_df).cast("bigint"), F.ceil(F.lit(min_df_frac) * F.col("__n")))
+        )
+        .select("__h")
+    )
+    kept = ex.join(F.broadcast(boiler), on="__h", how="left_anti")
+    rebuilt = kept.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+    )
+    totals = df.select(F.col(key), F.size(F.col(lines)).alias("n_lines"))
+    return (
+        totals.join(rebuilt, on=key, how="left")
+        .select(
+            key,
+            "n_lines",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            (F.col("n_lines") - F.coalesce("n_kept", F.lit(0))).alias("n_dropped"),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_df: DataFrame,

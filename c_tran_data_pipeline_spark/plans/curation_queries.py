@@ -263,3 +263,98 @@ def q_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     existing = d.filter(F.col("doc_id") % 5 == 0)
     incoming = d.filter(F.col("doc_id") % 5 != 0)
     return incremental_ingest(incoming, existing).select("doc_id", "source", "n_chars")
+
+
+_BOILER_NEWSLETTER = "subscribe to our newsletter for updates"
+_BOILER_COPYRIGHT = "all rights reserved copyright notice"
+
+
+@query(
+    "q_boilerplate_scrub",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents
+    ),
+    base AS (
+        SELECT doc_id, list_transform(
+            generate_series(0, CAST(floor((len(toks)-1)/12) AS INT)),
+            i -> array_to_string(toks[i*12+1 : i*12+12], ' ')) AS lines
+        FROM t
+    ),
+    p1 AS (
+        SELECT doc_id, CASE WHEN doc_id % 3 = 0
+            THEN lines[1:1] || ['subscribe to our newsletter for updates'] || lines[2:]
+            ELSE lines END AS lines
+        FROM base
+    ),
+    p2 AS (
+        SELECT doc_id, CASE WHEN doc_id % 5 = 0
+            THEN lines || ['all rights reserved copyright notice']
+            ELSE lines END AS lines
+        FROM p1
+    ),
+    ex AS (
+        SELECT doc_id, u.pos AS pos, u.line AS line
+        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(lines)),
+                     i -> {'pos': i, 'line': lines[i]})) AS u FROM p2)
+    ),
+    dfreq AS (SELECT md5(line) AS h, COUNT(DISTINCT doc_id) AS ddf FROM ex GROUP BY 1),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents),
+    boiler AS (SELECT h FROM dfreq, tot WHERE ddf >= greatest(3, CAST(ceil(0.05*n) AS BIGINT))),
+    kept AS (SELECT ex.doc_id, ex.pos, ex.line FROM ex ANTI JOIN boiler ON md5(ex.line) = boiler.h),
+    reb AS (SELECT doc_id, COUNT(*) AS n_kept,
+                   array_to_string(list(line ORDER BY pos), chr(10)) AS clean
+            FROM kept GROUP BY 1)
+    SELECT p2.doc_id,
+           len(p2.lines) AS n_lines,
+           coalesce(reb.n_kept, 0) AS n_kept,
+           len(p2.lines) - coalesce(reb.n_kept, 0) AS n_dropped,
+           md5(coalesce(reb.clean, '')) AS clean_hash
+    FROM p2 LEFT JOIN reb USING (doc_id)
+    """,
+    doc="C4-style line-level boilerplate removal "
+    "(operators/curation.py:boilerplate_scrub): documents are wrapped "
+    "into 12-token lines (the fixture has no newlines) and two canonical "
+    "boilerplate lines are planted on every 3rd/5th doc — the scrub must "
+    "then find them BY FREQUENCY (line recurs across >= max(3, ceil(5% "
+    "of docs)) distinct documents) and strip them while reassembling "
+    "every untouched line in order. The relative threshold is the part "
+    "that survives 100x corpus growth. Line frequency aggregates on "
+    "16-byte md5 digests; removal is a broadcast anti-join; reassembly "
+    "is the one shuffle that moves text. Output carries md5(clean_text) "
+    "so compared rows stay narrow.",
+    tags=("curation", "text", "quality"),
+)
+def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import boilerplate_scrub
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_src_lines = F.floor((F.size(toks) - 1) / F.lit(12)).cast("int")
+    lines = F.transform(
+        F.sequence(F.lit(0), n_src_lines),
+        lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
+    )
+    with_lines = d.select("doc_id", lines.alias("lines"))
+    l = F.col("lines")
+    planted1 = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(
+            F.slice(l, 1, 1),
+            F.array(F.lit(_BOILER_NEWSLETTER)),
+            F.slice(l, 2, F.greatest(F.size(l) - 1, F.lit(0))),
+        ),
+    ).otherwise(l)
+    p1 = with_lines.select("doc_id", planted1.alias("lines"))
+    planted2 = F.when(
+        F.col("doc_id") % 5 == 0, F.concat(l, F.array(F.lit(_BOILER_COPYRIGHT)))
+    ).otherwise(l)
+    p2 = p1.select("doc_id", planted2.alias("lines"))
+    scrubbed = boilerplate_scrub(p2, lines="lines", key="doc_id", min_df=3, min_df_frac=0.05)
+    return scrubbed.select(
+        "doc_id",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.col("n_kept").cast("bigint").alias("n_kept"),
+        F.col("n_dropped").cast("bigint").alias("n_dropped"),
+        F.md5("clean_text").alias("clean_hash"),
+    )

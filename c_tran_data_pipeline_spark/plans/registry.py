@@ -86,6 +86,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_chunk_documents",
     "q_length_histogram",
     "q_label_centroids",
+    "q_boilerplate_scrub",
+    "q_quantize_embeddings",
+    "q_ann_topk_int8",
 )
 
 

@@ -29,11 +29,13 @@ TABLES = (
 )
 
 
-# Columns written as parquet TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects; we read them as long (legacy conf) and convert to
-# microsecond timestamps with exact integer division (a double division
+# Columns that MAY be written as parquet TIMESTAMP(NANOS), which Spark's
+# vectorized reader rejects; we read them as long (legacy conf) and convert
+# to microsecond timestamps with exact integer division (a double division
 # would lose precision: ns-since-epoch ~1.7e18 > 2^53). DuckDB truncates
 # TIMESTAMP_NS→micros the same way, so oracle comparisons stay exact.
+# Fixture generations vary (micros in some drops, nanos in others), so the
+# conversion is applied only when the column actually scans as a long.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -45,8 +47,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # even when the caller's session (e.g. the driver's) isn't ours.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    dtypes = dict(df.dtypes)
     for c in _NANOS_TS_COLS.get(name, ()):
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # Micros-typed fixture drops scan as TIMESTAMP_NTZ; downstream
+            # plans use instant functions (unix_micros, window) that need
+            # TIMESTAMP. The session is pinned UTC above, so the cast
+            # reinterprets the same wall-clock value as the same instant —
+            # identical to what the nanos path produced.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -101,3 +101,44 @@ def test_decontaminate_flags_planted_overlap(spark):
     out = {r.doc_id: r.n_shared for r in decontaminate(tr, ev, n=5).collect()}
     assert 100 in out and out[100] >= 2
     assert 101 not in out
+
+
+def test_boilerplate_scrub_drops_recurring_lines_only(spark):
+    """Planted high-frequency lines vanish from every doc; unique lines
+    survive in original order; a doc made entirely of boilerplate
+    reassembles to the empty string (not a dropped row)."""
+    from c_tran_data_pipeline_spark.operators.curation import boilerplate_scrub
+
+    boiler = "click here to accept cookies"
+    rows = [
+        (1, ["alpha one", boiler, "beta two"]),
+        (2, [boiler, "gamma three"]),
+        (3, ["delta four", boiler]),
+        (4, ["epsilon five"]),
+        (5, [boiler]),  # all-boilerplate doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = {
+        r["doc_id"]: r
+        for r in boilerplate_scrub(df, min_df=3, min_df_frac=0.05).collect()
+    }
+    assert out[1]["clean_text"] == "alpha one\nbeta two"
+    assert out[1]["n_dropped"] == 1
+    assert out[2]["clean_text"] == "gamma three"
+    assert out[3]["clean_text"] == "delta four"
+    assert out[4]["n_dropped"] == 0
+    assert out[5]["clean_text"] == "" and out[5]["n_kept"] == 0
+    assert len(out) == 5
+
+
+def test_boilerplate_scrub_relative_threshold_scales(spark):
+    """With min_df_frac dominating, a line shared by 2 of 40 docs is NOT
+    boilerplate even though an absolute min_df=2 would flag it — the
+    property that keeps the cutoff meaningful as the corpus grows."""
+    from c_tran_data_pipeline_spark.operators.curation import boilerplate_scrub
+
+    rows = [(i, [f"unique line {i}", "rare shared line" if i < 2 else f"filler {i}"]) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lines array<string>")
+    out = boilerplate_scrub(df, min_df=2, min_df_frac=0.2)
+    # threshold = max(2, ceil(0.2*40)) = 8 > 2 occurrences -> nothing dropped
+    assert out.agg(F.sum("n_dropped")).collect()[0][0] == 0
