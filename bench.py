@@ -48,6 +48,7 @@ HEADLINE = [
     "q_chunk_documents",
     "q_label_centroids",
     "q_boilerplate_scrub",
+    "q_ann_topk_int8",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -58,6 +59,7 @@ _POST_R01 = (
     "q_chunk_documents",
     "q_label_centroids",
     "q_boilerplate_scrub",
+    "q_ann_topk_int8",
 )
 
 

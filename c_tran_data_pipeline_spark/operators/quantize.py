@@ -69,7 +69,14 @@ def quantize_global(
     dv = df.select(F.col(key), F.col(vec).cast("array<double>").alias("__v"))
     mx = dv.select(
         (
-            F.max(F.aggregate(F.transform("__v", F.abs), F.lit(0.0), F.greatest)) / 127.0
+            F.max(
+                F.aggregate(
+                    F.transform("__v", F.abs),
+                    F.lit(0.0),
+                    lambda acc, x: F.greatest(acc, x),
+                )
+            )
+            / 127.0
         ).alias("__scale")
     )
     return dv.crossJoin(F.broadcast(mx)).select(

@@ -324,3 +324,85 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "rank", F.round("rrf", 6).alias("rrf"))
     )
+
+
+@query(
+    "q_quantize_embeddings",
+    r"""
+    WITH ex AS (
+        SELECT vec_id, u.dim AS dim, u.v AS v
+        FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(embedding)),
+                     i -> {'dim': CAST(i AS INT), 'v': CAST(embedding[i] AS DOUBLE)})) AS u
+              FROM embeddings)
+    ),
+    scales AS (SELECT dim, max(abs(v))/127 AS s FROM ex GROUP BY 1)
+    SELECT vec_id, ex.dim AS dim,
+           CAST(greatest(-127, least(127, CAST(floor(v/s + 0.5) AS INT))) AS INT) AS q
+    FROM ex JOIN scales ON ex.dim = scales.dim
+    """,
+    doc="Per-dimension symmetric int8 quantization (operators/quantize.py "
+    "quantize_per_dim — the FAISS SQ8 shape): scale_d = max|v_d|/127 from "
+    "one 64-group partial-aggregated shuffle, broadcast back onto the "
+    "fan-out; codes are floor(v/s+0.5) — half-up via floor because "
+    "round() half-even/half-away conventions differ across engines. "
+    "float32->int8 is the 4x memory/bandwidth lever for vector search at "
+    "100 TB. Exact long-form oracle: every one of the 64xN codes is "
+    "bit-compared.",
+    tags=("similarity", "quantize"),
+)
+def q_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.quantize import quantize_per_dim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantize_per_dim(emb)
+
+
+@query(
+    "q_ann_topk_int8",
+    r"""
+    WITH mx AS (
+        SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))/127 AS s
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> greatest(-127, least(127, CAST(floor(x/s + 0.5) AS INT)))) AS q
+        FROM embeddings, mx
+    ),
+    ex AS (
+        SELECT vec_id, u.d AS d, u.q AS q
+        FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(q)),
+                     i -> {'d': i, 'q': q[i]})) AS u FROM qv)
+    ),
+    norms AS (SELECT vec_id, sqrt(CAST(SUM(q*q) AS DOUBLE)) AS nq FROM ex GROUP BY 1),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(SUM(a.q*b.q) AS DOUBLE) AS dq
+        FROM ex a JOIN ex b ON a.d = b.d AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, dq/(na.nq*nb.nq) AS cos
+        FROM dots JOIN norms na ON na.vec_id = query_id JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    ranked AS (SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine FROM ranked WHERE rank <= 3
+    """,
+    doc="Top-3 ANN on per-tensor int8 codes (operators/quantize.py "
+    "int8_cosine_topk): with ONE scale s, cosine = sum(qa*qb) / "
+    "(sqrt(sum(qa^2))*sqrt(sum(qb^2))) — s cancels, so the score is pure "
+    "integer math until the final divide and the ranking is reproducible "
+    "under ANY partitioning or fold order. That is why this approximate "
+    "path can carry an EXACT value-hash oracle (the float fold path needs "
+    "ROUND to absorb fold-order drift). Same physical shape as q_ann_topk "
+    "(broadcast queries x one corpus scan, window top-k) at 1/4 the vector "
+    "bytes; recall vs float cosine pinned in tests/test_similarity.py.",
+    tags=("similarity", "topk", "quantize"),
+)
+def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.quantize import int8_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return int8_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)

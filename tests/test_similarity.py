@@ -241,3 +241,52 @@ def test_label_centroids_match_numpy_and_partitioning_invariant(spark):
     assert sorted(map(tuple, repartitioned)) == sorted(
         (l, d, n, v) for (l, d), (n, v) in out.items()
     )
+
+
+def test_int8_topk_recall_vs_float(spark):
+    """Per-tensor int8 ranking must track the float cosine ranking
+    closely: 64-dim embeddings quantized to 8 bits lose well under one
+    rank of resolution at these cosine gaps (and the test would catch a
+    broken scale/rounding path, which scrambles ranks entirely)."""
+    from c_tran_data_pipeline_spark.operators.quantize import int8_cosine_topk
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 30")
+    exact = {(r.query_id, r.neighbor_id) for r in cosine_topk(emb, queries, k=3).collect()}
+    quant = {
+        (r.query_id, r.neighbor_id)
+        for r in int8_cosine_topk(emb, queries, k=3).collect()
+    }
+    recall = len(exact & quant) / len(exact)
+    assert recall >= 0.9, f"int8 recall@3 {recall:.2f}"
+
+
+def test_quantize_per_dim_roundtrip_error_bound(spark):
+    """Dequantized per-dim codes reconstruct every component within
+    scale_d/2 (the half-step bound symmetric quantization guarantees),
+    and codes stay in [-127, 127]."""
+    from c_tran_data_pipeline_spark.operators.quantize import quantize_per_dim
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    ex = emb.select(
+        "vec_id", F.posexplode(F.col("embedding").cast("array<double>")).alias("d0", "v")
+    ).select("vec_id", (F.col("d0") + 1).alias("dim"), "v")
+    scales = ex.groupBy("dim").agg((F.max(F.abs("v")) / 127.0).alias("s"))
+    joined = (
+        quantize_per_dim(emb)
+        .join(ex, on=["vec_id", "dim"])
+        .join(scales, on="dim")
+        .select("q", "v", "s", (F.abs(F.col("q") * F.col("s") - F.col("v"))).alias("err"))
+    )
+    row = joined.agg(
+        F.max("err").alias("max_err"),
+        F.max(F.col("err") / F.col("s")).alias("max_half_steps"),
+        F.min("q").alias("qmin"),
+        F.max("q").alias("qmax"),
+    ).collect()[0]
+    assert row["max_half_steps"] <= 0.5 + 1e-9
+    assert -127 <= row["qmin"] and row["qmax"] <= 127
