@@ -148,6 +148,73 @@ def session_stream(conformed: DataFrame, gap: str = "30 minutes") -> DataFrame:
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    lookback: str = "1 hour",
+    left_watermark: str | None = "2 hours",
+    right_watermark: str | None = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner equi-join with an event-time interval bound:
+    each left row pairs with right rows of the same ``key`` whose event
+    time falls in ``[left_ts - lookback, left_ts]`` — the streaming twin
+    of the batch as-of/range joins (operators/asof.py, q_range_join_
+    follows). E.g. enrich a breadcrumb with the stop events its trip
+    emitted in the preceding hour, as both streams flow.
+
+    Spark buffers BOTH sides in state; the interval condition plus the
+    two watermarks are what make that state bounded — a row can be
+    evicted once the other side's watermark guarantees no future match
+    (left kept ~``right_watermark``, right kept ~``left_watermark +
+    lookback``; without the time bound the join would be rejected in
+    append mode because state could never be released). Inner join =
+    append-mode emit exactly when both sides have arrived; unmatched
+    rows need an outer variant, which Spark only finalizes at watermark
+    passage.
+
+    Right columns (other than the join key) keep their names; callers
+    project/alias as needed. ``key`` appears once in the output. Pass
+    ``None`` for a watermark an upstream stage already set (a stream's
+    watermark column is defined once)."""
+    lw = (left if left_watermark is None else left.withWatermark(left_ts, left_watermark)).alias("l")
+    rw = (right if right_watermark is None else right.withWatermark(right_ts, right_watermark)).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {lookback}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
+    )
+    right_keep = [c for c in right.columns if c != key]
+    return lw.join(rw, cond, "inner").select(
+        "l.*", *[F.col(f"r.{c}").alias(c) for c in right_keep]
+    )
+
+
+def enrich_crumbs_with_stop_stream(
+    conformed_crumbs: DataFrame,
+    stop_events: DataFrame,
+    lookback: str = "1 hour",
+) -> DataFrame:
+    """Applied form: conformed breadcrumbs ⋈ a timestamped stop-event
+    stream on trip_id, stops looking back ``lookback`` from each crumb.
+    (The reference's stop file carries no event time — its batch merge
+    is K5/q_enrich_merge; this is the streaming upgrade for a feed that
+    does, e.g. arrival messages.) Watermarks: crumbs keep the T5 48h
+    bound upstream; the stop side gets the same horizon."""
+    return interval_join_streams(
+        conformed_crumbs,
+        stop_events,
+        key="trip_id",
+        left_ts="tstamp",
+        right_ts="stop_ts",
+        lookback=lookback,
+        left_watermark=None,  # T5 watermark already set by conform_validate_stream
+        right_watermark="48 hours",
+    )
+
+
 def breadcrumb_upsert_batch(trip_store: _TableStore, crumb_store: _TableStore):
     """foreachBatch body for E1: split the conformed micro-batch into the
     star pair, then Trip insert-if-absent (K4: first-writer-wins, the

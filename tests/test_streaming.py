@@ -313,3 +313,76 @@ def test_streaming_hotspot_to_geojson_sink(spark, tmpdirs, tmp_path):
     assert by_coord[(-122.67, 45.52)]["properties"]["avg_speed"] == 30.0  # (25+35)/2
     assert by_coord[(-122.5, 45.6)]["properties"]["avg_speed"] == 10.0
     assert all(f["type"] == "Feature" and f["geometry"]["type"] == "Point" for f in feats)
+
+
+def test_stream_stream_interval_join_matches_batch(spark, tmpdirs):
+    """Breadcrumb stream ⋈ timestamped stop stream on trip_id within a
+    1h lookback: the streaming result (availableNow drain) must equal
+    the identical batch join — and crumbs whose only stop candidates lie
+    outside the interval must not pair."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from c_tran_data_pipeline_spark.streaming.pipeline import (
+        conform_validate_stream,
+        enrich_crumbs_with_stop_stream,
+    )
+
+    rows = [
+        GOOD,  # 10:00:00 (ACT_TIME 36000)
+        dict(GOOD, ACT_TIME="39600"),  # 11:00:00 — 65/90 in window
+        dict(GOOD, EVENT_NO_TRIP="102", VEHICLE_ID="4009", ACT_TIME="50000"),  # no stop
+    ]
+    (tmpdirs["in"] / "crumbs.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    base = dt.datetime(2020, 9, 25)
+    stops = [
+        # 10:30 — within [crumb-1h, crumb] of the 11:00 crumb only
+        {"trip_id": 101, "stop_ts": (base + dt.timedelta(hours=10, minutes=30)).isoformat(), "route_id": 65, "arrive_state": "ontime"},
+        # 09:30 — within window of the 10:00 crumb only
+        {"trip_id": 101, "stop_ts": (base + dt.timedelta(hours=9, minutes=30)).isoformat(), "route_id": 65, "arrive_state": "late"},
+        # trip 102 at 08:00 — outside every crumb's window
+        {"trip_id": 102, "stop_ts": (base + dt.timedelta(hours=8)).isoformat(), "route_id": 20, "arrive_state": "ontime"},
+    ]
+    (tmpdirs["in2"] / "stops.json").write_text("\n".join(json.dumps(r) for r in stops))
+    stop_schema = "trip_id bigint, stop_ts timestamp, route_id int, arrive_state string"
+
+    raw = spark.readStream.schema(schemas.RAW_BREADCRUMB).json(str(tmpdirs["in"]))
+    stop_stream = spark.readStream.schema(stop_schema).json(str(tmpdirs["in2"]))
+    joined = enrich_crumbs_with_stop_stream(
+        conform_validate_stream(raw), stop_stream, lookback="1 hour"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssjoin")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdirs["ckpt1"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.trip_id, r.tstamp, r.stop_ts, r.arrive_state)
+        for r in spark.sql("SELECT * FROM ssjoin").collect()
+    }
+
+    batch_crumbs = conform_validate_stream(
+        spark.read.schema(schemas.RAW_BREADCRUMB).json(str(tmpdirs["in"]))
+    )
+    batch_stops = spark.read.schema(stop_schema).json(str(tmpdirs["in2"]))
+    expected = {
+        (r.trip_id, r.tstamp, r.stop_ts, r.arrive_state)
+        for r in batch_crumbs.alias("l")
+        .join(
+            batch_stops.alias("r"),
+            (F.col("l.trip_id") == F.col("r.trip_id"))
+            & (F.col("r.stop_ts") >= F.expr("l.tstamp - INTERVAL 1 hour"))
+            & (F.col("r.stop_ts") <= F.col("l.tstamp")),
+        )
+        .select("l.trip_id", "l.tstamp", "r.stop_ts", "r.arrive_state")
+        .collect()
+    }
+    assert got == expected
+    assert len(got) == 2  # one stop per matched crumb; trip 102 unmatched
+    states = {s for (_, _, _, s) in got}
+    assert states == {"ontime", "late"}
