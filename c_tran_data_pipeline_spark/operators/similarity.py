@@ -655,6 +655,31 @@ def embedding_neardup_pairs(
     )
 
 
+def auto_banding(
+    n: int,
+    target_bucket: int = 64,
+    base_planes: int = 3,
+    base_tables: int = 12,
+    tables_per_extra_plane: int = 4,
+) -> tuple[int, int]:
+    """Plane/table counts that keep LSH banding sub-quadratic as the
+    corpus grows. Expected bucket size is B ≈ n/2^planes and candidate
+    volume is tables·(buckets·B²/2) ≈ tables·n·B/2 — so with FIXED
+    planes, B grows linearly in n and the "scale path" silently becomes
+    all-pairs (measured at 10× the tuning corpus: nearly every pair
+    collides in some table). planes must track log2(n/target_bucket);
+    each added plane cuts per-table match probability by p (≈0.85+ for
+    dedup-grade cosine ≥0.9 pairs), so tables grows with planes to hold
+    recall ≈ 1-(1-p^planes)^tables. At the base corpus size this
+    returns exactly (base_planes, base_tables) — existing tunings and
+    oracle rows are unchanged there."""
+    import math
+
+    planes = max(base_planes, math.ceil(math.log2(max(n, 1) / target_bucket)))
+    tables = base_tables + tables_per_extra_plane * (planes - base_planes)
+    return planes, tables
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.4,

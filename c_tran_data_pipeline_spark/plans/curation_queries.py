@@ -335,7 +335,14 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(0), n_src_lines),
         lambda i: F.array_join(F.slice(toks, i * 12 + 1, 12), " "),
     )
-    with_lines = d.select("doc_id", lines.alias("lines"))
+    from c_tran_data_pipeline_spark.operators.fence import eval_once
+
+    # Fence after line construction: the planted when/concat branches
+    # below reference `lines` up to 3× each, and CollapseProject would
+    # otherwise inline (split → sequence → transform → slice) once per
+    # reference. One Generate barrier = the whole tokenize+window runs
+    # once per row.
+    with_lines = eval_once(d.select("doc_id", lines.alias("lines")))
     l = F.col("lines")
     planted1 = F.when(
         F.col("doc_id") % 3 == 0,

@@ -115,8 +115,15 @@ def q_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup"),
 )
 def q_ann_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.similarity import auto_banding
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Banding must track corpus size or bucket occupancy (and with it
+    # candidate volume) grows linearly and the join goes quadratic; at
+    # the 500-vector oracle SF this resolves to the tuned (3, 12).
+    planes, tables = auto_banding(emb.count())
     return embedding_neardup_pairs_lsh(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4, planes=3, tables=12, dim=64
+        emb, threshold=0.4, planes=planes, tables=tables, dim=64
     )
 
 

@@ -290,3 +290,21 @@ def test_quantize_per_dim_roundtrip_error_bound(spark):
     ).collect()[0]
     assert row["max_half_steps"] <= 0.5 + 1e-9
     assert -127 <= row["qmin"] and row["qmax"] <= 127
+
+
+def test_auto_banding_tracks_corpus_size():
+    """At the tuning corpus size the tuned (3, 12) comes back unchanged;
+    10× the corpus gets enough planes that expected bucket occupancy
+    stays ≤ target (fixed planes would let it grow linearly and the
+    candidate join go quadratic)."""
+    from c_tran_data_pipeline_spark.operators.similarity import auto_banding
+
+    assert auto_banding(500) == (3, 12)
+    assert auto_banding(50) == (3, 12)  # floor: never below the base
+    planes, tables = auto_banding(5000)
+    assert 5000 / 2**planes <= 64
+    assert tables > 12  # recall compensation grows with planes
+    for n in (500, 5_000, 50_000, 5_000_000):
+        p, _ = auto_banding(n)
+        if p > 3:
+            assert n / 2**p <= 64
