@@ -470,3 +470,59 @@ def q_asof_nearest_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         direction="nearest",
     )
     return out.select("event_id", "user_id", "ts", F.col("asof_event_id"), F.col("asof_value"))
+
+
+@query(
+    "q_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8))) AS DOUBLE)
+               AS revenue,
+           o_orderdate,
+           o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey
+      AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-06-15'
+      AND l_shipdate > TIMESTAMP '1998-06-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (unshipped-order value for one market segment): "
+    "segment filter prunes the broadcast customer side BEFORE the join, "
+    "both date predicates push into the fact scans, one shuffle "
+    "(orders⋈lineitem on orderkey) feeds the partial-aggregated group-by, "
+    "and the top-10 is TakeOrderedAndProject — no global sort. DECIMAL "
+    "revenue sum for cross-engine bit stability; the ORDER BY is total "
+    "(revenue, date, key) so LIMIT is deterministic on both engines.",
+    tags=("olap", "join", "agg", "topk", "multiway"),
+)
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = "1998-06-15"
+    building = F.broadcast(
+        c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    )
+    joined = (
+        li.filter(F.col("l_shipdate") > F.lit(cut).cast("timestamp"))
+        .join(
+            o.filter(F.col("o_orderdate") < F.lit(cut).cast("timestamp")),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .join(building, o.o_custkey == building.c_custkey)
+    )
+    return (
+        joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )

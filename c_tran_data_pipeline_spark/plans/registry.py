@@ -89,6 +89,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_boilerplate_scrub",
     "q_quantize_embeddings",
     "q_ann_topk_int8",
+    "q_shipping_priority",
+    "q_lm_score",
 )
 
 

@@ -339,3 +339,79 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(
         d.filter(F.col("doc_id") >= 20), d.filter(F.col("doc_id") < 20), n=5
     )
+
+
+@query(
+    "q_lm_score",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, u.b AS b, u.w1 AS w1
+        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, len(w)-1),
+                     i -> {'b': w[i] || ' ' || w[i+1], 'w1': w[i]})) AS u
+              FROM toks)
+    ),
+    c2 AS (SELECT b, COUNT(*) AS n2 FROM bg GROUP BY 1),
+    c1 AS (SELECT w1, COUNT(*) AS n1 FROM bg GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT tok) AS vocab
+          FROM (SELECT unnest(w) AS tok FROM toks)),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(ln((n2 + 1.0) / (n1 + vocab)), 9) AS DECIMAL(18, 9)) AS lp
+        FROM bg JOIN c2 USING (b) JOIN c1 USING (w1), v
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp
+    FROM scored GROUP BY 1
+    """,
+    doc="Bigram-LM fluency scoring (the KenLM-style perplexity filter "
+    "every web-corpus pipeline runs, self-trained here): corpus bigram/"
+    "prefix counts with add-one smoothing give P(w2|w1) = (c2+1)/(c1+V); "
+    "each doc scores mean ln P over its bigram occurrences — low scores "
+    "flag disfluent/boilerplate text. Counts aggregate on bigram/prefix "
+    "keys (partial-agg shuffles, text never moves); V re-enters as a "
+    "broadcast scalar; the count tables join back by key (planner "
+    "broadcasts them when small). Per-bigram log-probs round to 9 dp and "
+    "sum as exact DECIMAL, so the doc mean is associativity-proof and "
+    "bit-stable across engines and partitionings.",
+    tags=("text", "quality", "lm"),
+)
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents")
+    w = words("text")
+    base = d.select("doc_id", w.alias("w"))
+    wc = F.col("w")
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.array_size(wc) - 2, F.lit(-1))),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(wc, i + 1, 2)).alias("b"),
+                    F.element_at(wc, i + 1).alias("w1"),
+                ),
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.b", "u.w1")
+    c2 = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    vocab = base.select(F.explode("w").alias("tok")).agg(
+        F.countDistinct("tok").alias("vocab")
+    )
+    lp = F.round(
+        F.log((F.col("n2") + F.lit(1.0)) / (F.col("n1") + F.col("vocab"))), 9
+    ).cast("decimal(18,9)")
+    scored = (
+        bg.join(c2, on="b")
+        .join(c1, on="w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
+    )

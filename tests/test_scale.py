@@ -117,7 +117,15 @@ def test_salted_join_rejects_non_invariant_how(spark):
 # q_hybrid_search, whose dense leg broadcasts the CONSTANT-SIZED query
 # batch against the corpus (a != join over a tiny broadcast side is one
 # linear corpus pass, not a quadratic blowup).
-_ALLOWED_NESTED_LOOP = {"q_ann_topk", "q_ann_topk_arrow", "q_ann_neardup", "q_hybrid_search"}
+_ALLOWED_NESTED_LOOP = {
+    "q_ann_topk",
+    "q_ann_topk_arrow",
+    "q_ann_neardup",
+    "q_hybrid_search",
+    # same broadcast-constant-query-batch shape as q_ann_topk, plus the
+    # 1-row global-scale cross join
+    "q_ann_topk_int8",
+}
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
 # crossJoin against a ONE-ROW aggregate (corpus-relative threshold /
@@ -126,7 +134,7 @@ _ALLOWED_NESTED_LOOP = {"q_ann_topk", "q_ann_topk_arrow", "q_ann_neardup", "q_hy
 # not a quadratic pairing. Recognized structurally below (every
 # NestedLoopJoin in the plan must be a BuildRight Cross), so a real
 # all-pairs join sneaking into these queries still fails the test.
-_ALLOWED_SCALAR_BROADCAST = {"q_ann_neardup_lsh", "q_boilerplate_scrub"}
+_ALLOWED_SCALAR_BROADCAST = {"q_ann_neardup_lsh", "q_boilerplate_scrub", "q_lm_score"}
 
 
 def _only_scalar_broadcast_loops(plan: str) -> bool:
