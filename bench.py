@@ -49,6 +49,8 @@ HEADLINE = [
     "q_label_centroids",
     "q_boilerplate_scrub",
     "q_ann_topk_int8",
+    "q_shipping_priority",
+    "q_lm_score",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -60,6 +62,8 @@ _POST_R01 = (
     "q_label_centroids",
     "q_boilerplate_scrub",
     "q_ann_topk_int8",
+    "q_shipping_priority",
+    "q_lm_score",
 )
 
 

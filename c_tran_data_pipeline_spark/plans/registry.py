@@ -91,6 +91,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_ann_topk_int8",
     "q_shipping_priority",
     "q_lm_score",
+    "q_incremental_agg",
 )
 
 

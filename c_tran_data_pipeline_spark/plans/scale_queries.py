@@ -55,3 +55,45 @@ def q_skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events").select("user_id")
     return salted_agg_count(e, keys=["user_id"], salt=16)
+
+
+@query(
+    "q_incremental_agg",
+    """
+    SELECT user_id, event_type,
+           COUNT(value) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value), 6)
+               AS avg_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY user_id, event_type
+    """,
+    doc="Incremental materialized-view maintenance (operators/"
+    "incremental.py): the Spark side summarizes the 'historical' 80% and "
+    "the 'delta' 20% of events SEPARATELY (event_id % 5 split), then "
+    "merges the two state tables — count/sum/min/max are associative, so "
+    "the merge shuffles |keys| state rows, never raw events. The oracle "
+    "is the FULL recompute over all events: merged-incremental == "
+    "recomputed, bit-exact, because sums carry exact DECIMAL (merge "
+    "order can't perturb them) and AVG derives at read time from "
+    "mergeable parts. This is how a 100 TB rollup absorbs a daily "
+    "delta without rescanning history.",
+    tags=("scale", "agg", "incremental"),
+)
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.incremental import (
+        finalize,
+        merge_states,
+        summarize,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    history = ev.filter(F.col("event_id") % 5 != 0)
+    delta = ev.filter(F.col("event_id") % 5 == 0)
+    keys = ["user_id", "event_type"]
+    merged = merge_states(
+        [summarize(history, keys, "value"), summarize(delta, keys, "value")], keys
+    )
+    return finalize(merged)
