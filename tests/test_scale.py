@@ -178,3 +178,52 @@ def test_no_unexpected_python_in_plans(spark):
         if any(m in plan for m in markers) and n not in _ALLOWED_PYTHON
     ]
     assert not offenders, f"Python eval crept into relational plans: {offenders}"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """When the selective side of a join is too big to broadcast (SMJ),
+    Spark can still prune the fact scan at runtime with an injected
+    bloom filter (bloom_filter_agg on the dim keys + might_contain on
+    the fact side) — the 100 TB lever for selective fact⋈dim joins that
+    fall off the broadcast path. Pin that our session can produce the
+    filter and that results are unchanged by it."""
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF_ORACLE, "lineitem")
+        o = load_table(spark, SF_ORACLE, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy("l_returnflag").count()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        filtered = {(r["l_returnflag"], r["count"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load_table(spark, SF_ORACLE, "lineitem")
+    o = load_table(spark, SF_ORACLE, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    plain = {
+        (r["l_returnflag"], r["count"])
+        for r in li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_returnflag")
+        .count()
+        .collect()
+    }
+    assert filtered == plain
