@@ -423,3 +423,77 @@ def q_summaries(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
     )
+
+
+@query(
+    "q_hotspot_grid",
+    """
+    WITH conf AS (
+        SELECT CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS latitude,
+               CAST(-CAST(json_extract_string(props, '$.k') AS INTEGER) AS DOUBLE) AS longitude,
+               CAST(floor(value) AS DOUBLE) AS speed
+        FROM events
+        WHERE user_id IS NOT NULL
+          AND ts IS NOT NULL
+          AND (CAST(json_extract_string(props, '$.k') AS INTEGER) * 5 IS NULL
+               OR CAST(json_extract_string(props, '$.k') AS INTEGER) * 5 BETWEEN 0 AND 359)
+          AND (floor(value) IS NULL OR floor(value) BETWEEN 0 AND 200)
+    )
+    SELECT CAST(floor(latitude * 4) AS BIGINT) AS lat_cell,
+           CAST(floor(longitude * 4) AS BIGINT) AS lon_cell,
+           COUNT(*) AS n_points,
+           ROUND(CAST(SUM(CAST(speed AS DECIMAL(20,4))) AS DOUBLE) / COUNT(speed), 6)
+               AS avg_speed,
+           MAX(speed) AS max_speed
+    FROM conf
+    WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc="Spatial binning rollup of the reference's published speed map "
+    "(Project 4.pdf p13 renders per-GPS-point averages; a real fleet map "
+    "grids first): conformed breadcrumbs bucketed into 0.25-degree cells "
+    "(floor(coord*4) — engine-portable integer cells, no geohash "
+    "dialect), one partial-aggregated shuffle on the cell key. At fleet "
+    "scale the cell key is the natural pre-aggregation that makes the "
+    "map O(cells), not O(pings); DECIMAL speed sums keep the per-cell "
+    "mean bit-stable.",
+    tags=("parity", "agg", "geo"),
+)
+def q_hotspot_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.transforms import conform_breadcrumbs
+    from c_tran_data_pipeline_spark.functions.validation import validate
+
+    e = load_table(spark, sf_dir, "events")
+    k = json_get("props", "$.k", "int")
+    secs_of_day = F.hour("ts") * 3600 + F.minute("ts") * 60 + F.second("ts")
+    raw = e.select(
+        F.col("user_id").cast("string").alias("EVENT_NO_TRIP"),
+        F.lit(None).cast("string").alias("EVENT_NO_STOP"),
+        F.upper(F.date_format("ts", "dd-MMM-yy")).alias("OPD_DATE"),
+        (F.col("event_id") % 1000).cast("string").alias("VEHICLE_ID"),
+        F.lit(None).cast("string").alias("METERS"),
+        secs_of_day.cast("string").alias("ACT_TIME"),
+        (-k).cast("string").alias("GPS_LONGITUDE"),
+        k.cast("string").alias("GPS_LATITUDE"),
+        F.lit(None).cast("string").alias("GPS_SATELLITES"),
+        F.lit(None).cast("string").alias("GPS_HDOP"),
+        (k * 5).cast("string").alias("DIRECTION"),
+        F.floor("value").cast("string").alias("VELOCITY"),
+    )
+    conformed = validate(eval_once(conform_breadcrumbs(raw)))
+    return (
+        conformed.filter(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .groupBy(
+            F.floor(F.col("latitude") * 4).cast("bigint").alias("lat_cell"),
+            F.floor(F.col("longitude") * 4).cast("bigint").alias("lon_cell"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(
+                F.sum(F.col("speed").cast("decimal(20,4)")).cast("double")
+                / F.count("speed"),
+                6,
+            ).alias("avg_speed"),
+            F.max("speed").alias("max_speed"),
+        )
+    )

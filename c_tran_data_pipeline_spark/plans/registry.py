@@ -92,6 +92,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_shipping_priority",
     "q_lm_score",
     "q_incremental_agg",
+    "q_hotspot_grid",
 )
 
 
