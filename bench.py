@@ -51,6 +51,7 @@ HEADLINE = [
     "q_ann_topk_int8",
     "q_shipping_priority",
     "q_lm_score",
+    "q_ann_pq_topk",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -64,6 +65,7 @@ _POST_R01 = (
     "q_ann_topk_int8",
     "q_shipping_priority",
     "q_lm_score",
+    "q_ann_pq_topk",
 )
 
 

@@ -1,0 +1,178 @@
+"""Product quantization (PQ) — the compression tier of the standard ANN
+stack (FAISS IndexPQ / IVFPQ shape): split the d-dim space into ``m``
+subspaces, k-means each subspace to ``ksub`` centroids, and store each
+vector as m small codes (m=8, ksub=16 → 8 codes of 4 bits: 64 float32
+dims become 4 bytes, a 64× compression — the difference between "the
+corpus fits in executor memory" and "it does not" at 100 TB).
+
+Search is ADC (asymmetric distance computation): the QUERY side
+precomputes, per query, the m×ksub table of squared L2 distances from
+its sub-vectors to every sub-centroid — a projection over the tiny
+query batch, with the codebooks embedded as literal expressions (the
+same no-join centroid pattern as IVF). The corpus side then scores a
+candidate with m table lookups instead of d multiplies. Hoisting the
+table before the broadcast join is the entire point of ADC: computed
+after the join it would re-evaluate per (query, corpus) pair and the
+lookup trick buys nothing.
+
+The ADC ranking is approximate, so the registered query is rows-only;
+``pq_topk(rerank_factor=...)`` follows the standard refine step — ADC
+shortlist of k×factor, exact distance on the shortlist only (the full
+vectors are touched for shortlist rows, never the whole corpus), and
+tests pin the recall floors of both tiers against exact L2 top-k.
+
+Everything is deterministic: codebooks come from the md5-LSH-seeded
+k-means (no RNG), encode/ADC are pure expressions — same corpus, same
+codes, any engine, any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c_tran_data_pipeline_spark.operators.similarity import _as_double, _kmeans_rows, _l2sq
+
+Codebooks = list[list[tuple[int, list[float]]]]
+
+
+def train_pq(
+    df: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    dim: int = 64,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> Codebooks:
+    """Per-subspace codebooks: subspace j covers dims [j·dsub, (j+1)·dsub).
+    Each is the deterministic LSH-seeded k-means already used for IVF,
+    run on the sub-vector projection. Codebooks are driver-side
+    m×ksub×dsub floats (KBs at any corpus size) and re-enter every
+    downstream plan as literals — training scans the corpus, but
+    encode/search never join a centroid table."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    books: Codebooks = []
+    for j in range(m):
+        sub = df.select(
+            F.col(key),
+            F.slice(_as_double(F.col(vec)), j * dsub + 1, dsub).alias("__sub"),
+        )
+        books.append(
+            _kmeans_rows(sub, nlist=ksub, iters=iters, key=key, vec="__sub", dim=dsub)
+        )
+    return books
+
+
+def _sub_scores(v_sub: Column, book: list[tuple[int, list[float]]]) -> Column:
+    """Array of squared L2 distances from one sub-vector to every
+    sub-centroid, ordered by centroid id (literal centroids)."""
+    return F.array(
+        *[_l2sq(v_sub, F.array(*[F.lit(x) for x in cent])) for _, cent in sorted(book)]
+    )
+
+
+def encode_pq(
+    df: DataFrame, books: Codebooks, key: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """(key, codes array<int>): codes[j] = nearest sub-centroid id in
+    subspace j. Pure projection — literal codebooks, no shuffle, no
+    join; ties break to the lowest centroid id (array_position finds
+    the first minimum), which keeps codes engine-reproducible."""
+    m = len(books)
+    dsub = len(books[0][0][1])
+    v = _as_double(F.col(vec))
+    code_cols = []
+    for j in range(m):
+        scores = _sub_scores(F.slice(v, j * dsub + 1, dsub), books[j])
+        code_cols.append(
+            (F.array_position(scores, F.array_min(scores)) - 1).cast("int")
+        )
+    return df.select(F.col(key), F.array(*code_cols).alias("codes"))
+
+
+def adc_tables(
+    queries: DataFrame, books: Codebooks, key: str = "vec_id", vec: str = "embedding"
+) -> DataFrame:
+    """(query_id, qtab array<double>): the flattened m×ksub ADC lookup
+    table, one row per query. qtab[j·ksub + c] = ||q_sub_j − cent_c^j||².
+    Computed ONCE per query here, before any join touches the corpus."""
+    v = _as_double(F.col(vec))
+    dsub = len(books[0][0][1])
+    return queries.select(
+        F.col(key).alias("query_id"),
+        F.flatten(
+            F.array(
+                *[_sub_scores(F.slice(v, j * dsub + 1, dsub), books[j]) for j in range(len(books))]
+            )
+        ).alias("qtab"),
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: Codebooks,
+    k: int = 3,
+    rerank_factor: int = 0,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Top-k nearest (squared L2) per query via ADC over PQ codes.
+    Physical shape: encoded corpus (m ints/row) ⋈ broadcast query
+    tables; score = m array lookups per pair — no float vector is read
+    after encoding. With ``rerank_factor`` > 0, an ADC shortlist of
+    k×factor re-scores EXACTLY against the true embeddings (joined for
+    shortlist rows only) — the standard refine step that buys back
+    recall without scanning full vectors corpus-wide.
+
+    Returns (query_id, neighbor_id, rank, dist) — dist is the ADC
+    approximation, or the exact distance when re-ranking."""
+    m = len(books)
+    # Per-subspace offsets into the flattened qtab: k-means may return
+    # fewer than ksub centroids (empty seed clusters), so a fixed stride
+    # would mis-address every later subspace. Codes are positional per
+    # subspace; offsets are the prefix sums of each book's actual size.
+    offs = [0]
+    for b in books:
+        offs.append(offs[-1] + len(b))
+    codes = encode_pq(corpus, books, key=key, vec=vec).select(
+        F.col(key).alias("neighbor_id"), "codes"
+    )
+    qt = adc_tables(queries, books, key=key, vec=vec)
+    lookups = [
+        F.element_at(F.col("qtab"), F.lit(offs[j] + 1) + F.element_at(F.col("codes"), j + 1))
+        for j in range(m)
+    ]
+    adc = sum(lookups[1:], lookups[0])
+    scored = codes.join(F.broadcast(qt), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", adc.alias("__adc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc").asc(), F.col("neighbor_id").asc())
+    if not rerank_factor:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", F.round("__adc", 4).alias("dist"))
+        )
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * rerank_factor)
+        .select("query_id", "neighbor_id")
+    )
+    cv = corpus.select(F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"))
+    qv = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    exact = (
+        shortlist.join(cv, "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select("query_id", "neighbor_id", _l2sq(F.col("__qv"), F.col("__cv")).alias("__d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__d", 4).alias("dist"))
+    )

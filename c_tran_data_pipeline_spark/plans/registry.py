@@ -93,6 +93,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_lm_score",
     "q_incremental_agg",
     "q_hotspot_grid",
+    "q_ann_pq_topk",
 )
 
 

@@ -413,3 +413,26 @@ def q_ann_topk_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return int8_cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@query(
+    "q_ann_pq_topk",
+    None,  # codebooks from iterative k-means; ADC ranking is approximate —
+    # recall floors vs exact L2 pinned in tests/test_pq.py
+    doc="Product-quantization ANN (FAISS IndexPQ shape, operators/pq.py): "
+    "8 subspaces × 16 deterministic k-means sub-centroids encode each "
+    "64-dim vector as 8 codes (4 bytes — 64× compression, the 'corpus "
+    "fits in memory' lever at 100 TB). Search is ADC with the per-query "
+    "lookup table hoisted BEFORE the broadcast join (computed after it, "
+    "the table would re-evaluate per pair and buy nothing), then an "
+    "exact re-rank over the k×8 shortlist touches true vectors for "
+    "shortlist rows only. Rows-only driver check; recall floors and the "
+    "compression invariant live in tests/test_pq.py.",
+    tags=("similarity", "topk", "quantize"),
+)
+def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pq import pq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=3, rerank_factor=8)

@@ -1,0 +1,87 @@
+"""Product quantization: compression invariants, determinism, and the
+recall ladder (raw ADC < re-ranked ADC ≤ exact) vs exact L2 top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from c_tran_data_pipeline_spark.operators.pq import (
+    adc_tables,
+    encode_pq,
+    pq_topk,
+    train_pq,
+)
+from c_tran_data_pipeline_spark.operators.similarity import _as_double, _l2sq
+from c_tran_data_pipeline_spark.sources.readers import load_table
+from tests.conftest import SF_ORACLE, SF_SMOKE
+
+
+def _exact_l2_topk(emb, queries, k=3):
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), _as_double(F.col("embedding")).alias("cv"))
+    q = queries.select(F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv"))
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", _l2sq(F.col("qv"), F.col("cv")).alias("d")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("d").asc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def test_encode_compresses_and_is_deterministic(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    codes1 = {r["vec_id"]: list(r["codes"]) for r in encode_pq(emb, books).collect()}
+    codes2 = {r["vec_id"]: list(r["codes"]) for r in encode_pq(emb, books).collect()}
+    assert codes1 == codes2  # pure expression — no RNG, no partition effects
+    assert all(len(c) == 8 for c in codes1.values())  # 8 codes vs 64 floats
+    sizes = [len(b) for b in books]
+    assert all(2 <= s <= 16 for s in sizes)
+    assert all(
+        0 <= x < s for c in codes1.values() for x, s in zip(c, sizes)
+    )  # codes address their own book
+
+
+def test_adc_table_shape(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    total = sum(len(b) for b in books)
+    row = adc_tables(emb.filter("vec_id = 0"), books).collect()[0]
+    assert len(row["qtab"]) == total
+    assert all(v >= 0.0 for v in row["qtab"])  # squared distances
+
+
+def test_pq_recall_ladder(spark):
+    """Re-ranked PQ must beat raw ADC and clear a usable floor; raw ADC
+    must beat random. Uses sf0.01 (500 vectors) so shortlists have room."""
+    emb = load_table(spark, SF_ORACLE, "embeddings")
+    queries = emb.filter("vec_id < 30")
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    exact = {(r.query_id, r.neighbor_id) for r in _exact_l2_topk(emb, queries).collect()}
+    raw = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, queries, books, k=3, rerank_factor=0).collect()
+    }
+    reranked = {
+        (r.query_id, r.neighbor_id)
+        for r in pq_topk(emb, queries, books, k=3, rerank_factor=8).collect()
+    }
+    recall_raw = len(exact & raw) / len(exact)
+    recall_rr = len(exact & reranked) / len(exact)
+    assert recall_raw > 0.05  # random@3 on 500 vectors ≈ 0.006
+    assert recall_rr >= recall_raw
+    assert recall_rr >= 0.5, f"re-ranked PQ recall@3 {recall_rr:.2f}"
+
+
+def test_rerank_distances_are_exact(spark):
+    """Re-ranked output distances equal the true L2 for those pairs —
+    the refine step reports real distances, not ADC estimates."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    got = pq_topk(emb, queries, books, k=3, rerank_factor=8)
+    truth = _exact_l2_topk(emb, queries, k=10_000).select(
+        "query_id", "neighbor_id", F.round("d", 4).alias("true_d")
+    )
+    j = got.join(truth, on=["query_id", "neighbor_id"])
+    assert j.count() == got.count()
+    assert j.filter(F.col("dist") != F.col("true_d")).count() == 0

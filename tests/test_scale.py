@@ -125,6 +125,9 @@ _ALLOWED_NESTED_LOOP = {
     # same broadcast-constant-query-batch shape as q_ann_topk, plus the
     # 1-row global-scale cross join
     "q_ann_topk_int8",
+    # ADC codes ⋈ broadcast query tables (constant-sized batch), then the
+    # shortlist re-rank — same linear-corpus-pass shape
+    "q_ann_pq_topk",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
