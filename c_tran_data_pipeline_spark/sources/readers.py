@@ -143,3 +143,17 @@ def fetch_json_to_df(
         [(_json.dumps(r),) for r in records], T.StructType([T.StructField("value", T.StringType())])
     )
     return lines.select(F.from_json("value", schema).alias("r")).select("r.*")
+
+
+def read_evolving_parquet(spark: SparkSession, *paths: str) -> DataFrame:
+    """Schema-drift-tolerant parquet ingest: a recurring dump's schema
+    GROWS over time (new quality/meta columns appear), and a reader
+    pinned to the first drop's schema silently drops them while a
+    reader pinned to the newest fails on old files. ``mergeSchema``
+    takes the union — rows from older dumps null-fill the new columns,
+    exactly how the JSON path handles absent fields via explicit
+    schema. Merging reads every file's FOOTER at planning time (not its
+    data), so at 100 TB prefer a table format (Delta/Iceberg) that
+    tracks schema in metadata; this is the raw-parquet fallback with
+    the same union semantics."""
+    return spark.read.option("mergeSchema", "true").parquet(*paths)

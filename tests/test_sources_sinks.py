@@ -176,3 +176,26 @@ def test_http_fetch_json_to_df_roundtrip(spark):
     conformed = {r.trip_id: r for r in conform_breadcrumbs(raw).collect()}
     assert conformed[7].tstamp.isoformat().startswith("2020-09-25T01:00")
     assert conformed[8].speed is None
+
+
+def test_read_evolving_parquet_unions_schemas(spark, tmp_path):
+    """Dump v1 lacks the columns v2 added; the merged read exposes the
+    union with null-fill on old rows and loses no data either way."""
+    from c_tran_data_pipeline_spark.sources.readers import read_evolving_parquet
+
+    v1 = tmp_path / "dump_v1"
+    v2 = tmp_path / "dump_v2"
+    spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    ).write.parquet(str(v1))
+    spark.createDataFrame(
+        [(3, "gamma", "en", 0.9)],
+        "doc_id long, text string, lang string, quality double",
+    ).write.parquet(str(v2))
+
+    merged = read_evolving_parquet(spark, str(v1), str(v2))
+    assert set(merged.columns) == {"doc_id", "text", "lang", "quality"}
+    rows = {r["doc_id"]: r for r in merged.collect()}
+    assert len(rows) == 3
+    assert rows[1]["lang"] is None and rows[1]["quality"] is None
+    assert rows[3]["lang"] == "en" and rows[3]["quality"] == 0.9
