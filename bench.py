@@ -52,6 +52,9 @@ HEADLINE = [
     "q_shipping_priority",
     "q_lm_score",
     "q_ann_pq_topk",
+    "q_incremental_agg",
+    "q_hotspot_grid",
+    "q_quantize_embeddings",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -66,6 +69,9 @@ _POST_R01 = (
     "q_shipping_priority",
     "q_lm_score",
     "q_ann_pq_topk",
+    "q_incremental_agg",
+    "q_hotspot_grid",
+    "q_quantize_embeddings",
 )
 
 
