@@ -94,6 +94,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_incremental_agg",
     "q_hotspot_grid",
     "q_ann_pq_topk",
+    "q_decontaminate_semantic",
+    "q_quality_deciles",
 )
 
 

@@ -436,3 +436,53 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     books = train_pq(emb, m=8, ksub=16, dim=64)
     return pq_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=3, rerank_factor=8)
+
+
+@query(
+    "q_decontaminate_semantic",
+    f"""
+    WITH ev AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+        SELECT b.vec_id AS doc_id, a.vec_id AS eval_id, {_COS} AS cos
+        FROM ev a JOIN embeddings b ON b.vec_id >= 20
+    ),
+    best AS (
+        SELECT doc_id, cos, eval_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY cos DESC, eval_id ASC) AS rn
+        FROM scored
+    )
+    SELECT doc_id, ROUND(cos, 4) AS max_cos, eval_id AS nearest_eval
+    FROM best WHERE rn = 1 AND cos >= 0.3
+    """,
+    doc="Semantic decontamination — the embedding-space twin of the "
+    "n-gram q_decontaminate (paraphrased benchmark leakage that shares "
+    "no 5-gram): train vectors whose cosine to ANY eval/benchmark vector "
+    "clears a threshold, with the nearest eval item for audit. Eval sets "
+    "are small by construction, so the eval side BROADCASTS against one "
+    "corpus scan (the q_ann_topk shape with the roles flipped); the "
+    "corpus never self-joins. Emitted pairs carry exact re-computed "
+    "cosine — precision exact, like every re-ranked path here.",
+    tags=("similarity", "curation"),
+)
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.operators.similarity import _as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("eval_id"), _as_double(F.col("embedding")).alias("__ev")
+    )
+    train = emb.filter(F.col("vec_id") >= 20).select(
+        F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("__tv")
+    )
+    scored = train.join(F.broadcast(ev)).select(
+        "doc_id", "eval_id", cosine(F.col("__ev"), F.col("__tv")).alias("__cos")
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("__cos").desc(), F.col("eval_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) & (F.col("__cos") >= 0.3))
+        .select("doc_id", F.round("__cos", 4).alias("max_cos"), F.col("eval_id").alias("nearest_eval"))
+    )

@@ -415,3 +415,46 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp"),
     )
+
+
+@query(
+    "q_quality_deciles",
+    f"""
+    WITH q AS (
+        SELECT doc_id, lang, {quality_sql()} AS quality FROM documents
+    ),
+    d AS (
+        SELECT doc_id, lang, quality,
+               NTILE(10) OVER (ORDER BY quality DESC, doc_id ASC) AS decile
+        FROM q
+    )
+    SELECT decile, COUNT(*) AS n_docs,
+           ROUND(MIN(quality), 6) AS min_q,
+           ROUND(MAX(quality), 6) AS max_q,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM d GROUP BY 1
+    """,
+    doc="Quality-decile profile: NTILE(10) over the composite quality "
+    "score (total order via doc_id tie-break, so bucket boundaries are "
+    "deterministic cross-engine) + per-decile stats — the 'how much of "
+    "the corpus survives a decile cut' planning query behind every "
+    "quality-threshold decision. A global NTILE is a single-partition "
+    "sort at 100 TB; the registry documents that the scale substitute is "
+    "approx_percentile cutpoints (q_approx_percentiles) feeding a "
+    "pushable filter — this query is the small-data exact twin that "
+    "validates those cutpoints.",
+    tags=("text", "quality", "window"),
+)
+def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "lang", quality_score("text").alias("quality"))
+    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
+    deciles = q.withColumn("decile", F.ntile(10).over(w))
+    return deciles.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("quality"), 6).alias("min_q"),
+        F.round(F.max("quality"), 6).alias("max_q"),
+        F.countDistinct("lang").alias("n_langs"),
+    )

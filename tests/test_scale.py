@@ -128,6 +128,8 @@ _ALLOWED_NESTED_LOOP = {
     # ADC codes ⋈ broadcast query tables (constant-sized batch), then the
     # shortlist re-rank — same linear-corpus-pass shape
     "q_ann_pq_topk",
+    # broadcast eval batch × one corpus scan (q_ann_topk with roles flipped)
+    "q_decontaminate_semantic",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
