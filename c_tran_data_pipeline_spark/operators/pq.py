@@ -32,7 +32,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from c_tran_data_pipeline_spark.operators.similarity import _as_double, _kmeans_rows, _l2sq
+from c_tran_data_pipeline_spark.operators.similarity import (
+    _as_double,
+    _bucket_expr,
+    _l2sq,
+)
 
 Codebooks = list[list[tuple[int, list[float]]]]
 
@@ -47,32 +51,96 @@ def train_pq(
     vec: str = "embedding",
 ) -> Codebooks:
     """Per-subspace codebooks: subspace j covers dims [j·dsub, (j+1)·dsub).
-    Each is the deterministic LSH-seeded k-means already used for IVF,
-    run on the sub-vector projection. Codebooks are driver-side
-    m×ksub×dsub floats (KBs at any corpus size) and re-enter every
-    downstream plan as literals — training scans the corpus, but
-    encode/search never join a centroid table."""
+    Same deterministic recipe as the IVF quantizer (md5-LSH-seeded
+    k-means, ``iters`` Lloyd steps) — but all m subspaces train in the
+    SAME jobs: the corpus explodes once into (j, sub-vector) rows and
+    each seed/assign/mean step is one scan + one (j, centroid) aggregate,
+    so training costs O(iters) corpus scans total, not O(m·iters) (the
+    per-subspace loop this replaced spent ~10 s of pure job overhead on
+    24 tiny collects at sf0.1). Assignment dispatches per-subspace
+    literal codebooks through a CASE on j — only the matched branch
+    evaluates, so per-row cost is still one ksub-way nearest-centroid.
+    Codebooks land driver-side (m×ksub×dsub floats ≈ KBs at any corpus
+    size) and re-enter every downstream plan as literals — encode and
+    search never join a centroid table."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    import math
+
     dsub = dim // m
-    books: Codebooks = []
-    for j in range(m):
-        sub = df.select(
-            F.col(key),
-            F.slice(_as_double(F.col(vec)), j * dsub + 1, dsub).alias("__sub"),
+    v = _as_double(F.col(vec))
+    sub = df.select(
+        F.posexplode(
+            F.array(*[F.slice(v, j * dsub + 1, dsub) for j in range(m)])
+        ).alias("j", "__v")
+    )
+    planes = max(1, math.ceil(math.log2(max(ksub, 2))))
+    seeded = sub.select(
+        "j", "__v", _bucket_expr(F.col("__v"), planes, dim=dsub).alias("centroid_id")
+    )
+    books = _collect_books(seeded, m, dsub)
+    for _ in range(iters):
+        assigned = sub.select(
+            "j", "__v", _nearest_by_subspace(F.col("__v"), books).alias("centroid_id")
         )
-        books.append(
-            _kmeans_rows(sub, nlist=ksub, iters=iters, key=key, vec="__sub", dim=dsub)
-        )
+        books = _collect_books(assigned, m, dsub)
     return books
+
+
+def _nearest_by_subspace(v: Column, books: Codebooks) -> Column:
+    """Nearest sub-centroid id, codebook chosen by the row's subspace j —
+    a CASE chain over single-Literal codebooks (short-circuit
+    evaluation: one book's distances per row, not m books'). Ties break
+    to the lowest centroid id (first minimum of the id-ordered scores),
+    matching encode_pq's positional convention."""
+    expr = None
+    for j, book in enumerate(books):
+        scores = _sub_scores(v, books[j])
+        branch = F.element_at(_cid_lit(book), F.array_position(scores, F.array_min(scores)).cast("int"))
+        expr = F.when(F.col("j") == j, branch) if expr is None else expr.when(
+            F.col("j") == j, branch
+        )
+    return expr
+
+
+def _collect_books(assigned: DataFrame, m: int, dsub: int) -> Codebooks:
+    """Element-wise mean per (subspace, centroid) — ONE HashAggregate of
+    dsub scalar AVGs over all subspaces, collected as m×ksub×dsub floats."""
+    aggd = assigned.groupBy("j", "centroid_id").agg(
+        *[F.avg(F.col("__v")[d]).alias(f"_m{d}") for d in range(dsub)]
+    )
+    books: Codebooks = [[] for _ in range(m)]
+    for r in aggd.collect():
+        books[r["j"]].append(
+            (int(r["centroid_id"]), [float(r[f"_m{d}"]) for d in range(dsub)])
+        )
+    return [sorted(b) for b in books]
+
+
+def _book_lit(book: list[tuple[int, list[float]]]) -> Column:
+    """The ksub×dsub sub-centroid matrix as ONE parsed SQL literal,
+    ordered by centroid id. Built as text for the same reason as
+    similarity._sign_rows_sql: F.lit / F.array per element is a Py4J
+    round trip each — a full codebook set is ~1k elements per use, and
+    the per-element form put ~5 s of pure driver-side construction +
+    Catalyst analysis ahead of every PQ job (measured at sf0.1)."""
+    rows = ",".join(
+        "array(" + ",".join(f"{x:.17g}D" for x in cent) + ")" for _, cent in sorted(book)
+    )
+    return F.expr(f"array({rows})")
+
+
+def _cid_lit(book: list[tuple[int, list[float]]]) -> Column:
+    return F.expr(
+        "array(" + ",".join(str(cid) for cid, _ in sorted(book)) + ")"
+    ).cast("array<bigint>")
 
 
 def _sub_scores(v_sub: Column, book: list[tuple[int, list[float]]]) -> Column:
     """Array of squared L2 distances from one sub-vector to every
-    sub-centroid, ordered by centroid id (literal centroids)."""
-    return F.array(
-        *[_l2sq(v_sub, F.array(*[F.lit(x) for x in cent])) for _, cent in sorted(book)]
-    )
+    sub-centroid, ordered by centroid id — one transform over the
+    single-Literal codebook matrix."""
+    return F.transform(_book_lit(book), lambda c: _l2sq(v_sub, c))
 
 
 def encode_pq(
