@@ -207,3 +207,40 @@ def decontaminate(
         .groupBy(key)
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def upsample_mix(
+    df: DataFrame,
+    stratum: str,
+    weights: dict[str, float],
+    key: str,
+    default_weight: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic data-mixture upsampling: emit each row
+    ``floor(w)`` times plus one more iff its hash bucket falls under
+    frac(w) — so a stratum with weight 2.5 contributes each doc 2-3
+    times, EXACTLY 2.5× in expectation, and the same docs get the extra
+    copy on every rerun/engine (RNG-free, like every sampler here).
+    Weights < 1 downsample (0.25 keeps a deterministic quarter once);
+    weight 0 drops the stratum. This is the repeat-factor op behind
+    training-data recipes that mix domains at fixed ratios.
+
+    Output adds ``copy`` (1..n). Shape: pure projection + explode of a
+    per-row integer sequence — no shuffle, no state; fan-out is bounded
+    by max(weights). Dedup-sensitive consumers should key on
+    (key, copy)."""
+    w: Column = F.lit(default_weight)
+    for value, wt in sorted(weights.items()):
+        w = F.when(F.col(stratum) == value, F.lit(float(wt))).otherwise(w)
+    base = F.floor(w).cast("bigint")
+    extra = (
+        split_bucket(F.col(key), salt) < ((w - F.floor(w)) * 10_000).cast("bigint")
+    ).cast("bigint")
+    n = (base + extra).alias("__n")
+    return (
+        df.withColumn("__n", n)
+        .filter(F.col("__n") >= 1)
+        .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__n"))))
+        .drop("__n")
+    )

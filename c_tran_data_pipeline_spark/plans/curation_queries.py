@@ -365,3 +365,47 @@ def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dropped").cast("bigint").alias("n_dropped"),
         F.md5("clean_text").alias("clean_hash"),
     )
+
+
+@query(
+    "q_upsample_mix",
+    f"""
+    WITH w AS (
+        SELECT doc_id, source,
+               CASE source WHEN 'src0' THEN 2.5 WHEN 'src1' THEN 0.25
+                           WHEN 'src2' THEN 0.0 ELSE 1.0 END AS wt,
+               {_bucket_sql("CAST(doc_id AS VARCHAR)", "mix")} AS bucket
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, source,
+               CAST(floor(wt) AS BIGINT) +
+               CASE WHEN bucket < CAST((wt - floor(wt)) * 10000 AS BIGINT)
+                    THEN 1 ELSE 0 END AS n
+        FROM w
+    )
+    SELECT doc_id, source, unnest(generate_series(1, n)) AS copy
+    FROM n WHERE n >= 1
+    """,
+    doc="Deterministic data-mixture upsampling (operators/curation.py "
+    "upsample_mix): the repeat-factor op behind fixed-ratio domain "
+    "mixing — src0 at weight 2.5 (every doc twice, a deterministic "
+    "hashed half a third time), src1 at 0.25 (quarter kept once), src2 "
+    "dropped, everything else 1.0. RNG-free like every sampler here: "
+    "the SAME docs get the extra copy on any engine or rerun, so a "
+    "mixture is versionable. Pure projection + bounded explode — no "
+    "shuffle; weights chosen binary-exact so the frac-threshold "
+    "arithmetic is bit-identical cross-engine.",
+    tags=("curation", "sample", "mix"),
+)
+def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import upsample_mix
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return upsample_mix(
+        d,
+        stratum="source",
+        weights={"src0": 2.5, "src1": 0.25, "src2": 0.0},
+        key="doc_id",
+        salt="mix",
+    )

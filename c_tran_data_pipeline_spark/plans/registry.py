@@ -96,6 +96,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_ann_pq_topk",
     "q_decontaminate_semantic",
     "q_quality_deciles",
+    "q_upsample_mix",
 )
 
 

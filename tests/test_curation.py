@@ -142,3 +142,23 @@ def test_boilerplate_scrub_relative_threshold_scales(spark):
     out = boilerplate_scrub(df, min_df=2, min_df_frac=0.2)
     # threshold = max(2, ceil(0.2*40)) = 8 > 2 occurrences -> nothing dropped
     assert out.agg(F.sum("n_dropped")).collect()[0][0] == 0
+
+
+def test_upsample_mix_repeat_semantics(spark):
+    """Weight 3.0 = exactly 3 copies each; 0.5 keeps ~half once; 0 drops
+    the stratum; default 1.0 passes through — and reruns are identical."""
+    from c_tran_data_pipeline_spark.operators.curation import upsample_mix
+
+    rows = [(i, ["a", "b", "c", "d"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    weights = {"a": 3.0, "b": 0.5, "c": 0.0}
+    out = upsample_mix(df, stratum="src", weights=weights, key="doc_id")
+    per_src = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert per_src["a"] == 300  # 100 docs × exactly 3
+    assert 25 <= per_src["b"] <= 75  # ~half of 100, hash noise
+    assert "c" not in per_src
+    assert per_src["d"] == 100
+    copies = {r["doc_id"]: r["n"] for r in out.filter("src = 'a'").groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert set(copies.values()) == {3}
+    again = upsample_mix(df, stratum="src", weights=weights, key="doc_id")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
