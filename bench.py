@@ -105,9 +105,9 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    # The headline set grew from 20 (r1) to 24 queries in r2;
-    # r01_comparable_total sums only the original 20 so round-over-round
-    # totals compare like-for-like.
+    # The headline set grew past round 1's 20 queries (every _POST_R01
+    # name is new since); r01_comparable_total sums only the original 20
+    # so round-over-round totals compare like-for-like.
     r01_set = [n for n in HEADLINE if n not in _POST_R01]
     print(
         json.dumps(
