@@ -55,6 +55,8 @@ HEADLINE = [
     "q_incremental_agg",
     "q_hotspot_grid",
     "q_quantize_embeddings",
+    "q_kernel_smooth",
+    "q_ann_mrl_topk",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -72,6 +74,8 @@ _POST_R01 = (
     "q_incremental_agg",
     "q_hotspot_grid",
     "q_quantize_embeddings",
+    "q_kernel_smooth",
+    "q_ann_mrl_topk",
 )
 
 

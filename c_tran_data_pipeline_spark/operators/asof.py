@@ -191,3 +191,69 @@ def range_join_bands(
         & (F.unix_micros("__rts") <= F.unix_micros("__lts") + window_seconds * 1_000_000)
     )
     return joined.select("__l.*", *[F.col(f"__r.{c}").alias(f"r_{c}") for c in right.columns])
+
+
+def kernel_smooth(
+    df: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "event_id",
+    window_seconds: int = 86_400,
+    value_decimal: str = "decimal(12,2)",
+) -> DataFrame:
+    """Triangular-kernel smoothing of an irregular time series, per key:
+
+        smoothed(i) = Σ_j v_j·w_ij / Σ_j w_ij,
+        w_ij = W − |t_i − t_j|  (µs)  for |t_i − t_j| < W, else 0
+
+    — the signal-processing denoise for telemetry (GPS speeds, sensor
+    values) where readings are unevenly spaced so a fixed-row moving
+    average is wrong. The triangular kernel keeps every weight an exact
+    INTEGER (µs), so products sum in exact DECIMAL and the result is
+    bit-reproducible under any partitioning — a Gaussian exp(−Δt²/τ²)
+    kernel is the one-line swap at production (transcendental, so the
+    oracle would need rounding).
+
+    Physical plan: neighbors come from a time-bucketed self-join (bucket
+    width = W; the probe side explodes to its 3 adjacent buckets, the
+    build side stays single-bucket, so each true neighbor pair matches
+    exactly once). The shuffle keys on (series key, bucket) — per-bucket
+    occupancy is bounded by event density × W, never O(series²); the
+    window never materializes per-row neighbor lists.
+
+    Returns (key, n_obs, smoothed_<value>)."""
+    w_us = window_seconds * 1_000_000
+    base = df.select(
+        F.col(key),
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(ts)).alias("__t"),
+        F.col(value).alias("__v"),
+    )
+    probe = base.withColumn(
+        "__band",
+        F.explode(F.array(*[(F.floor(F.col("__t") / w_us) + i).cast("long") for i in (-1, 0, 1)])),
+    )
+    build = base.select(
+        F.col("__k"),
+        F.floor(F.col("__t") / w_us).cast("long").alias("__band"),
+        F.col("__t").alias("__rt"),
+        F.col("__v").alias("__rv"),
+    )
+    weight = (F.lit(w_us) - F.abs(F.col("__rt") - F.col("__t"))).alias("__w")
+    pairs = (
+        probe.join(build, on=["__k", "__band"])
+        .filter(F.abs(F.col("__rt") - F.col("__t")) < w_us)
+        .select(F.col(key), F.col("__v"), F.col("__rv"), weight)
+    )
+    # exact-DECIMAL numerator (value × integer weight), integer denominator:
+    # the division is the only float op, one per output row.
+    # ``value_decimal`` must cover the value's true precision (here:
+    # 2-decimal telemetry readings); widen it for finer-grained signals —
+    # the decimal×integer product must stay ≤ 38 digits on both engines.
+    num = F.sum(F.col("__rv").cast(value_decimal) * F.col("__w").cast("decimal(12,0)"))
+    den = F.sum(F.col("__w"))
+    return pairs.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.round(num.cast("double") / den.cast("double"), 6).alias(f"smoothed_{value}"),
+    )

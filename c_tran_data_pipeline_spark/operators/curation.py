@@ -244,3 +244,45 @@ def upsample_mix(
         .withColumn("copy", F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("__n"))))
         .drop("__n")
     )
+
+
+def mad_outliers(
+    df: DataFrame,
+    group: str = "event_type",
+    value: str = "value",
+    keep: tuple[str, ...] = ("event_id",),
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust per-group outlier detection by median absolute deviation:
+    flag rows with |v − median| > k·MAD, MAD = median(|v − median|).
+
+    Median/MAD (not mean/stddev) because training-data quality signals
+    and telemetry values are heavy-tailed: the outliers being hunted
+    would inflate a stddev fence and hide themselves; the median fence
+    doesn't move. This is the numeric twin of the text quality filters —
+    run it on quality scores, token counts, or sensor values before a
+    corpus ships.
+
+    Shape: two grouped exact percentiles (|groups| rows each — tiny) and
+    broadcast joins back onto one scan; nothing but group keys shuffles.
+    At 100 TB swap F.percentile for percentile_approx (same query shape,
+    mergeable sketches) exactly as q_percentiles → q_approx_percentiles.
+    Returns (*keep, group, value, med, mad, score) for flagged rows;
+    displayed stats round to 6, the fence compares unrounded."""
+    med = df.groupBy(group).agg(F.percentile(value, F.lit(0.5)).alias("__med"))
+    dev = df.join(F.broadcast(med), group).withColumn(
+        "__dev", F.abs(F.col(value) - F.col("__med"))
+    )
+    mad = dev.groupBy(group).agg(F.percentile("__dev", F.lit(0.5)).alias("__mad"))
+    return (
+        dev.join(F.broadcast(mad), group)
+        .filter(F.col("__dev") > F.lit(k) * F.col("__mad"))
+        .select(
+            *keep,
+            group,
+            value,
+            F.round("__med", 6).alias("med"),
+            F.round("__mad", 6).alias("mad"),
+            F.round(F.col("__dev") / F.col("__mad"), 4).alias("score"),
+        )
+    )

@@ -103,6 +103,54 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by n-gram CONTAINMENT:
+
+        containment(A, B) = |A ∩ B| / min(|A|, |B|)
+
+    Jaccard misses the short-doc-inside-long-doc case (a quote, an
+    excerpt, a doc embedded in a crawl page): |A∩B|/|A∪B| is diluted by
+    the long side's size, while containment normalizes by the SMALL
+    side, so a fully-quoted short doc scores 1.0 regardless of host
+    length. Same inverted-index physical plan as ``ngram_jaccard_pairs``
+    (equi-join on shingle, never all-pairs; ``max_shingle_df`` is the
+    identical hot-shingle skew guard), only the denominator differs.
+    Returns (d1, d2, containment)."""
+    idx = shingle_index(df, payload, key, n)
+    if max_shingle_df is not None:
+        hot = idx.groupBy("shingle").count().filter(F.col("count") > max_shingle_df)
+        idx = idx.join(F.broadcast(hot.select("shingle")), "shingle", "left_anti")
+    sizes = idx.groupBy(key).agg(F.count(F.lit(1)).alias("n_shingles"))
+
+    a = idx.alias("a")
+    b = idx.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{key}") < F.col(f"b.{key}"))
+        .groupBy(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(key).alias("d1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col(key).alias("d2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .withColumn(
+            "containment",
+            F.round(F.col("n_common") / F.least(F.col("n1"), F.col("n2")), 6),
+        )
+        .filter(F.col("containment") >= threshold)
+        .select("d1", "d2", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame, payload: str = "text", key: str = "doc_id", num_hashes: int = 16, n: int = 3
 ) -> DataFrame:

@@ -76,6 +76,64 @@ def cosine_topk(
     )
 
 
+def mrl_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    prefix_dims: int = 16,
+    shortlist: int = 4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Matryoshka (MRL) two-stage retrieval: shortlist by cosine over the
+    FIRST ``prefix_dims`` dimensions, then exact full-vector cosine
+    re-ranks the shortlist. Returns (query_id, neighbor_id, rank, cosine)
+    — the same contract as ``cosine_topk``.
+
+    Matryoshka-trained embeddings put most of the signal in the leading
+    dims, so the shortlist pass reads prefix_dims/dim of the vector bytes
+    (16/64 here = 4× less compute and scan bandwidth — the same lever as
+    int8/PQ, along the dimension axis instead of the precision axis).
+
+    Scale shape: the shortlist window sees only narrow
+    (query_id, neighbor_id, tcos) rows — full vectors are dropped BEFORE
+    the top-m shuffle, then only shortlist×|queries| rows (tiny,
+    broadcastable) rejoin the corpus for the exact re-rank. Cosine over a
+    prefix slice needs no re-normalization (cosine is scale-invariant),
+    so the shortlist score is exactly reproducible in SQL."""
+    m = shortlist * k
+    c_tr = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.slice(_as_double(F.col(vec)), 1, prefix_dims).alias("__ct"),
+    )
+    q_tr = queries.select(
+        F.col(key).alias("query_id"),
+        F.slice(_as_double(F.col(vec)), 1, prefix_dims).alias("__qt"),
+    )
+    scored_tr = c_tr.join(F.broadcast(q_tr), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("__qt"), F.col("__ct")).alias("__tcos")
+    )
+    w_tr = Window.partitionBy("query_id").orderBy(F.col("__tcos").desc(), F.col("neighbor_id").asc())
+    short = (
+        scored_tr.withColumn("__rn", F.row_number().over(w_tr))
+        .filter(F.col("__rn") <= m)
+        .select("query_id", "neighbor_id")
+    )
+    c_full = corpus.select(F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"))
+    q_full = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    rerank = (
+        short.join(c_full, "neighbor_id")
+        .join(F.broadcast(q_full), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        rerank.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__cos", 4).alias("cosine"))
+    )
+
+
 def hyperplane_sign(plane: Column, dim_index: Column) -> Column:
     """±1 pseudo-random hyperplane component from md5 parity — portable
     across engines, no plane matrix to broadcast."""

@@ -76,6 +76,36 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_dedup_containment",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(n_common * 1.0 / least(s1.n, s2.n), 6) AS containment
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE n_common * 1.0 / least(s1.n, s2.n) >= 0.8
+    """,
+    doc="Asymmetric near-dup by n-gram CONTAINMENT |A∩B|/min(|A|,|B|): "
+    "catches a short doc quoted inside a long one, which Jaccard "
+    "dilutes below threshold. Same inverted-index equi-join plan as "
+    "q_dedup_ngram_jaccard — only the denominator differs.",
+    tags=("dedup", "join"),
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(load_table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@query(
     "q_dedup_minhash_sig",
     f"""
     WITH {_SHINGLES_CTE},

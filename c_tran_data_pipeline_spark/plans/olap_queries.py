@@ -116,6 +116,66 @@ def q_range_join_follows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_kernel_smooth",
+    """
+    WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t, value FROM events),
+    pairs AS (
+        SELECT a.event_id AS event_id, b.value AS rv,
+               86400000000 - abs(b.t - a.t) AS w
+        FROM e a JOIN e b ON a.user_id = b.user_id
+        WHERE abs(b.t - a.t) < 86400000000
+    )
+    SELECT event_id, COUNT(*) AS n_obs,
+           ROUND(CAST(SUM(CAST(rv AS DECIMAL(12,2)) * CAST(w AS DECIMAL(12,0))) AS DOUBLE)
+                 / CAST(SUM(w) AS DOUBLE), 6) AS smoothed_value
+    FROM pairs GROUP BY event_id
+    """,
+    doc="Triangular-kernel smoothing of each user's irregular value "
+    "series (±24 h window) — operators/asof.py kernel_smooth. Neighbor "
+    "pairs come from a time-bucketed self-join (probe side explodes to "
+    "3 adjacent buckets, build side stays single-bucket) so the shuffle "
+    "keys on (user, bucket) and per-bucket cost is density-bounded, "
+    "never O(series²). Integer µs weights × exact-DECIMAL sums make the "
+    "smoothed value bit-reproducible; the oracle is the plain "
+    "inequality self-join.",
+    tags=("olap", "join", "range", "window"),
+)
+def q_kernel_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.asof import kernel_smooth
+
+    e = load_table(spark, sf_dir, "events")
+    return kernel_smooth(e, on="user_id", ts="ts", value="value", key="event_id")
+
+
+@query(
+    "q_mad_outliers",
+    """
+    WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+                 FROM events GROUP BY 1),
+    dev AS (SELECT e.event_id, e.event_type, e.value, m, abs(e.value - m) AS d
+            FROM events e JOIN med USING (event_type)),
+    mad AS (SELECT event_type, quantile_cont(d, 0.5) AS md FROM dev GROUP BY 1)
+    SELECT event_id, event_type, value, ROUND(m, 6) AS med, ROUND(md, 6) AS mad,
+           ROUND(d / md, 4) AS score
+    FROM dev JOIN mad USING (event_type)
+    WHERE d > 3 * md
+    """,
+    doc="Robust per-group outlier fence: |v − median| > 3·MAD "
+    "(operators/curation.py mad_outliers). Median/MAD because the "
+    "outliers being hunted would inflate a stddev fence and hide "
+    "themselves. Two tiny grouped exact percentiles broadcast back onto "
+    "one scan; at 100 TB percentile_approx swaps in with the same query "
+    "shape (cf. q_approx_percentiles).",
+    tags=("olap", "agg", "curation"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import mad_outliers
+
+    e = load_table(spark, sf_dir, "events")
+    return mad_outliers(e, group="event_type", value="value", keep=("event_id",), k=3.0)
+
+
+@query(
     "q_rollup_pricing",
     """
     SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

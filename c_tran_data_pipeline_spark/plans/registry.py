@@ -97,6 +97,11 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_decontaminate_semantic",
     "q_quality_deciles",
     "q_upsample_mix",
+    # round-2 late additions — no prior evidence:
+    "q_dedup_containment",
+    "q_ann_mrl_topk",
+    "q_kernel_smooth",
+    "q_mad_outliers",
 )
 
 

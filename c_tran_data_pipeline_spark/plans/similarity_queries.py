@@ -127,6 +127,59 @@ def q_ann_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_COS32 = (
+    "list_cosine_similarity(CAST(a.embedding[1:32] AS DOUBLE[]), "
+    "CAST(b.embedding[1:32] AS DOUBLE[]))"
+)
+
+
+@query(
+    "q_ann_mrl_topk",
+    f"""
+    WITH tr AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS32} AS tcos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 20
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY tcos DESC, neighbor_id ASC) AS rn
+            FROM tr) WHERE rn <= 24
+    ),
+    ex AS (
+        SELECT s.query_id, s.neighbor_id, {_COS} AS cos
+        FROM short s
+        JOIN embeddings a ON a.vec_id = s.query_id
+        JOIN embeddings b ON b.vec_id = s.neighbor_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM ex
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Matryoshka (MRL) two-stage ANN (operators/similarity.py "
+    "mrl_topk): shortlist top-24 by cosine over the FIRST 32 of 64 dims "
+    "(2× less compute/scan bandwidth — the dimension-axis twin of the "
+    "int8/PQ precision levers), exact full-vector re-rank to top-3. "
+    "Cosine is scale-invariant so the prefix slice needs no re-norm and "
+    "the whole cascade has an EXACT SQL oracle — unlike LSH/IVF whose "
+    "bucketing is probabilistic. Full vectors drop before the shortlist "
+    "window shuffle; only shortlist×|queries| rows rejoin the corpus.",
+    tags=("similarity", "topk"),
+)
+def q_ann_mrl_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.similarity import mrl_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return mrl_topk(emb, emb.filter(F.col("vec_id") < 20), k=3, prefix_dims=32, shortlist=8)
+
+
 @query(
     "q_label_centroids",
     """

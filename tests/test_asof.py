@@ -143,3 +143,37 @@ def test_asof_nearest_direction(spark):
     far = asof_join(tie, right, on="k", left_ts="ts", right_ts="ts",
                     value_cols=["v"], direction="nearest", tolerance_seconds=60).collect()[0]
     assert far["asof_v"] is None
+
+
+def test_kernel_smooth_hand_computed_and_isolated_point(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.asof import kernel_smooth
+
+    W = 100  # seconds
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + timedelta(seconds=s)
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=at(0), value=10.0),
+        Row(event_id=2, user_id=1, ts=at(50), value=20.0),   # 50 s from #1
+        Row(event_id=3, user_id=1, ts=at(1000), value=99.0),  # isolated
+        Row(event_id=4, user_id=2, ts=at(25), value=7.0),     # other series
+    ]
+    out = {
+        r.event_id: r
+        for r in kernel_smooth(
+            spark.createDataFrame(rows), window_seconds=W
+        ).collect()
+    }
+    # event 1: self weight W, neighbor #2 weight W-50s → (10·100+20·50)/150
+    assert out[1].n_obs == 2
+    assert abs(out[1].smoothed_value - (10 * 100 + 20 * 50) / 150) < 1e-6
+    assert out[2].n_obs == 2
+    # isolated point smooths to itself; series are independent
+    assert out[3].n_obs == 1 and out[3].smoothed_value == 99.0
+    assert out[4].n_obs == 1 and out[4].smoothed_value == 7.0

@@ -162,3 +162,18 @@ def test_upsample_mix_repeat_semantics(spark):
     assert set(copies.values()) == {3}
     again = upsample_mix(df, stratum="src", weights=weights, key="doc_id")
     assert sorted(map(tuple, out.collect())) == sorted(map(tuple, again.collect()))
+
+
+def test_mad_outliers_flags_planted_spike_only(spark):
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.curation import mad_outliers
+
+    rows = [Row(event_id=i, event_type="a", value=float(v)) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 500])]
+    rows += [Row(event_id=100 + i, event_type="b", value=float(i)) for i in range(8)]  # clean group
+    out = mad_outliers(spark.createDataFrame(rows), k=3.0).collect()
+    assert [(r.event_id, r.event_type) for r in out] == [(7, "a")]
+    r = out[0]
+    # median 4.5, deviations {3.5,2.5,1.5,0.5,0.5,1.5,2.5,495.5} → MAD 2.0
+    assert r.med == 4.5 and r.mad == 2.0 and r.value == 500.0
+    assert abs(r.score - 495.5 / 2.0) < 1e-9

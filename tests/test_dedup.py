@@ -164,3 +164,26 @@ def test_star_cc_matches_min_propagation_on_mixed_graph(spark):
     a = {r["node"]: r["component"] for r in connected_components(edges).collect()}
     b = {r["node"]: r["component"] for r in connected_components_star(edges).collect()}
     assert a == b
+
+
+def test_containment_catches_excerpt_that_jaccard_misses(spark):
+    from c_tran_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    excerpt = "the quick brown fox jumps over the lazy dog"  # prefix of BASE
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=BASE), Row(doc_id=2, text=excerpt), Row(doc_id=3, text=OTHER)]
+    )
+    # every shingle of the excerpt appears in BASE → containment 1.0 ...
+    cont = {(r.d1, r.d2): r.containment for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1.0}
+    # ... while Jaccard is diluted by the host doc's size and misses it
+    jac = {(r.d1, r.d2) for r in ngram_jaccard_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) not in jac
+
+
+def test_containment_hot_shingle_guard_is_applied(spark):
+    from c_tran_data_pipeline_spark.operators.dedup import ngram_containment_pairs
+
+    df = _docs(spark)
+    # capping shingle df at 1 drops every shared shingle → no pairs survive
+    assert ngram_containment_pairs(df, threshold=0.1, max_shingle_df=1).count() == 0

