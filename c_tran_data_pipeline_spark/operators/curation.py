@@ -286,3 +286,42 @@ def mad_outliers(
             F.round(F.col("__dev") / F.col("__mad"), 4).alias("score"),
         )
     )
+
+
+def dataset_fingerprint(
+    df: DataFrame,
+    cols: list[str],
+    group: str | None = None,
+) -> DataFrame:
+    """Order-insensitive dataset digest for training-set versioning /
+    replication audits: two multiset hashes over the selected columns —
+
+        xor_digest = BIT_XOR of per-row 60-bit hashes
+        sum_digest = Σ per-row hashes in exact DECIMAL (AdHash-style
+                     incremental multiset hash, emitted as a string)
+
+    plus n_rows. XOR alone is blind to even multiplicities (a row
+    repeated twice cancels out); the additive digest catches exactly
+    that, and together with the count the pair detects any added,
+    dropped, duplicated, or altered row with overwhelming probability.
+    Two clusters (or two engine versions, or a rerun after a migration)
+    producing the same triple holds the SAME multiset of rows — the
+    cheap answer to "is this the dataset we trained on?".
+
+    Shape: one scan, per-row md5, partial-aggregated XOR/SUM — both
+    digests are commutative+associative so they combine map-side and the
+    shuffle carries |groups| rows. The digest is also incrementally
+    maintainable: fingerprint(A ∪ B) folds from the two digests without
+    rescanning A (sum adds, xor xors, counts add)."""
+    # unit-separator + null sentinels so ("a","b") ≠ ("ab","") ≠ ("a",NULL)
+    payload = F.concat_ws(
+        "␟", *[F.coalesce(F.col(c).cast("string"), F.lit("␀")) for c in cols]
+    )
+    h = md5_long(payload).alias("__h")
+    keys = [group] if group else []
+    base = df.select(*keys, h)
+    return base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("bit_xor(__h)").alias("xor_digest"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("sum_digest"),
+    )

@@ -102,6 +102,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_ann_mrl_topk",
     "q_kernel_smooth",
     "q_mad_outliers",
+    "q_zorder_cells",
+    "q_dataset_fingerprint",
 )
 
 

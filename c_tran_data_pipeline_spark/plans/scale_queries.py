@@ -97,3 +97,74 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         [summarize(history, keys, "value"), summarize(delta, keys, "value")], keys
     )
     return finalize(merged)
+
+
+def _zorder_oracle() -> str:
+    from c_tran_data_pipeline_spark.operators.layout import zorder_sql
+
+    return f"""
+    WITH cells AS (
+        SELECT event_id, user_id AS x_cell,
+               epoch_us(ts) // 86400000000 AS y_cell
+        FROM events
+    )
+    SELECT event_id, x_cell, y_cell, {zorder_sql("x_cell", "y_cell", 16)} AS zkey
+    FROM cells
+    """
+
+
+@query(
+    "q_zorder_cells",
+    _zorder_oracle(),
+    doc="Morton (Z-order) clustering key over (user_id, event-day) — "
+    "operators/layout.py. Interleaving both dimensions' bits into one "
+    "sort key is what makes a range-partitioned + sorted write prune "
+    "BOTH tenant and time bounding-box predicates from parquet min/max "
+    "stats (the Delta OPTIMIZE ZORDER BY technique as plain Spark). "
+    "Pure unrolled shift/mask integer math — whole-stage codegen, no "
+    "UDF, exact cross-engine oracle; zorder_layout then range-"
+    "partitions + sorts on this key (tests pin tile contiguity and a "
+    "python-reference roundtrip).",
+    tags=("scale", "layout"),
+)
+def q_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.layout import zorder_key_expr
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.select(
+        "event_id",
+        F.col("user_id").alias("x_cell"),
+        F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("y_cell"),
+    )
+    return cells.withColumn("zkey", zorder_key_expr("x_cell", "y_cell", 16))
+
+
+@query(
+    "q_dataset_fingerprint",
+    """
+    WITH h AS (
+        SELECT source,
+               CAST('0x' || substr(md5(concat_ws('␟',
+                    coalesce(CAST(doc_id AS VARCHAR), '␀'),
+                    coalesce(text, '␀'),
+                    coalesce(lang, '␀'))), 1, 15) AS BIGINT) AS __h
+        FROM documents
+    )
+    SELECT source, COUNT(*) AS n_rows, bit_xor(__h) AS xor_digest,
+           CAST(SUM(CAST(__h AS DECIMAL(38,0))) AS VARCHAR) AS sum_digest
+    FROM h GROUP BY source
+    """,
+    doc="Per-source dataset fingerprint (operators/curation.py "
+    "dataset_fingerprint): commutative multiset digests — BIT_XOR plus "
+    "an AdHash-style exact-DECIMAL sum of per-row 60-bit hashes, with "
+    "row counts. Equal triples ⇒ same multiset of rows: the one-scan, "
+    "partial-aggregated answer to 'is this the dataset we trained on?' "
+    "across reruns, migrations, and engine versions; digests fold "
+    "incrementally for union/append without rescanning history.",
+    tags=("scale", "curation", "agg"),
+)
+def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import dataset_fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dataset_fingerprint(docs, cols=["doc_id", "text", "lang"], group="source")

@@ -130,6 +130,9 @@ _ALLOWED_NESTED_LOOP = {
     "q_ann_pq_topk",
     # broadcast eval batch × one corpus scan (q_ann_topk with roles flipped)
     "q_decontaminate_semantic",
+    # MRL shortlist pass: broadcast constant query batch (!=) over one
+    # prefix-width corpus scan — q_ann_topk's shape at 32/64 the bytes
+    "q_ann_mrl_topk",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
@@ -232,3 +235,81 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
         .collect()
     }
     assert filtered == plain
+
+
+def test_zorder_key_matches_python_reference_and_tiles_are_contiguous(spark):
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.layout import zorder_key_expr
+
+    def morton(x, y, bits=16):
+        k = 0
+        for b in range(bits):
+            k |= ((x >> b) & 1) << (2 * b) | ((y >> b) & 1) << (2 * b + 1)
+        return k
+
+    pts = [(x, y) for x in range(8) for y in range(8)] + [(65535, 65535), (12345, 54321)]
+    df = spark.createDataFrame([Row(x_cell=x, y_cell=y) for x, y in pts])
+    out = {(r.x_cell, r.y_cell): r.zkey for r in df.withColumn(
+        "zkey", zorder_key_expr("x_cell", "y_cell", 16)).collect()}
+    assert all(out[(x, y)] == morton(x, y) for x, y in pts)
+    # aligned 2^n tile ⇒ contiguous key range: the 4×4 tile at origin is [0, 16)
+    tile = sorted(out[(x, y)] for x in range(4) for y in range(4))
+    assert tile == list(range(16))
+
+
+def test_zorder_layout_sorts_within_range_partitions(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.operators.layout import zorder_layout
+
+    df = spark.createDataFrame(
+        [Row(x_cell=(i * 37) % 64, y_cell=(i * 53) % 64) for i in range(512)]
+    )
+    laid = zorder_layout(df, "x_cell", "y_cell", partitions=4)
+    parts = laid.select(F.spark_partition_id().alias("p"), "zkey").collect()
+    bounds = {}
+    last_in_part = {}
+    for r in parts:
+        assert last_in_part.get(r.p, -1) <= r.zkey  # sorted within partition
+        last_in_part[r.p] = r.zkey
+        lo, hi = bounds.get(r.p, (r.zkey, r.zkey))
+        bounds[r.p] = (min(lo, r.zkey), max(hi, r.zkey))
+    # range partitioning ⇒ per-partition key ranges don't interleave
+    spans = sorted(bounds.values())
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_dataset_fingerprint_detects_dup_and_edit_and_folds_incrementally(spark):
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.curation import dataset_fingerprint
+
+    rows = [Row(doc_id=i, text=f"doc {i}", lang="en", source="a") for i in range(10)]
+    base = spark.createDataFrame(rows)
+    fp = dataset_fingerprint(base, cols=["doc_id", "text", "lang"], group="source").collect()[0]
+
+    # row order / partitioning invariance
+    shuffled = spark.createDataFrame(list(reversed(rows))).repartition(7)
+    fp2 = dataset_fingerprint(shuffled, cols=["doc_id", "text", "lang"], group="source").collect()[0]
+    assert (fp.n_rows, fp.xor_digest, fp.sum_digest) == (fp2.n_rows, fp2.xor_digest, fp2.sum_digest)
+
+    # a duplicated row cancels in XOR but not in the additive digest
+    dup = spark.createDataFrame(rows + [rows[0]])
+    fp3 = dataset_fingerprint(dup, cols=["doc_id", "text", "lang"], group="source").collect()[0]
+    assert fp3.xor_digest != fp.xor_digest or fp3.sum_digest != fp.sum_digest
+    assert fp3.sum_digest != fp.sum_digest  # the additive one specifically moves
+
+    # a one-character edit moves both digests, count unchanged
+    edited = spark.createDataFrame(rows[:-1] + [Row(doc_id=9, text="doc 9!", lang="en", source="a")])
+    fp4 = dataset_fingerprint(edited, cols=["doc_id", "text", "lang"], group="source").collect()[0]
+    assert fp4.n_rows == fp.n_rows and fp4.xor_digest != fp.xor_digest
+
+    # incremental fold: digest(A ∪ B) derivable from digest(A) ⊕ digest(B)
+    more = [Row(doc_id=100 + i, text=f"new {i}", lang="de", source="a") for i in range(5)]
+    fpB = dataset_fingerprint(spark.createDataFrame(more), cols=["doc_id", "text", "lang"], group="source").collect()[0]
+    fpAB = dataset_fingerprint(spark.createDataFrame(rows + more), cols=["doc_id", "text", "lang"], group="source").collect()[0]
+    assert fpAB.n_rows == fp.n_rows + fpB.n_rows
+    assert fpAB.xor_digest == fp.xor_digest ^ fpB.xor_digest
+    assert int(fpAB.sum_digest) == int(fp.sum_digest) + int(fpB.sum_digest)
