@@ -308,6 +308,37 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_value_rank_profile",
+    """
+    SELECT event_id, event_type, value,
+           percent_rank() OVER (PARTITION BY event_type ORDER BY value) AS pr,
+           cume_dist()    OVER (PARTITION BY event_type ORDER BY value) AS cd
+    FROM events
+    """,
+    doc="Relative-rank window profile: percent_rank + cume_dist of every "
+    "value within its event_type — the normalized-score shape used for "
+    "cross-group comparable quality scores (a value's quantile position "
+    "is comparable across groups whose scales aren't). One hash "
+    "exchange on the partition key shared by both window functions; "
+    "(rank−1)/(n−1) and rank/n are small-integer divisions, so the "
+    "floats are bit-identical across engines with no rounding.",
+    tags=("olap", "window"),
+)
+def q_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value")
+    return e.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+
+
+@query(
     "q_set_ops_cohorts",
     """
     SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 100

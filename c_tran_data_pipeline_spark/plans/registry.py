@@ -104,6 +104,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_mad_outliers",
     "q_zorder_cells",
     "q_dataset_fingerprint",
+    "q_value_rank_profile",
 )
 
 

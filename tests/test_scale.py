@@ -313,3 +313,49 @@ def test_dataset_fingerprint_detects_dup_and_edit_and_folds_incrementally(spark)
     assert fpAB.n_rows == fp.n_rows + fpB.n_rows
     assert fpAB.xor_digest == fp.xor_digest ^ fpB.xor_digest
     assert int(fpAB.sum_digest) == int(fp.sum_digest) + int(fpB.sum_digest)
+
+
+def test_zorder_layout_files_cover_compact_tiles(spark, tmp_path):
+    """Empirical pruning evidence: write the same 2-D data z-ordered vs
+    x-sorted; per-file bounding boxes from parquet footer stats must be
+    dramatically tighter in y under z-order (an x-sort leaves y
+    unconstrained ⇒ every file spans the full y range and a y-predicate
+    prunes nothing)."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.layout import zorder_layout
+
+    n = 64
+    df = spark.createDataFrame(
+        [Row(x_cell=x, y_cell=y) for x in range(n) for y in range(n)]
+    )
+
+    zdir, xdir = str(tmp_path / "z"), str(tmp_path / "x")
+    zorder_layout(df, "x_cell", "y_cell", partitions=16).write.parquet(zdir)
+    df.repartitionByRange(16, "x_cell").sortWithinPartitions("x_cell").write.parquet(xdir)
+
+    def mean_y_span(d):
+        import os
+
+        spans = []
+        for f in os.listdir(d):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(d, f)).metadata
+            lo, hi = None, None
+            for rg in range(md.num_row_groups):
+                for ci in range(md.row_group(rg).num_columns):
+                    col = md.row_group(rg).column(ci)
+                    if col.path_in_schema == "y_cell" and col.statistics:
+                        s = col.statistics
+                        lo = s.min if lo is None else min(lo, s.min)
+                        hi = s.max if hi is None else max(hi, s.max)
+            if lo is not None:
+                spans.append(hi - lo + 1)
+        return sum(spans) / len(spans)
+
+    z_span, x_span = mean_y_span(zdir), mean_y_span(xdir)
+    # x-sorted files span all 64 y values; z-ordered files cover ~16-row tiles
+    assert x_span >= n * 0.9
+    assert z_span <= n / 2, f"zorder mean y-span {z_span} vs naive {x_span}"
