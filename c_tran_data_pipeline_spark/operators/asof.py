@@ -257,3 +257,56 @@ def kernel_smooth(
         F.count(F.lit(1)).alias("n_obs"),
         F.round(num.cast("double") / den.cast("double"), 6).alias(f"smoothed_{value}"),
     )
+
+
+def resample_ffill(
+    df: DataFrame,
+    on: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    key: str = "event_id",
+    interval_seconds: int = 86_400,
+) -> DataFrame:
+    """Resample an irregular series onto a regular grid with forward
+    fill: per series key, one grid point per ``interval_seconds`` bucket
+    from the first to the last observation, carrying the latest value
+    observed at-or-before the grid point (ties broken by ``key``). The
+    gap-filling step every telemetry/feature pipeline needs before
+    aligning series for joins or models.
+
+    Bucket index is exact integer math ((t + W−1) DIV W — no float
+    ceil), so grid membership is engine-portable. Shape: one per-series
+    min/max agg, a per-series integer sequence explode (bounded by
+    span/W, never row count), a left equi-join of grid to per-bucket
+    last values, and one forward-fill window — all shuffles key on the
+    series key. Returns (on, bucket_idx, <value>_ffill)."""
+    w_us = interval_seconds * 1_000_000
+    base = df.select(
+        F.col(on).alias("__k"),
+        F.unix_micros(F.col(ts)).alias("__t"),
+        F.col(value).alias("__v"),
+        F.col(key).alias("__id"),
+    ).withColumn("__g", F.expr(f"CAST((__t + {w_us - 1}) DIV {w_us} AS BIGINT)"))
+    # last value per (series, bucket): max_by over the (t, id) order
+    last_in_bucket = base.groupBy("__k", "__g").agg(
+        F.max_by("__v", F.struct(F.col("__t"), F.col("__id"))).alias("__bv")
+    )
+    grid = (
+        base.groupBy("__k")
+        .agg(F.min("__g").alias("__lo"), F.max("__g").alias("__hi"))
+        .select("__k", F.explode(F.sequence("__lo", "__hi")).alias("__g"))
+    )
+    win = (
+        Window.partitionBy("__k")
+        .orderBy("__g")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(last_in_bucket, on=["__k", "__g"], how="left")
+        .withColumn("__f", F.last("__bv", ignorenulls=True).over(win))
+        .select(
+            F.col("__k").alias(on),
+            F.col("__g").alias("bucket_idx"),
+            F.col("__f").alias(f"{value}_ffill"),
+        )
+    )

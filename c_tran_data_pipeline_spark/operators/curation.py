@@ -325,3 +325,35 @@ def dataset_fingerprint(
         F.expr("bit_xor(__h)").alias("xor_digest"),
         F.sum(F.col("__h").cast("decimal(38,0)")).cast("string").alias("sum_digest"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    key: str,
+    weight: str,
+    k: int,
+    stratum: str | None = None,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis–
+    Spirakis exponential race): each row draws u ∈ (0,1] from the
+    portable md5 hash of its key (no RNG — reruns and replicas pick the
+    SAME sample) and the k smallest −ln(u)/w per stratum win, which
+    selects with probability ∝ weight. The quality-weighted /
+    length-weighted corpus subsampling primitive: one projection + one
+    top-k window per stratum, no full sort, no collect.
+
+    Returns the sampled rows + (es_key, rnk). Like the ANN family, the
+    selection compares floats (ln is transcendental), so the oracle
+    policy is the similarity one: keys are well-separated random values
+    and a cross-engine last-ulp flip is measure-zero."""
+    u = (md5_long(F.col(key).cast("string"), F.lit(salt)) + 1) / F.lit(float(1 << 60))
+    es = (-F.log(u) / F.col(weight)).alias("__es")
+    parts = [stratum] if stratum else []
+    w = Window.partitionBy(*parts).orderBy(F.col("__es").asc(), F.col(key).asc())
+    return (
+        df.select(*df.columns, es)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(*df.columns, F.round("__es", 6).alias("es_key"), "rnk")
+    )

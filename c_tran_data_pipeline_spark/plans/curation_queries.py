@@ -409,3 +409,36 @@ def q_upsample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         key="doc_id",
         salt="mix",
     )
+
+
+@query(
+    "q_weighted_sample",
+    """
+    WITH keyed AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               -ln((CAST('0x' || substr(md5(concat('wsample', ':', CAST(doc_id AS VARCHAR))), 1, 15)
+                    AS BIGINT) + 1) / 1152921504606846976.0) / n_chars AS es
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY es ASC, doc_id ASC) AS rnk
+        FROM keyed
+    )
+    SELECT doc_id, text, lang, source, n_chars, ROUND(es, 6) AS es_key, rnk
+    FROM ranked WHERE rnk <= 20
+    """,
+    doc="Deterministic weighted sampling without replacement "
+    "(operators/curation.py weighted_sample — Efraimidis–Spirakis "
+    "exponential race): u from the portable md5 hash of the key (no "
+    "RNG), the 20 smallest −ln(u)/n_chars per language win → selection "
+    "probability ∝ document length, reproducible on any engine or "
+    "rerun. One projection + per-stratum top-k window, no full sort. "
+    "The quality-weighted corpus subsampling primitive.",
+    tags=("curation", "sample", "topk"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, key="doc_id", weight="n_chars", k=20, stratum="lang")

@@ -308,6 +308,87 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_resample_ffill",
+    """
+    WITH e AS (SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events),
+    b AS (SELECT user_id, (t + 86399999999) // 86400000000 AS g, value, t, event_id FROM e),
+    lastv AS (
+        SELECT user_id, g, value FROM (
+            SELECT user_id, g, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, g
+                                      ORDER BY t DESC, event_id DESC) AS rn
+            FROM b) WHERE rn = 1
+    ),
+    grid AS (
+        SELECT user_id, unnest(generate_series(lo, hi)) AS g
+        FROM (SELECT user_id, MIN(g) AS lo, MAX(g) AS hi FROM b GROUP BY user_id)
+    )
+    SELECT grid.user_id AS user_id, grid.g AS bucket_idx,
+           last_value(lastv.value IGNORE NULLS) OVER (
+               PARTITION BY grid.user_id ORDER BY grid.g
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ffill
+    FROM grid LEFT JOIN lastv ON grid.user_id = lastv.user_id AND grid.g = lastv.g
+    """,
+    doc="Regular-grid resampling with forward fill (operators/asof.py "
+    "resample_ffill): one daily grid point per user from first to last "
+    "observation, carrying the latest value at-or-before each point — "
+    "the gap-filling step before aligning irregular series for joins/"
+    "models. Bucket index is exact integer math ((t+W−1) DIV W, no "
+    "float ceil); the grid explode is bounded by span/interval, never "
+    "row count; every shuffle keys on the series key.",
+    tags=("olap", "window", "asof"),
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.asof import resample_ffill
+
+    e = load_table(spark, sf_dir, "events")
+    return resample_ffill(e, on="user_id", ts="ts", value="value", key="event_id")
+
+
+@query(
+    "q_group_moments",
+    """
+    WITH s AS (
+        SELECT event_type,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(value AS DECIMAL(12,2)) * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(12,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(epoch_us(ts) // 86400000000 AS DECIMAL(12,0))
+                        * CAST(epoch_us(ts) // 86400000000 AS DECIMAL(12,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(value AS DECIMAL(12,2))
+                        * CAST(epoch_us(ts) // 86400000000 AS DECIMAL(12,0))) AS DOUBLE) AS sxy
+        FROM (SELECT event_type, value, ts, epoch_us(ts) AS t FROM events)
+        GROUP BY event_type
+    )
+    SELECT event_type, n,
+           ROUND(sx / n, 6) AS mean_value,
+           ROUND(sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 6) AS stddev_value,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)), 6)
+               AS corr_value_day
+    FROM s
+    """,
+    doc="Per-group mean/sample-stddev/Pearson-corr(value, event-day) from "
+    "EXACT DECIMAL power sums (operators/stats.py group_moments): "
+    "built-in stddev/corr stream fold-order-dependent co-moments, so "
+    "this derives every moment from associative exact sums instead — "
+    "one partial-aggregated shuffle of |groups| rows, bit-reproducible "
+    "under any partitioning, the repo's float policy applied to "
+    "second-order statistics.",
+    tags=("olap", "agg", "stats"),
+)
+def q_group_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.stats import group_moments
+
+    e = load_table(spark, sf_dir, "events")
+    day = F.floor(F.unix_micros("ts") / F.lit(86_400_000_000)).alias("day")
+    return group_moments(
+        e.select("event_type", "value", day), group="event_type", x="value", y="day"
+    )
+
+
+@query(
     "q_value_rank_profile",
     """
     SELECT event_id, event_type, value,

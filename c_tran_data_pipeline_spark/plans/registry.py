@@ -105,6 +105,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_zorder_cells",
     "q_dataset_fingerprint",
     "q_value_rank_profile",
+    "q_group_moments",
+    "q_weighted_sample",
+    "q_resample_ffill",
 )
 
 

@@ -177,3 +177,30 @@ def test_mad_outliers_flags_planted_spike_only(spark):
     # median 4.5, deviations {3.5,2.5,1.5,0.5,0.5,1.5,2.5,495.5} → MAD 2.0
     assert r.med == 4.5 and r.mad == 2.0 and r.value == 500.0
     assert abs(r.score - 495.5 / 2.0) < 1e-9
+
+
+def test_weighted_sample_determinism_quota_and_weight_monotonicity(spark):
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.curation import weighted_sample
+
+    rows = [Row(doc_id=i, lang="en", w=1.0) for i in range(200)]
+    rows += [Row(doc_id=1000, lang="en", w=1e9)]  # overwhelming weight
+    rows += [Row(doc_id=2000 + i, lang="de", w=1.0) for i in range(5)]
+    df = spark.createDataFrame(rows)
+
+    out = weighted_sample(df, key="doc_id", weight="w", k=10, stratum="lang")
+    got = out.collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 10          # quota enforced
+    assert by_lang["de"] == {2000 + i for i in range(5)}  # under-quota stratum kept whole
+    assert 1000 in by_lang["en"]             # giant weight always wins
+
+    again = weighted_sample(df, key="doc_id", weight="w", k=10, stratum="lang").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))  # deterministic
+
+    other = weighted_sample(df, key="doc_id", weight="w", k=10, stratum="lang", salt="v2")
+    ids_other = {r.doc_id for r in other.collect() if r.lang == "en"}
+    assert ids_other != by_lang["en"]        # salt rotates the draw

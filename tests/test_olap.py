@@ -36,3 +36,54 @@ def test_approx_percentiles_within_rank_error(spark):
         spread = max(e["p75"] - e["p25"], 1e-9)
         for p in ("p25", "p50", "p75"):
             assert abs(a[p] - e[p]) <= 0.1 * spread + 1e-6, (et, p, a[p], e[p])
+
+
+def test_group_moments_match_numpy_and_partitioning(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.stats import group_moments
+
+    rows = [
+        Row(g="a", x=float(v), y=i % 7)
+        for i, v in enumerate([1.25, 2.5, 3.75, 10.0, 2.25, 8.5, 4.0, 6.25])
+    ]
+    df = spark.createDataFrame(rows)
+    out = group_moments(df, group="g", x="x", y="y").collect()[0]
+    xs = np.array([r.x for r in rows])
+    ys = np.array([r.y for r in rows], dtype=float)
+    assert out.n == len(rows)
+    assert abs(out.mean_x - xs.mean()) < 1e-6
+    assert abs(out.stddev_x - xs.std(ddof=1)) < 1e-6
+    assert abs(out.corr_x_y - np.corrcoef(xs, ys)[0, 1]) < 1e-6
+    # bit-identical under a different partitioning (the design goal)
+    out2 = group_moments(df.repartition(7), group="g", x="x", y="y").collect()[0]
+    assert tuple(out) == tuple(out2)
+
+
+def test_resample_ffill_grid_fill_and_bucket_tiebreak(spark):
+    from datetime import datetime, timedelta
+
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.asof import resample_ffill
+
+    t0 = datetime(2024, 1, 2, 0, 0, 0)  # exactly on a day boundary
+
+    def at(days, secs=0):
+        return t0 + timedelta(days=days, seconds=secs)
+
+    rows = [
+        Row(event_id=1, user_id=1, ts=at(0, 10), value=10.0),   # day d+1 bucket
+        Row(event_id=2, user_id=1, ts=at(0, 20), value=11.0),   # same bucket, later → wins
+        Row(event_id=3, user_id=1, ts=at(3, 5), value=30.0),    # 2-day gap to fill
+        Row(event_id=4, user_id=2, ts=at(1, 1), value=7.0),
+    ]
+    out = resample_ffill(spark.createDataFrame(rows), interval_seconds=86_400)
+    got = {(r.user_id, r.bucket_idx): r.value_ffill for r in out.collect()}
+    u1 = sorted(k[1] for k in got if k[0] == 1)
+    assert len(u1) == 4  # contiguous daily grid across the gap
+    assert got[(1, u1[0])] == 11.0  # last-in-bucket wins over event 1
+    assert got[(1, u1[1])] == 11.0 and got[(1, u1[2])] == 11.0  # gap forward-filled
+    assert got[(1, u1[3])] == 30.0
+    assert [v for k, v in got.items() if k[0] == 2] == [7.0]
