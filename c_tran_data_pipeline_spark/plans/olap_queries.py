@@ -698,3 +698,84 @@ def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("o_orderdate").asc(), F.col("l_orderkey").asc())
         .limit(10)
     )
+
+
+@query(
+    "q_funnel_steps",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t_click
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN c USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+    SELECT v.user_id AS user_id, v.t_view AS t_view, c.t_click AS t_click,
+           p.t_purchase AS t_purchase
+    FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    """,
+    doc="Ordered funnel (view → click-after-view → purchase-after-click): "
+    "per user, the earliest timestamp of each step occurring strictly "
+    "AFTER the previous step — the product-analytics sequence-matching "
+    "shape. Each stage is a partial-aggregated MIN per user; all joins "
+    "key on the user, so one partitioning serves the whole cascade and "
+    "the step tables shrink monotonically (step N only holds users who "
+    "reached it). Drop-off is visible as NULL progression.",
+    tags=("olap", "funnel", "join"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return v.join(c, "user_id", "left").join(p, "user_id", "left")
+
+
+@query(
+    "q_cohort_retention",
+    """
+    WITH uw AS (
+        SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+    ),
+    cohort AS (SELECT user_id, MIN(wk) AS c FROM uw GROUP BY 1)
+    SELECT c AS cohort_week, wk - c AS week_offset, COUNT(*) AS n_users
+    FROM uw JOIN cohort USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="Cohort retention matrix: users grouped by first-active week, "
+    "counted in each later week they return — the standard retention "
+    "triangle. Exact integer week buckets (µs DIV week); two user-keyed "
+    "aggregations sharing one partitioning + a final small rollup; the "
+    "distinct (user, week) projection bounds state at |users|×|weeks| "
+    "regardless of event volume.",
+    tags=("olap", "agg", "cohort"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id",
+        F.expr("CAST(unix_micros(ts) DIV 604800000000 AS BIGINT)").alias("wk"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("wk").alias("c"))
+    return (
+        uw.join(cohort, "user_id")
+        .groupBy(F.col("c").alias("cohort_week"), (F.col("wk") - F.col("c")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

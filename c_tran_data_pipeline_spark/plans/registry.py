@@ -108,6 +108,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_group_moments",
     "q_weighted_sample",
     "q_resample_ffill",
+    "q_funnel_steps",
+    "q_cohort_retention",
 )
 
 

@@ -87,3 +87,32 @@ def test_resample_ffill_grid_fill_and_bucket_tiebreak(spark):
     assert got[(1, u1[1])] == 11.0 and got[(1, u1[2])] == 11.0  # gap forward-filled
     assert got[(1, u1[3])] == 30.0
     assert [v for k, v in got.items() if k[0] == 2] == [7.0]
+
+
+def test_funnel_null_progression_and_ordering(spark):
+    """A later step can never be non-null when an earlier one is null,
+    and step timestamps must be strictly increasing where present."""
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_funnel_steps
+    from tests.conftest import SF_ORACLE
+
+    rows = q_funnel_steps(spark, SF_ORACLE).collect()
+    assert rows
+    for r in rows:
+        if r.t_click is None:
+            assert r.t_purchase is None
+        if r.t_click is not None:
+            assert r.t_click > r.t_view
+        if r.t_purchase is not None:
+            assert r.t_purchase > r.t_click
+
+
+def test_cohort_retention_week0_counts_every_user(spark):
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_cohort_retention
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    rows = q_cohort_retention(spark, SF_ORACLE).collect()
+    total_users = load_table(spark, SF_ORACLE, "events").select("user_id").distinct().count()
+    week0 = sum(r.n_users for r in rows if r.week_offset == 0)
+    assert week0 == total_users  # everyone appears in their own cohort week
+    assert all(r.week_offset >= 0 for r in rows)
