@@ -69,22 +69,30 @@ def train_pq(
 
     dsub = dim // m
     v = _as_double(F.col(vec))
+    # Persist the exploded sub-vectors for the duration of training: the
+    # seed pass + every Lloyd step reads them, so without this each step
+    # re-scans (and re-explodes) the full corpus — the classic k-means
+    # caching lever (Spark MLlib warns on uncached input for the same
+    # reason). MEMORY_AND_DISK default; unpersisted before returning.
     sub = df.select(
         F.posexplode(
             F.array(*[F.slice(v, j * dsub + 1, dsub) for j in range(m)])
         ).alias("j", "__v")
-    )
-    planes = max(1, math.ceil(math.log2(max(ksub, 2))))
-    seeded = sub.select(
-        "j", "__v", _bucket_expr(F.col("__v"), planes, dim=dsub).alias("centroid_id")
-    )
-    books = _collect_books(seeded, m, dsub)
-    for _ in range(iters):
-        assigned = sub.select(
-            "j", "__v", _nearest_by_subspace(F.col("__v"), books).alias("centroid_id")
+    ).persist()
+    try:
+        planes = max(1, math.ceil(math.log2(max(ksub, 2))))
+        seeded = sub.select(
+            "j", "__v", _bucket_expr(F.col("__v"), planes, dim=dsub).alias("centroid_id")
         )
-        books = _collect_books(assigned, m, dsub)
-    return books
+        books = _collect_books(seeded, m, dsub)
+        for _ in range(iters):
+            assigned = sub.select(
+                "j", "__v", _nearest_by_subspace(F.col("__v"), books).alias("centroid_id")
+            )
+            books = _collect_books(assigned, m, dsub)
+        return books
+    finally:
+        sub.unpersist()
 
 
 def _nearest_by_subspace(v: Column, books: Codebooks) -> Column:

@@ -375,17 +375,23 @@ def _kmeans_rows(
     import math
 
     planes = max(1, math.ceil(math.log2(max(nlist, 2))))
-    assigned = hyperplane_lsh_buckets(df, planes=planes, key=key, vec=vec, dim=dim).select(
-        _as_double(F.col(vec)).alias("__v"), F.col("bucket").alias("centroid_id")
-    )
-    rows = _collect_means(assigned, dim)
-    for _ in range(iters):
-        v = _as_double(F.col(vec))
-        assigned = df.select(
-            v.alias("__v"), _nearest_cell(v, rows).alias("centroid_id")
+    # Persist the projected vectors for the duration of training: seed +
+    # each Lloyd step otherwise re-scans the corpus (k-means caching
+    # lever, cf. train_pq). Only the vector column is cached.
+    base = df.select(F.col(key), _as_double(F.col(vec)).alias("__vv")).persist()
+    try:
+        assigned = hyperplane_lsh_buckets(base, planes=planes, key=key, vec="__vv", dim=dim).select(
+            F.col("__vv").alias("__v"), F.col("bucket").alias("centroid_id")
         )
         rows = _collect_means(assigned, dim)
-    return rows
+        for _ in range(iters):
+            assigned = base.select(
+                F.col("__vv").alias("__v"), _nearest_cell(F.col("__vv"), rows).alias("centroid_id")
+            )
+            rows = _collect_means(assigned, dim)
+        return rows
+    finally:
+        base.unpersist()
 
 
 def _collect_means(assigned: DataFrame, dim: int | None) -> list[tuple[int, list[float]]]:
