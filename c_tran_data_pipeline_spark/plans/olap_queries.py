@@ -779,3 +779,52 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c").alias("cohort_week"), (F.col("wk") - F.col("c")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@query(
+    "q_small_qty_revenue",
+    """
+    WITH pa AS (
+        SELECT l_partkey,
+               0.2 * (CAST(SUM(CAST(l_quantity AS DECIMAL(28,8))) AS DOUBLE) / COUNT(*))
+                   AS qty_bar
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l.l_partkey AS l_partkey,
+           COUNT(*) AS n_small,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(28,8))) AS DOUBLE) / 7.0 AS avg_yearly
+    FROM lineitem l JOIN pa ON l.l_partkey = pa.l_partkey
+    WHERE l.l_quantity < pa.qty_bar
+    GROUP BY l.l_partkey
+    """,
+    doc="TPC-H Q17 shape: the correlated scalar subquery ('quantity below "
+    "20% of this part's average') decorrelated by hand into a per-part "
+    "aggregate joined back onto the fact — the rewrite Catalyst's "
+    "subquery decorrelation performs, stated explicitly so the plan is "
+    "two partial-aggregated passes over lineitem sharing the l_partkey "
+    "partitioning (exchange reuse), never a per-row subquery. The 20% "
+    "threshold comparison uses the exact-DECIMAL mean cast to double — "
+    "deterministic, so the selection itself is oracle-exact.",
+    tags=("olap", "join", "agg", "subquery"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    pa = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.2)
+            * (F.sum(F.col("l_quantity").cast("decimal(28,8)")).cast("double") / F.count(F.lit(1)))
+        ).alias("qty_bar")
+    )
+    return (
+        li.join(pa, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .groupBy("l_partkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            (F.sum(F.col("l_extendedprice").cast("decimal(28,8)")).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            ),
+        )
+    )

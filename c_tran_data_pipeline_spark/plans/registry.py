@@ -110,6 +110,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_resample_ffill",
     "q_funnel_steps",
     "q_cohort_retention",
+    "q_small_qty_revenue",
 )
 
 

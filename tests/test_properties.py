@@ -58,3 +58,60 @@ def test_hash_split_partitions_every_key(spark, ids):
     half = hash_split(df.filter(F.col("doc_id") % 2 == 0), "doc_id").collect()
     full_map = {r["doc_id"]: r["split"] for r in out}
     assert all(full_map[r["doc_id"]] == r["split"] for r in half)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 300), st.floats(0, 100, allow_nan=False, width=16)),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_settings
+def test_kernel_smooth_bounded_by_window_extremes(spark, pts):
+    """Smoothed values are convex combinations: every output lies within
+    [min, max] of the series' values, and n_obs sums to the number of
+    in-window pairs (≥ n: each point sees at least itself)."""
+    from datetime import datetime, timedelta
+
+    from c_tran_data_pipeline_spark.operators.asof import kernel_smooth
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (i, 1, t0 + timedelta(seconds=s), round(float(v), 2)) for i, (s, v) in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = kernel_smooth(df, window_seconds=60).collect()
+    vals = [r[3] for r in rows]
+    lo, hi = min(vals), max(vals)
+    assert len(out) == len(rows)
+    for r in out:
+        assert lo - 1e-6 <= r.smoothed_value <= hi + 1e-6
+        assert r.n_obs >= 1
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 1000)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda t: t[0],
+    ),
+    k=st.integers(1, 5),
+)
+@_settings
+def test_weighted_sample_exactly_min_k_and_subset_stability(spark, rows, k):
+    """|sample| = min(k, n); and the sample is stable under adding rows
+    that don't displace winners (supersets can only change the sample by
+    winning, never by reshuffling losers)."""
+    from c_tran_data_pipeline_spark.operators.curation import weighted_sample
+
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    out = weighted_sample(df, key="doc_id", weight="w", k=k)
+    got = {r.doc_id: r.es_key for r in out.collect()}
+    assert len(got) == min(k, len(rows))
+    # es_key is a pure per-row function of (key, weight): recompute on a
+    # subset containing only the winners → same keys, same order
+    winners = df.filter(F.col("doc_id").isin(*got.keys()))
+    sub = {r.doc_id: r.es_key for r in weighted_sample(winners, key="doc_id", weight="w", k=k).collect()}
+    assert sub == got
