@@ -296,3 +296,59 @@ def simhash_neardup_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def fuzzy_pairs(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    length_col: str = "n_chars",
+    prefix: int = 80,
+    max_len_diff: int = 16,
+    max_edit: int = 8,
+) -> DataFrame:
+    """Edit-distance matching with length-bucket blocking — the entity-
+    resolution / fuzzy-key-join shape (near-identical titles, OCR'd or
+    typo'd records that shingle methods over-fragment). Pairs must have
+    overall length within ``max_len_diff`` AND Levenshtein distance
+    ≤ ``max_edit`` on the first ``prefix`` chars.
+
+    Levenshtein is O(prefix²) per comparison, so the blocking IS the
+    operator: rows bucket by length (width = max_len_diff); the probe
+    side explodes to its 3 adjacent buckets, the build side stays
+    single-bucket, so every qualifying pair meets exactly once and the
+    shuffle keys on the bucket — candidates are bounded by per-bucket
+    density, never all-pairs (same bucketing argument as kernel_smooth /
+    range_join_bands, applied to the length dimension). Returns
+    (d1, d2, edit)."""
+    base = df.select(
+        F.col(key),
+        F.substring(F.col(payload), 1, prefix).alias("__p"),
+        F.col(length_col).cast("bigint").alias("__n"),
+    )
+    probe = base.withColumn(
+        "__b",
+        F.explode(
+            F.array(*[(F.floor(F.col("__n") / max_len_diff) + i).cast("long") for i in (-1, 0, 1)])
+        ),
+    )
+    build = base.select(
+        F.col(key).alias("__k2"),
+        F.col("__p").alias("__p2"),
+        F.col("__n").alias("__n2"),
+        F.floor(F.col("__n") / max_len_diff).cast("long").alias("__b"),
+    )
+    return (
+        probe.join(build, on="__b")
+        .filter(
+            (F.col(key) < F.col("__k2"))
+            & (F.abs(F.col("__n") - F.col("__n2")) <= max_len_diff)
+            & (F.levenshtein(F.col("__p"), F.col("__p2")) <= max_edit)
+        )
+        .select(
+            F.col(key).alias("d1"),
+            F.col("__k2").alias("d2"),
+            F.levenshtein(F.col("__p"), F.col("__p2")).alias("edit"),
+        )
+        .distinct()
+    )

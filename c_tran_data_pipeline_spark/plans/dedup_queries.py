@@ -260,3 +260,27 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_neardup_pairs(
         load_table(spark, sf_dir, "documents"), bits=32, max_hamming=3, bands=4
     )
+
+
+@query(
+    "q_fuzzy_pairs",
+    """
+    WITH d AS (SELECT doc_id, substr(text, 1, 80) AS p, n_chars FROM documents)
+    SELECT a.doc_id AS d1, b.doc_id AS d2, levenshtein(a.p, b.p) AS edit
+    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    WHERE abs(a.n_chars - b.n_chars) <= 16 AND levenshtein(a.p, b.p) <= 8
+    """,
+    doc="Edit-distance fuzzy matching (operators/dedup.py fuzzy_pairs): "
+    "Levenshtein ≤ 8 on 80-char prefixes, restricted to pairs whose "
+    "overall length differs ≤ 16 — the entity-resolution shape for "
+    "typo'd/OCR'd near-identical records that shingling over-fragments. "
+    "Spark blocks by length bucket (probe explodes to 3 adjacent "
+    "buckets → equi-join on the bucket, candidates bounded by bucket "
+    "density); the oracle brute-forces all pairs, proving the blocking "
+    "loses nothing.",
+    tags=("dedup", "join", "fuzzy"),
+)
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    return fuzzy_pairs(load_table(spark, sf_dir, "documents"))

@@ -111,6 +111,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_funnel_steps",
     "q_cohort_retention",
     "q_small_qty_revenue",
+    "q_fuzzy_pairs",
 )
 
 

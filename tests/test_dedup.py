@@ -187,3 +187,23 @@ def test_containment_hot_shingle_guard_is_applied(spark):
     df = _docs(spark)
     # capping shingle df at 1 drops every shared shingle → no pairs survive
     assert ngram_containment_pairs(df, threshold=0.1, max_shingle_df=1).count() == 0
+
+
+def test_fuzzy_pairs_catches_typo_and_blocking_excludes_distant_lengths(spark):
+    from c_tran_data_pipeline_spark.operators.dedup import fuzzy_pairs
+
+    typo = BASE.replace("quick", "quikc").replace("lazy", "lzay")  # 4 edits in prefix
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=BASE, n_chars=len(BASE)),
+            Row(doc_id=2, text=typo, n_chars=len(typo)),
+            Row(doc_id=3, text=OTHER, n_chars=len(OTHER)),
+            # same prefix as BASE but radically different total length →
+            # the length block must exclude it even though edit distance is 0
+            Row(doc_id=4, text=BASE, n_chars=len(BASE) + 500),
+        ]
+    )
+    out = {(r.d1, r.d2): r.edit for r in fuzzy_pairs(df, max_len_diff=16, max_edit=8).collect()}
+    assert (1, 2) in out and 0 < out[(1, 2)] <= 8
+    assert not any(3 in p for p in out)
+    assert not any(4 in p for p in out)
