@@ -221,3 +221,35 @@ def _size_buckets(assets: DataFrame, target_bytes_per_partition: int) -> tuple[D
     cum = F.sum("__sz").over(w) + off[F.col("__pid")]
     bucket = F.greatest(cum - 1, F.lit(0)) / F.lit(target_bytes_per_partition)
     return sized.withColumn("__bucket", bucket.cast("long")), n
+
+
+def chunk_payloads(
+    assets: DataFrame,
+    payload: str = "payload",
+    key: str = "asset_id",
+    chunk_bytes: int = 64 << 10,
+) -> DataFrame:
+    """Split binary payloads into fixed-size byte-range chunks — how a
+    media table ships multi-MB assets through engines/stores that want
+    bounded row sizes (parquet page limits, message-size caps, ranged
+    object uploads). One row per (asset, chunk_idx) with the chunk
+    bytes, its length, and its md5 (per-chunk integrity — a ranged
+    re-upload can verify without touching the whole asset).
+
+    Pure JVM expressions (binary substring + explode over an integer
+    sequence — no UDF); fan-out is size/chunk_bytes, and downstream
+    writes should route through ``repartition_for_payloads`` so chunk
+    bytes, not chunk counts, balance partitions."""
+    n_chunks = F.ceil(F.length(F.col(payload)) / F.lit(chunk_bytes)).cast("bigint")
+    base = assets.select(
+        F.col(key), F.col(payload).alias("__pl"), n_chunks.alias("n_chunks")
+    ).withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)))
+    chunk = F.expr(f"substring(__pl, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
+    return base.select(
+        F.col(key),
+        "chunk_idx",
+        "n_chunks",
+        chunk.alias("chunk"),
+        F.length(chunk).alias("chunk_len"),
+        F.md5(chunk).alias("chunk_md5"),
+    )

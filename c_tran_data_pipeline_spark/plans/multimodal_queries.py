@@ -77,3 +77,36 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "asset_id long, payload binary",
     )
     return extract_image_features(assets)
+
+
+@query(
+    "q_payload_chunks",
+    """
+    WITH n AS (SELECT doc_id, text, octet_length(encode(text)) AS blen FROM documents),
+    c AS (SELECT doc_id, text, blen,
+                 unnest(generate_series(0, CAST(ceil(blen / 64.0) AS BIGINT) - 1)) AS chunk_idx
+          FROM n)
+    SELECT doc_id AS asset_id, chunk_idx,
+           CAST(ceil(blen / 64.0) AS BIGINT) AS n_chunks,
+           octet_length(encode(substr(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64))) AS chunk_len,
+           md5(substr(text, CAST(chunk_idx * 64 + 1 AS BIGINT), 64)) AS chunk_md5
+    FROM c
+    """,
+    doc="Byte-range payload chunking (operators/multimodal.py "
+    "chunk_payloads, 64-byte chunks for the fixture): bounded-size rows "
+    "+ per-chunk md5 so ranged writes/uploads verify integrity without "
+    "re-reading whole assets. Pure JVM binary substring + sequence "
+    "explode, no UDF. The oracle mirrors the byte math through text "
+    "substr/encode (the synthesized payloads are ASCII, so char and "
+    "byte offsets coincide); the gate compares hash+length per chunk, "
+    "not raw bytes.",
+    tags=("multimodal",),
+)
+def q_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import chunk_payloads
+
+    d = load_table(spark, sf_dir, "documents")
+    assets = d.select(
+        F.col("doc_id").alias("asset_id"), F.encode(F.col("text"), "utf-8").alias("payload")
+    )
+    return chunk_payloads(assets, chunk_bytes=64).drop("chunk")

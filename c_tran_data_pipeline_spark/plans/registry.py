@@ -112,6 +112,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_cohort_retention",
     "q_small_qty_revenue",
     "q_fuzzy_pairs",
+    "q_payload_chunks",
 )
 
 

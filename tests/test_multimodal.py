@@ -98,3 +98,25 @@ def test_repartition_for_payloads_balances_bytes(spark):
     ).groupBy("p").sum("b").collect()
     assert max(r["sum(b)"] for r in per_part) <= 3 * (target + 10240)
     assert sorted(r.asset_id for r in out.collect()) == list(range(64))
+
+
+def test_chunk_payloads_reassemble_roundtrip(spark):
+    """Concatenating the chunks in index order must reproduce the exact
+    payload bytes, with the final short chunk carrying the remainder."""
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.multimodal import chunk_payloads
+
+    payloads = [b"x" * 130, b"y" * 64, b"z" * 1, bytes(range(256)) * 3]
+    df = spark.createDataFrame(
+        [Row(asset_id=i, payload=p) for i, p in enumerate(payloads)]
+    )
+    out = chunk_payloads(df, chunk_bytes=64).collect()
+    by_asset = {}
+    for r in sorted(out, key=lambda r: (r.asset_id, r.chunk_idx)):
+        by_asset.setdefault(r.asset_id, b"")
+        assert r.chunk_len == len(r.chunk) <= 64
+        by_asset[r.asset_id] += bytes(r.chunk)
+    assert [by_asset[i] for i in range(len(payloads))] == payloads
+    n_chunks = {r.asset_id: r.n_chunks for r in out}
+    assert n_chunks == {0: 3, 1: 1, 2: 1, 3: 12}
