@@ -113,6 +113,13 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_small_qty_revenue",
     "q_fuzzy_pairs",
     "q_payload_chunks",
+    # continuation additions — no prior evidence:
+    "q_order_priority_semijoin",
+    "q_customer_order_distribution",
+    "q_brand_supplier_counts",
+    "q_waiting_orders",
+    "q_idle_customers",
+    "q_knn_label",
 )
 
 
@@ -121,6 +128,7 @@ def all_queries() -> dict[str, QuerySpec]:
     from c_tran_data_pipeline_spark.plans import (  # noqa: F401
         analytics,
         curation_queries,
+        decision_queries,
         dedup_queries,
         multimodal_queries,
         olap_queries,
