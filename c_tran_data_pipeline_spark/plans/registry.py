@@ -120,6 +120,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_waiting_orders",
     "q_idle_customers",
     "q_knn_label",
+    "q_source_mix_report",
+    "q_prefix_dedup",
+    "q_token_budget_cap",
 )
 
 

@@ -458,3 +458,109 @@ def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("quality"), 6).alias("max_q"),
         F.countDistinct("lang").alias("n_langs"),
     )
+
+
+@query(
+    "q_source_mix_report",
+    r"""
+    WITH per AS (
+        SELECT source, lang, COUNT(*) AS n_docs,
+               CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                   AS total_tokens
+        FROM documents GROUP BY source, lang
+    ), tot AS (SELECT CAST(SUM(total_tokens) AS DOUBLE) AS t FROM per)
+    SELECT source, lang, n_docs, total_tokens,
+           ROUND(total_tokens / t, 6) AS token_share
+    FROM per, tot
+    """,
+    doc="Training-mix report: docs + tokens per (source, lang) cell with "
+    "each cell's share of the total token budget — the table a data-"
+    "recipe decision starts from. Spark plan: one partial-first agg "
+    "over the corpus; the grand total is a 1-row agg of the (tiny) "
+    "cell table cross-joined back as a broadcast scalar — no second "
+    "pass over the corpus and no single-partition window.",
+    tags=("text", "curation", "report"),
+)
+def q_source_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    per = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+    )
+    tot = per.agg(F.sum("total_tokens").cast("double").alias("__t"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "lang",
+            "n_docs",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("__t"), 6).alias("token_share"),
+        )
+    )
+
+
+@query(
+    "q_prefix_dedup",
+    """
+    SELECT md5(substr(text, 1, 256)) AS prefix_key,
+           MIN(doc_id) AS keep_doc_id,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Prefix-hash dedup: documents keyed by the md5 of their first 256 "
+    "chars, min-doc_id representative per group — catches the 'same "
+    "article, different appended boilerplate' family that full-text "
+    "exact dedup (q_dedup_exact) misses. Same scale shape as exact "
+    "dedup: the shuffle carries 16-byte digests + ids, never text; "
+    "the substr is evaluated in the scan projection so only the "
+    "prefix bytes reach the hash.",
+    tags=("text", "dedup"),
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(F.substring("text", 1, 256)).alias("prefix_key"), "doc_id")
+        .groupBy("prefix_key")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "q_token_budget_cap",
+    r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id)
+                    AS BIGINT) AS cum_tokens
+        FROM t
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens
+    FROM c WHERE cum_tokens <= 700
+    """,
+    doc="Per-source TOKEN budget cap (the token-denominated sibling of "
+    "q_domain_cap's row cap): docs admitted in ingest order until the "
+    "source's cumulative token count crosses the budget. One hash "
+    "exchange on source + an in-partition running sum; doc_id is "
+    "unique so RANGE/ROWS frame semantics coincide across engines. "
+    "At scale the window partitions are per-source — skewed mega-"
+    "sources are exactly the ones the cap truncates, so the skew is "
+    "bounded by the budget itself.",
+    tags=("text", "curation", "window"),
+)
+def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", token_count("text").alias("n_tokens"))
+    w = Window.partitionBy("source").orderBy("doc_id")
+    return (
+        t.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .filter(F.col("cum_tokens") <= 700)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
+    )
