@@ -828,3 +828,37 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_rolling_actives",
+    """
+    WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT days.d AS day, COUNT(DISTINCT ud.user_id) AS wau
+    FROM days JOIN ud ON ud.d BETWEEN days.d - 6 AND days.d
+    GROUP BY 1
+    """,
+    doc="Trailing-7-day active users per day (WAU curve). Spark avoids "
+    "both the range join and a sliding-window COUNT DISTINCT (which "
+    "window frames can't do): each (user, day) activity row explodes "
+    "to the ≤7 report days it contributes to — a constant 7× fan-out "
+    "of the ALREADY-deduped per-day table, turning the range predicate "
+    "into an equi-group key; then one count-distinct agg keyed on day. "
+    "Report days are clamped to days that actually occur via a "
+    "broadcast semi-join. At 100 TB the fan-out rides the same shuffle "
+    "the agg needs anyway; no theta join ever forms.",
+    tags=("olap", "window", "events"),
+)
+def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("d")).distinct()
+    days = ud.select("d").distinct()
+    # explode the 0..6 offset inline (sequence is a literal array, no UDF)
+    contrib = ud.select(
+        "user_id", F.explode(F.sequence(F.lit(0), F.lit(6))).alias("__off"), "d"
+    ).select("user_id", F.date_add("d", F.col("__off")).alias("day"))
+    real = contrib.join(
+        F.broadcast(days.withColumnRenamed("d", "day")), "day", "left_semi"
+    )
+    return real.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))

@@ -123,6 +123,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_source_mix_report",
     "q_prefix_dedup",
     "q_token_budget_cap",
+    "q_rolling_actives",
+    "q_neardup_degree",
 )
 
 

@@ -539,3 +539,38 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__rn") == 1) & (F.col("__cos") >= 0.3))
         .select("doc_id", F.round("__cos", 4).alias("max_cos"), F.col("eval_id").alias("nearest_eval"))
     )
+
+
+@query(
+    "q_neardup_degree",
+    f"""
+    WITH pairs AS (
+        SELECT a.vec_id AS d1, b.vec_id AS d2
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.4
+    ), deg AS (
+        SELECT id, COUNT(*) AS degree
+        FROM (SELECT d1 AS id FROM pairs UNION ALL SELECT d2 AS id FROM pairs)
+        GROUP BY 1
+    )
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY 1
+    """,
+    doc="Near-dup graph degree distribution — the diagnostic that decides "
+    "whether dedup should drop pairs or whole clusters (a fat-tailed "
+    "degree histogram means template spam; an all-degree-1 one means "
+    "benign mirrors). Composes the exact pair generator with a "
+    "union-all degree count and a second tiny agg; at scale the pair "
+    "input swaps to embedding_neardup_pairs_lsh (same (d1, d2) "
+    "contract) and the degree agg is partial-first either way — the "
+    "histogram shuffle is |distinct degrees| rows.",
+    tags=("similarity", "dedup", "report"),
+)
+def q_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(emb, threshold=0.4).select("d1", "d2")
+    ends = pairs.select(F.col("d1").alias("id")).unionAll(
+        pairs.select(F.col("d2").alias("id"))
+    )
+    deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
