@@ -173,6 +173,80 @@ def minhash_signatures(
     )
 
 
+def minhash_buckets(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(key, band, bucket) LSH bucket rows — the per-document, history-
+    free stage of MinHash-LSH, split out so an incremental pipeline can
+    persist it as the dedup INDEX: a doc's buckets depend only on its own
+    text, so the stored table never needs recomputation when the corpus
+    grows (see ``incremental_neardup``)."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, payload, key, num_hashes, n)
+    return (
+        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+        .groupBy(key, "band")
+        # sort within band by seed for a deterministic concatenation
+        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
+        .select(
+            F.col(key),
+            F.col("band"),
+            F.md5(F.concat_ws(",", F.transform(F.col("sm"), lambda s: s.getField("minhash")))).alias(
+                "bucket"
+            ),
+        )
+    )
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    bucket_store: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    n: int = 3,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup candidates for a NEW batch against an already-indexed
+    corpus, without touching the old corpus' text: ``bucket_store`` is
+    the (key, band, bucket) table ``minhash_buckets`` produced for
+    everything ingested so far; only the new batch is shingled/hashed.
+
+    Returns ``(pairs, updated_store)``: pairs is every candidate with at
+    least one new endpoint — new×old AND new×new — canonicalized
+    (d1 < d2) and distinct across bands, exactly the rows
+    ``minhash_lsh_candidates(old ∪ new)`` would add over
+    ``minhash_lsh_candidates(old)`` (bucketing is per-document and
+    deterministic, so the equivalence is exact — pinned in
+    tests/test_dedup.py); updated_store indexes the union.
+
+    Scale: this is the daily-ingest near-dup shape — per-batch cost is
+    O(|new|) hashing plus an equi-join of the new buckets against the
+    store on (band, bucket). Persist the store partitioned/bucketed by
+    (band, bucket) (sinks/bucketed.py) and the probe join co-locates
+    with zero shuffle on the stored side; the store carries ~bands
+    32-byte rows per doc, never text. The caller appends
+    ``updated_store``'s new rows (or writes the returned frame) — the
+    operator itself stays side-effect-free."""
+    nb = minhash_buckets(new_docs, payload, key, num_hashes, bands, n)
+    all_b = bucket_store.select(key, "band", "bucket").unionByName(nb)
+    a = nb.alias("a")
+    b = all_b.alias("b")
+    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
+    pairs = (
+        a.join(b, on=["band", "bucket"])
+        .filter(ka != kb)
+        .select(F.least(ka, kb).alias("d1"), F.greatest(ka, kb).alias("d2"))
+        .distinct()
+    )
+    return pairs, all_b
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     payload: str = "text",
@@ -191,21 +265,7 @@ def minhash_lsh_candidates(
     because identical docs share all buckets but near-dup clusters are
     small; a degenerate mega-cluster (e.g. empty docs) should be removed
     by exact_dedup first."""
-    rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, payload, key, num_hashes, n)
-    buckets = (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(key, "band")
-        # sort within band by seed for a deterministic concatenation
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
-        .select(
-            F.col(key),
-            F.col("band"),
-            F.md5(F.concat_ws(",", F.transform(F.col("sm"), lambda s: s.getField("minhash")))).alias(
-                "bucket"
-            ),
-        )
-    )
+    buckets = minhash_buckets(df, payload, key, num_hashes, bands, n)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -284,3 +284,51 @@ def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.dedup import fuzzy_pairs
 
     return fuzzy_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_incremental_neardup",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeded AS (
+        SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    bucketed AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 4
+    )
+    SELECT DISTINCT least(a.doc_id, b.doc_id) AS d1,
+                    greatest(a.doc_id, b.doc_id) AS d2
+    FROM bucketed a JOIN bucketed b USING (band, bucket)
+    WHERE a.doc_id <> b.doc_id
+      AND (a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8)
+    """,
+    doc="Incremental MinHash-LSH near-dup (operators/dedup.py "
+    "incremental_neardup): docs with doc_id%10>=8 arrive as the NEW "
+    "batch and are deduped against the stored (key, band, bucket) "
+    "index of the other 80% — only the new batch is shingled/hashed; "
+    "the old corpus' text is never touched. Emits every candidate "
+    "pair with ≥1 new endpoint (new×old and new×new), canonical "
+    "d1<d2. The oracle re-derives the same set from a full-corpus "
+    "bucketing, which is the exactness claim: incremental == batch "
+    "restricted to new-endpoint pairs (also pinned as set algebra in "
+    "tests/test_dedup.py).",
+    tags=("dedup", "incremental", "join"),
+)
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_buckets,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    existing = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+    store = minhash_buckets(existing)
+    pairs, _store = incremental_neardup(new, store)
+    return pairs

@@ -125,6 +125,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_token_budget_cap",
     "q_rolling_actives",
     "q_neardup_degree",
+    "q_incremental_neardup",
 )
 
 

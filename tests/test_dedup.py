@@ -207,3 +207,48 @@ def test_fuzzy_pairs_catches_typo_and_blocking_excludes_distant_lengths(spark):
     assert (1, 2) in out and 0 < out[(1, 2)] <= 8
     assert not any(3 in p for p in out)
     assert not any(4 in p for p in out)
+
+
+def test_incremental_neardup_equals_batch_delta(spark):
+    """Exactness of the incremental contract: batch candidates on the
+    union == batch candidates on the old corpus ∪ incremental pairs,
+    and the incremental pairs are exactly the new-endpoint subset."""
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_buckets,
+        minhash_lsh_candidates,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_ORACLE
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    old = docs.filter(F.col("doc_id") % 10 < 8)
+    new = docs.filter(F.col("doc_id") % 10 >= 8)
+
+    batch_union = {(r.d1, r.d2) for r in minhash_lsh_candidates(docs).collect()}
+    batch_old = {(r.d1, r.d2) for r in minhash_lsh_candidates(old).collect()}
+    inc, store2 = incremental_neardup(new, minhash_buckets(old))
+    inc_pairs = {(r.d1, r.d2) for r in inc.collect()}
+
+    assert batch_old | inc_pairs == batch_union
+    assert batch_old & inc_pairs == set()  # delta only touches new endpoints
+    # the updated store indexes the union (same rows a fresh build makes)
+    fresh = {tuple(r) for r in minhash_buckets(docs).collect()}
+    assert {tuple(r) for r in store2.collect()} == fresh
+
+
+def test_incremental_neardup_empty_batch(spark):
+    from c_tran_data_pipeline_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_buckets,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    store = minhash_buckets(docs)
+    pairs, store2 = incremental_neardup(docs.filter("doc_id < 0"), store)
+    assert pairs.count() == 0
+    assert store2.count() == store.count()
