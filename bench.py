@@ -57,6 +57,10 @@ HEADLINE = [
     "q_quantize_embeddings",
     "q_kernel_smooth",
     "q_ann_mrl_topk",
+    "q_waiting_orders",
+    "q_knn_label",
+    "q_rolling_actives",
+    "q_incremental_neardup",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -76,6 +80,10 @@ _POST_R01 = (
     "q_quantize_embeddings",
     "q_kernel_smooth",
     "q_ann_mrl_topk",
+    "q_waiting_orders",
+    "q_knn_label",
+    "q_rolling_actives",
+    "q_incremental_neardup",
 )
 
 
