@@ -126,6 +126,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_rolling_actives",
     "q_neardup_degree",
     "q_incremental_neardup",
+    "q_quality_topp",
 )
 
 

@@ -564,3 +564,54 @@ def q_token_budget_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cum_tokens") <= 700)
         .select("doc_id", "source", "n_tokens", "cum_tokens")
     )
+
+
+@query(
+    "q_quality_topp",
+    rf"""
+    WITH t AS (
+        SELECT doc_id, source, {{Q}} AS quality,
+               len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, source, quality, n_tokens,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source
+                    ORDER BY quality DESC, doc_id) AS BIGINT) AS cum,
+               CAST(SUM(n_tokens) OVER (PARTITION BY source) AS BIGINT) AS tot
+        FROM t
+    )
+    SELECT doc_id, source, quality, n_tokens
+    FROM c WHERE cum - n_tokens < 0.5 * tot
+    """.replace("{Q}", quality_sql()),
+    doc="Top-p quality curation: per source, keep the highest-quality "
+    "docs forming the smallest prefix that covers p=0.5 of the "
+    "source's token mass — the fraction-denominated, quality-ranked "
+    "sibling of q_token_budget_cap's absolute budget (how C4-style "
+    "recipes say 'keep the best half of every domain'). One hash "
+    "exchange on source feeds both windows (ordered prefix sum + "
+    "partition total — same partitioning, Catalyst reuses the "
+    "exchange); (quality DESC, doc_id) is a total order so the "
+    "prefix is deterministic cross-engine.",
+    tags=("text", "curation", "window"),
+)
+def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id",
+        "source",
+        quality_score("text").alias("quality"),
+        token_count("text").alias("n_tokens"),
+    )
+    w_ord = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), F.col("doc_id"))
+    )
+    w_all = Window.partitionBy("source")
+    return (
+        t.withColumn("cum", F.sum("n_tokens").over(w_ord))
+        .withColumn("tot", F.sum("n_tokens").over(w_all))
+        .filter((F.col("cum") - F.col("n_tokens")) < 0.5 * F.col("tot"))
+        .select("doc_id", "source", "quality", "n_tokens")
+    )
