@@ -862,3 +862,81 @@ def q_rolling_actives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(days.withColumnRenamed("d", "day")), "day", "left_semi"
     )
     return real.groupBy("day").agg(F.count_distinct("user_id").alias("wau"))
+
+
+@query(
+    "q_table_stats",
+    """
+    SELECT 'o_orderkey' AS col,
+           COUNT(*) FILTER (o_orderkey IS NULL) AS n_nulls,
+           COUNT(DISTINCT o_orderkey) AS ndv,
+           CAST(MIN(o_orderkey) AS VARCHAR) AS min_s,
+           CAST(MAX(o_orderkey) AS VARCHAR) AS max_s
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey', COUNT(*) FILTER (o_custkey IS NULL),
+           COUNT(DISTINCT o_custkey),
+           CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus', COUNT(*) FILTER (o_orderstatus IS NULL),
+           COUNT(DISTINCT o_orderstatus),
+           CAST(MIN(o_orderstatus) AS VARCHAR), CAST(MAX(o_orderstatus) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', COUNT(*) FILTER (o_totalprice IS NULL),
+           COUNT(DISTINCT o_totalprice),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate', COUNT(*) FILTER (o_orderdate IS NULL),
+           COUNT(DISTINCT o_orderdate),
+           CAST(MIN(o_orderdate) AS VARCHAR), CAST(MAX(o_orderdate) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', COUNT(*) FILTER (o_orderpriority IS NULL),
+           COUNT(DISTINCT o_orderpriority),
+           CAST(MIN(o_orderpriority) AS VARCHAR), CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    """,
+    doc="ANALYZE-style exact column statistics in long form (null count, "
+    "exact NDV, min/max stringified; doubles via DECIMAL(18,2) so the "
+    "text form is engine-independent): the stats a cost-based "
+    "optimizer or data-quality monitor collects per ingest. Spark "
+    "computes ALL columns' stats in ONE aggregate over ONE scan — "
+    "multiple COUNT DISTINCTs expand to a single multi-group Expand "
+    "(one shuffle), the oracle's 6-scan UNION ALL being exactly the "
+    "naive plan this avoids — then unpivots the 1-row wide result "
+    "with stack(), which is driver-free and column-count-bounded.",
+    tags=("olap", "stats", "report"),
+)
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    plain = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderdate", "o_orderpriority"]
+
+    def _minmax(c: str):
+        if c == "o_totalprice":
+            return (
+                F.min(c).cast("decimal(18,2)").cast("string"),
+                F.max(c).cast("decimal(18,2)").cast("string"),
+            )
+        return F.min(c).cast("string"), F.max(c).cast("string")
+
+    cols = plain[:3] + ["o_totalprice"] + plain[3:]
+    aggs = []
+    for c in cols:
+        lo, hi = _minmax(c)
+        aggs += [
+            F.count(F.when(F.col(c).isNull(), 1)).alias(f"__n_{c}"),
+            F.count_distinct(c).alias(f"__d_{c}"),
+            lo.alias(f"__lo_{c}"),
+            hi.alias(f"__hi_{c}"),
+        ]
+    wide = o.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', __n_{c}, __d_{c}, __lo_{c}, __hi_{c}" for c in cols
+    )
+    return wide.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, ndv, min_s, max_s)"
+    )

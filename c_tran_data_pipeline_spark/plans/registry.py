@@ -127,6 +127,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_neardup_degree",
     "q_incremental_neardup",
     "q_quality_topp",
+    "q_table_stats",
 )
 
 
