@@ -128,6 +128,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_incremental_neardup",
     "q_quality_topp",
     "q_table_stats",
+    "q_negative_samples",
 )
 
 

@@ -574,3 +574,61 @@ def q_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@query(
+    "q_negative_samples",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               {_COS} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 20
+    ), ranked AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, cand_id ASC) AS rank
+        FROM scored
+    ), negs AS (
+        SELECT r.query_id, r.cand_id,
+               ROW_NUMBER() OVER (PARTITION BY r.query_id
+                                  ORDER BY md5(concat(r.query_id, ':', r.cand_id)) ASC,
+                                           r.cand_id ASC) AS neg_rank
+        FROM ranked r WHERE r.rank > 10
+    )
+    SELECT query_id, cand_id AS neg_id, neg_rank
+    FROM negs WHERE neg_rank <= 3
+    """,
+    doc="Deterministic negative sampling for contrastive training: per "
+    "query, 3 pseudo-random corpus vectors drawn OUTSIDE its cosine "
+    "top-10 (hard-positive exclusion), ordered by md5(query:candidate) "
+    "— reproducible across runs, partitionings, and engines, no RNG "
+    "state to ship. Spark plan: the exclusion set comes from "
+    "cosine_topk (broadcast queries × one corpus scan); candidates "
+    "anti-join it CARRYING IDS ONLY, and the md5 draw is a window "
+    "over |queries|×|corpus| id pairs — vectors never enter the "
+    "sampling stage. At billion-scale corpora swap the exact top-k "
+    "for the LSH/IVF shortlist (same exclusion contract) and sample "
+    "from a hash-bucketed candidate slice instead of the full "
+    "cross product.",
+    tags=("similarity", "sampling", "training"),
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    topk = cosine_topk(emb, queries, k=10).select("query_id", F.col("neighbor_id").alias("cand_id"))
+    cands = (
+        emb.select(F.col("vec_id").alias("cand_id"))
+        .crossJoin(F.broadcast(queries.select(F.col("vec_id").alias("query_id"))))
+        .filter(F.col("cand_id") != F.col("query_id"))
+    )
+    negs = cands.join(F.broadcast(topk), ["query_id", "cand_id"], "left_anti")
+    draw = F.md5(F.concat_ws(":", F.col("query_id"), F.col("cand_id")))
+    w = Window.partitionBy("query_id").orderBy(draw.asc(), F.col("cand_id").asc())
+    return (
+        negs.withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= 3)
+        .select("query_id", F.col("cand_id").alias("neg_id"), "neg_rank")
+    )
