@@ -442,3 +442,71 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, key="doc_id", weight="n_chars", k=20, stratum="lang")
+
+
+@query(
+    "q_psi_drift",
+    f"""
+    WITH s AS (
+        SELECT event_type,
+               CASE WHEN {_bucket_sql("CAST(event_id AS VARCHAR)", "split")} < 5000
+                    THEN 'a' ELSE 'b' END AS half,
+               CAST(least(floor(value / 25.0), 19) AS BIGINT) AS vb
+        FROM events
+    ), cnt AS (
+        SELECT event_type, half, vb, COUNT(*) AS n FROM s GROUP BY 1, 2, 3
+    ), wide AS (
+        SELECT event_type, vb,
+               CAST(SUM(CASE WHEN half = 'a' THEN n ELSE 0 END) AS DOUBLE) AS na,
+               CAST(SUM(CASE WHEN half = 'b' THEN n ELSE 0 END) AS DOUBLE) AS nb
+        FROM cnt GROUP BY 1, 2
+    ), tot AS (
+        SELECT event_type,
+               CAST(SUM(na) AS DOUBLE) AS ta, CAST(SUM(nb) AS DOUBLE) AS tb
+        FROM wide GROUP BY 1
+    ), terms AS (
+        SELECT w.event_type,
+               greatest(w.na / t.ta, 1e-6) AS pa,
+               greatest(w.nb / t.tb, 1e-6) AS pb
+        FROM wide w JOIN tot t ON w.event_type = t.event_type
+    )
+    SELECT event_type, ROUND(SUM((pa - pb) * ln(pa / pb)), 6) AS psi
+    FROM terms GROUP BY event_type
+    """,
+    doc="Population Stability Index between two deterministic hash-split "
+    "halves of the event stream, per event type over 20 fixed-width "
+    "value buckets (epsilon-floored proportions so an empty bucket "
+    "contributes a finite term) — the drift monitor a feature pipeline "
+    "runs between yesterday's and today's distribution, here oracled "
+    "on a split where PSI should sit near 0. Two partial-first aggs "
+    "(cells, then per-type totals rejoined on the |types|-row side); "
+    "the float ln/sum is ROUND(6)-stable because counts are exact and "
+    "terms are O(1e-2). At 100 TB the cell table is "
+    "|types|×|buckets|×2 rows — constant — whatever the event volume.",
+    tags=("curation", "stats", "report"),
+)
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import split_bucket
+
+    e = load_table(spark, sf_dir, "events")
+    s = e.select(
+        "event_type",
+        F.when(split_bucket(F.col("event_id"), "split") < 5000, "a").otherwise("b").alias("half"),
+        F.least(F.floor(F.col("value") / 25.0), F.lit(19)).cast("bigint").alias("vb"),
+    )
+    cnt = s.groupBy("event_type", "half", "vb").agg(F.count(F.lit(1)).alias("n"))
+    wide = cnt.groupBy("event_type", "vb").agg(
+        F.sum(F.when(F.col("half") == "a", F.col("n")).otherwise(0)).cast("double").alias("na"),
+        F.sum(F.when(F.col("half") == "b", F.col("n")).otherwise(0)).cast("double").alias("nb"),
+    )
+    tot = wide.groupBy("event_type").agg(
+        F.sum("na").cast("double").alias("ta"), F.sum("nb").cast("double").alias("tb")
+    )
+    terms = wide.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        F.greatest(F.col("na") / F.col("ta"), F.lit(1e-6)).alias("pa"),
+        F.greatest(F.col("nb") / F.col("tb"), F.lit(1e-6)).alias("pb"),
+    )
+    return terms.groupBy("event_type").agg(
+        F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6).alias("psi")
+    )

@@ -129,6 +129,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_quality_topp",
     "q_table_stats",
     "q_negative_samples",
+    "q_psi_drift",
 )
 
 
