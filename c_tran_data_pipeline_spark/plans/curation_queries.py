@@ -510,3 +510,46 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("event_type").agg(
         F.round(F.sum((F.col("pa") - F.col("pb")) * F.log(F.col("pa") / F.col("pb"))), 6).alias("psi")
     )
+
+
+@query(
+    "q_global_shuffle_shards",
+    """
+    WITH keyed AS (
+        SELECT doc_id, md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        FROM documents
+    ), pos AS (
+        SELECT doc_id, shuffle_key,
+               ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id) - 1 AS position
+        FROM keyed
+    )
+    SELECT doc_id, position, position % 8 AS shard
+    FROM pos
+    """,
+    doc="Deterministic global training-order shuffle + shard assignment: "
+    "order = md5('shuffle:'||doc_id) — reproducible on any engine, no "
+    "RNG state — position striped across 8 shards so each shard is an "
+    "unbiased sample of the whole corpus (contiguous slicing would "
+    "put correlated ingest neighbors in one shard). The global "
+    "ROW_NUMBER is a repartitionByRange(shuffle_key) + in-partition "
+    "rank + per-partition-offset broadcast at scale; Spark's single "
+    "window here is the small-corpus form of the same plan, and the "
+    "md5 key is what guarantees both produce identical positions. "
+    "For writer-side sharding the position is unnecessary: "
+    "pmod(md5_long(key), shards) needs no global sort at all — this "
+    "query pins the ORDER, which epoch-streaming loaders need.",
+    tags=("curation", "sampling", "training"),
+)
+def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.concat_ws(":", F.lit("shuffle"), F.col("doc_id"))).alias("shuffle_key"),
+    )
+    w = Window.orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).alias("position"),
+    ).withColumn("shard", F.col("position") % 8)

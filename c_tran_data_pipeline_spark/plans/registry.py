@@ -130,6 +130,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_table_stats",
     "q_negative_samples",
     "q_psi_drift",
+    "q_global_shuffle_shards",
 )
 
 
