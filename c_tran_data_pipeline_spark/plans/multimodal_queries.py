@@ -110,3 +110,42 @@ def q_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("asset_id"), F.encode(F.col("text"), "utf-8").alias("payload")
     )
     return chunk_payloads(assets, chunk_bytes=64).drop("chunk")
+
+
+@query(
+    "q_frame_sample",
+    None,  # UDF plumbing — rows-only driver check; exactness in pytest
+    doc="Video frame sampling gate: synthesize multi-frame fake-codec "
+    "payloads per doc (1 + doc_id % 4 frames), sample every 2nd frame "
+    "via operators/multimodal.py sample_frames (Arrow mapInPandas "
+    "explode — the frame-level training-data shape), and emit each "
+    "frame as md5 + byte length so frames never leave the executors "
+    "raw. tests/test_multimodal.py pins the exact frame bytes against "
+    "the codec header math; the driver records rows-only.",
+    tags=("multimodal", "udf"),
+)
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import sample_frames
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        make_fake_image(8, 4, 1 + int(i) % 4, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    frames = sample_frames(assets, every_nth=2)
+    return frames.select(
+        "asset_id",
+        "frame_index",
+        F.md5(F.col("frame_payload")).alias("frame_md5"),
+        F.length(F.col("frame_payload")).alias("frame_bytes"),
+    )

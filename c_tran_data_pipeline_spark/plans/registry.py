@@ -131,6 +131,11 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_negative_samples",
     "q_psi_drift",
     "q_global_shuffle_shards",
+    # round-3 additions — no prior evidence:
+    "q_min_cost_supplier",
+    "q_scd2_history",
+    "q_text_normalize",
+    "q_frame_sample",
 )
 
 
@@ -148,6 +153,7 @@ def all_queries() -> dict[str, QuerySpec]:
         scale_queries,
         similarity_queries,
         text_queries,
+        warehouse_queries,
     )
 
     front = [n for n in _GATE_FIRST if n in _REGISTRY]

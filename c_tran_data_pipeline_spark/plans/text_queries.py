@@ -615,3 +615,40 @@ def q_quality_topp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("cum") - F.col("n_tokens")) < 0.5 * F.col("tot"))
         .select("doc_id", "source", "quality", "n_tokens")
     )
+
+
+@query(
+    "q_text_normalize",
+    """
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id, md5(norm) AS norm_hash, length(norm) AS norm_chars
+    FROM n
+    """,
+    doc="Canonical text normalization (the pre-dedup step every corpus "
+    "pipeline runs before hashing): lowercase, strip everything outside "
+    "[a-z0-9 ], collapse whitespace runs, trim — so trivially-variant "
+    "mirrors ('Foo,  bar!' vs 'foo bar') collapse to one fingerprint. "
+    "Pure per-row regexp projection: shuffle-free, codegen'd JVM "
+    "regexp, O(bytes scanned) at any scale; rows leave as md5 + length "
+    "so normalized text never moves. The exact-SQL oracle pins the "
+    "regex dialect agreement (Spark regexp_replace is global by "
+    "default; DuckDB needs the 'g' flag).",
+    tags=("text", "curation"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.md5(F.encode(norm, "utf-8")).alias("norm_hash"),
+        F.length(norm).alias("norm_chars"),
+    )

@@ -133,6 +133,16 @@ _ALLOWED_NESTED_LOOP = {
     # MRL shortlist pass: broadcast constant query batch (!=) over one
     # prefix-width corpus scan — q_ann_topk's shape at 32/64 the bytes
     "q_ann_mrl_topk",
+    # composes cosine_topk: broadcast 50-query batch (!=) over one corpus
+    # scan — linear, not quadratic
+    "q_knn_label",
+    # degree histogram over the exact all-pairs baseline (small-SF oracle
+    # by contract; the LSH pair generator swaps in at scale — SCALE.md)
+    "q_neardup_degree",
+    # exclusion set from cosine_topk (broadcast batch) + the documented
+    # |queries|×|corpus| ID-pair cross for the deterministic draw — both
+    # sides of the Cross are ids only, and the query batch is constant
+    "q_negative_samples",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
@@ -142,7 +152,15 @@ _ALLOWED_NESTED_LOOP = {
 # not a quadratic pairing. Recognized structurally below (every
 # NestedLoopJoin in the plan must be a BuildRight Cross), so a real
 # all-pairs join sneaking into these queries still fails the test.
-_ALLOWED_SCALAR_BROADCAST = {"q_ann_neardup_lsh", "q_boilerplate_scrub", "q_lm_score"}
+_ALLOWED_SCALAR_BROADCAST = {
+    "q_ann_neardup_lsh",
+    "q_boilerplate_scrub",
+    "q_lm_score",
+    # 1-row mean-balance scalar re-entering as a broadcast filter bound
+    "q_idle_customers",
+    # 1-row corpus-total scalar for the mixture-share denominator
+    "q_source_mix_report",
+}
 
 
 def _only_scalar_broadcast_loops(plan: str) -> bool:
@@ -153,7 +171,13 @@ def _only_scalar_broadcast_loops(plan: str) -> bool:
     )
 
 # Queries that legitimately cross into Python (Arrow-batched, SURVEY §2.10).
-_ALLOWED_PYTHON = {"q_multimodal_features", "q_pack_sequences", "q_ann_topk_arrow"}
+_ALLOWED_PYTHON = {
+    "q_multimodal_features",
+    "q_pack_sequences",
+    "q_ann_topk_arrow",
+    # fake-codec synthesis + frame-sample explode, both Arrow mapInPandas
+    "q_frame_sample",
+}
 
 
 def _registry_plans(spark):
