@@ -136,6 +136,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_scd2_history",
     "q_text_normalize",
     "q_frame_sample",
+    "q_retrieval_metrics",
+    "q_char_entropy",
 )
 
 

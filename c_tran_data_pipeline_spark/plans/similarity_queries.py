@@ -632,3 +632,95 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_rank") <= 3)
         .select("query_id", F.col("cand_id").alias("neg_id"), "neg_rank")
     )
+
+
+@query(
+    "q_retrieval_metrics",
+    f"""
+    WITH mx AS (
+        SELECT max(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))))/127 AS s
+        FROM embeddings
+    ),
+    qv AS (
+        SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> greatest(-127, least(127, CAST(floor(x/s + 0.5) AS INT)))) AS q
+        FROM embeddings, mx
+    ),
+    ex8 AS (
+        SELECT vec_id, u.d AS d, u.q AS q
+        FROM (SELECT vec_id, unnest(list_transform(generate_series(1, len(q)),
+                     i -> {{'d': i, 'q': q[i]}})) AS u FROM qv)
+    ),
+    norms AS (SELECT vec_id, sqrt(CAST(SUM(q*q) AS DOUBLE)) AS nq FROM ex8 GROUP BY 1),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, CAST(SUM(a.q*b.q) AS DOUBLE) AS dq
+        FROM ex8 a JOIN ex8 b ON a.d = b.d AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 20
+        GROUP BY 1, 2
+    ),
+    ranked8 AS (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dq/(na.nq*nb.nq) DESC, neighbor_id ASC) AS rank
+        FROM dots JOIN norms na ON na.vec_id = query_id
+                  JOIN norms nb ON nb.vec_id = neighbor_id
+    ),
+    approx AS (SELECT query_id, neighbor_id, rank FROM ranked8 WHERE rank <= 3),
+    scoredf AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 20
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id ASC) AS rank
+            FROM scoredf)
+        WHERE rank <= 3
+    ),
+    hits AS (
+        SELECT a.query_id, a.rank
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+    )
+    SELECT q.query_id,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) / 3.0 AS recall_at_3,
+           COALESCE(h.rr, 0.0) AS reciprocal_rank
+    FROM (SELECT vec_id AS query_id FROM embeddings WHERE vec_id < 20) q
+    LEFT JOIN (SELECT query_id, COUNT(*) AS n_hits, MAX(1.0/rank) AS rr
+               FROM hits GROUP BY 1) h USING (query_id)
+    """,
+    doc="Retrieval-quality evaluation harness: per-query recall@3 and "
+    "reciprocal rank of the int8-quantized ANN against the exact float "
+    "ranking — the 'how much recall does 4x compression cost' audit a "
+    "retrieval pipeline runs before swapping in a cheaper index. Both "
+    "legs are already exact-oracled queries (q_ann_topk_int8 / "
+    "q_ann_topk), so the metric itself carries a full exact SQL oracle "
+    "— rare for an EVAL query, possible here because both rankings are "
+    "deterministic. Spark plan: two broadcast-query-batch corpus scans "
+    "(each linear), an id-pair hash join, and a |queries|-row agg — "
+    "metric cost is dominated by the two scans it measures. The metric "
+    "floats (n/3.0, 1.0/rank, max-fold) are exact IEEE in both engines.",
+    tags=("similarity", "topk", "quantize", "eval"),
+)
+def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.quantize import int8_cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    approx = int8_cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id", "rank")
+    exact = cosine_topk(emb, queries, k=3).select("query_id", "neighbor_id")
+    hits = approx.join(exact, ["query_id", "neighbor_id"])
+    per_q = hits.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.max(F.lit(1.0) / F.col("rank")).alias("rr"),
+    )
+    base = queries.select(F.col("vec_id").alias("query_id"))
+    return base.join(per_q, "query_id", "left_outer").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0).cast("long")).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / F.lit(3.0)).alias("recall_at_3"),
+        F.coalesce(F.col("rr"), F.lit(0.0)).alias("reciprocal_rank"),
+    )

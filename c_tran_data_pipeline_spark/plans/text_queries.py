@@ -652,3 +652,50 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.encode(norm, "utf-8")).alias("norm_hash"),
         F.length(norm).alias("norm_chars"),
     )
+
+
+@query(
+    "q_char_entropy",
+    """
+    WITH chars AS (
+        SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+    ),
+    freq AS (SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY 1, 2),
+    tot AS (SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS n FROM freq GROUP BY 1)
+    SELECT f.doc_id,
+           CAST(SUM(CAST(ROUND(-(c/n) * ln(c/n), 9) AS DECIMAL(18, 9))) AS DOUBLE)
+               AS char_entropy,
+           COUNT(*) AS n_distinct_chars
+    FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+    GROUP BY f.doc_id
+    """,
+    doc="Character-entropy quality signal (the Gopher-rules companion to "
+    "q_text_quality): Shannon entropy of each doc's character "
+    "distribution — near-zero entropy flags repeated-character / "
+    "template junk that length- and punctuation-ratio filters miss. "
+    "explode to (doc, char) pairs, two partial-first aggs sharing the "
+    "doc_id partitioning, then a per-char -p·ln(p) fold: each term is a "
+    "deterministic per-row IEEE op ROUNDed to 9 dp and summed as exact "
+    "DECIMAL, so the entropy is associativity-proof (the repo's float "
+    "policy). The (doc, char) fan-out is bounded by alphabet size per "
+    "doc, not text length, after the first partial agg. Spark drops "
+    "Java's trailing-empty split artifact to match DuckDB's split.",
+    tags=("text", "quality"),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    ).filter(F.col("ch") != "")
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.groupBy("doc_id").agg(F.sum("c").cast("double").alias("n"))
+    p = F.col("c") / F.col("n")
+    term = F.round(-p * F.log(p), 9).cast("decimal(18,9)")
+    return (
+        freq.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(term).cast("double").alias("char_entropy"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+        )
+    )

@@ -143,6 +143,9 @@ _ALLOWED_NESTED_LOOP = {
     # |queries|×|corpus| ID-pair cross for the deterministic draw — both
     # sides of the Cross are ids only, and the query batch is constant
     "q_negative_samples",
+    # composes the int8 + exact topk legs, each a broadcast-constant-
+    # query-batch corpus scan (and the int8 leg's 1-row scale Cross)
+    "q_retrieval_metrics",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
