@@ -940,3 +940,172 @@ def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(cols)}, {stack_args}) AS (col, n_nulls, ndv, min_s, max_s)"
     )
+
+
+@query(
+    "q_volume_shipping",
+    """
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation n1 ON n1.n_nationkey = s_nationkey
+    JOIN nation n2 ON n2.n_nationkey = c_nationkey
+    WHERE n1.n_name IN ('NATION_10', 'NATION_11', 'NATION_19', 'NATION_20')
+      AND n2.n_name IN ('NATION_10', 'NATION_11', 'NATION_19', 'NATION_20')
+      AND n1.n_name <> n2.n_name
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q7-shape international shipping volume: revenue flowing "
+    "between distinct nations of a four-nation trade bloc, by supplier "
+    "nation x customer nation x ship year. Spark plan: the five-way join keeps "
+    "every dim side broadcast (nation twice, supplier, customer — "
+    "orders is the only fact-fact shuffle pair with lineitem on "
+    "orderkey); the nation-pair disjunction evaluates AFTER the cheap "
+    "broadcast joins as a residual filter, and the final agg is "
+    "partial-first on a handful of (nation, nation, year) groups. "
+    "Revenue is the per-row IEEE product summed as exact DECIMAL — "
+    "bit-stable under any partitioning.",
+    tags=("olap", "join", "agg"),
+)
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = n.select(F.col("n_nationkey").alias("__sk"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__ck"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__ck"))
+    )
+    bloc = ("NATION_10", "NATION_11", "NATION_19", "NATION_20")
+    pair = (
+        F.col("supp_nation").isin(*bloc)
+        & F.col("cust_nation").isin(*bloc)
+        & (F.col("supp_nation") != F.col("cust_nation"))
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(28,8)")
+    return (
+        joined.filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_promo_revenue",
+    """
+    SELECT CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+           CAST(EXTRACT(month FROM l_shipdate) AS INT) AS l_month,
+           CAST(100.0 * CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0 END
+                    AS DECIMAL(28, 8))) AS DOUBLE)
+               / CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                    AS DECIMAL(28, 8))) AS DOUBLE) AS DOUBLE) AS promo_pct
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q14-shape promo-revenue share: the conditional-aggregation "
+    "idiom (CASE inside SUM) computing promo revenue as a percentage of "
+    "total per ship month — one scan, one broadcast part join, both "
+    "sums in the same partial-first HashAggregate (no second pass, no "
+    "self-join). Both numerator and denominator are exact DECIMAL sums "
+    "cast to DOUBLE before one IEEE divide, so the ratio is bit-stable "
+    "cross-engine.",
+    tags=("olap", "join", "agg"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(28,8)")
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0).cast("decimal(28,8)"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.year("l_shipdate").alias("l_year"),
+            F.month("l_shipdate").alias("l_month"),
+        )
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(promo).cast("double")
+                / F.sum(rev).cast("double")
+            ).cast("double").alias("promo_pct")
+        )
+    )
+
+
+@query(
+    "q_disjunctive_revenue",
+    """
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8)))
+                AS DOUBLE) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 30)
+    GROUP BY p_brand
+    """,
+    doc="TPC-H Q19-shape disjunctive predicate: an OR of three "
+    "conjunct groups mixing part attributes (brand, size) with fact "
+    "attributes (quantity). The optimizer lesson this pins: Catalyst "
+    "factors the disjunction into per-side implied filters — the part "
+    "scan keeps only the three brands and the lineitem scan keeps only "
+    "the quantity envelope (both visible as PushedFilters) — before "
+    "the broadcast join evaluates the exact cross-side residual, so "
+    "neither scan reads rows no disjunct could accept. One broadcast "
+    "join + one partial-first agg; DECIMAL revenue policy as "
+    "everywhere.",
+    tags=("olap", "join", "pushdown"),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 35)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(28,8)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(cond)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(rev).cast("double").alias("revenue"),
+        )
+    )

@@ -138,6 +138,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_frame_sample",
     "q_retrieval_metrics",
     "q_char_entropy",
+    "q_volume_shipping",
+    "q_promo_revenue",
+    "q_disjunctive_revenue",
 )
 
 
