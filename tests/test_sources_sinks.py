@@ -199,3 +199,42 @@ def test_read_evolving_parquet_unions_schemas(spark, tmp_path):
     assert len(rows) == 3
     assert rows[1]["lang"] is None and rows[1]["quality"] is None
     assert rows[3]["lang"] == "en" and rows[3]["quality"] == 0.9
+
+
+def test_http_json_datasource_partitions_per_url(spark, tmp_path):
+    """S1 scale form: the custom Python DataSource plans one input
+    partition per endpoint (distributed acquisition) and its raw-value
+    rows feed the same quarantine parse path as file JSON — exercised
+    end-to-end through file:// URLs, no network."""
+    from c_tran_data_pipeline_spark.sources.http_json_source import register
+
+    p1, p2 = tmp_path / "page1.json", tmp_path / "page2.json"
+    p1.write_text(json.dumps(
+        [{"EVENT_NO_TRIP": "1", "ACT_TIME": "10"}, {"EVENT_NO_TRIP": "2", "ACT_TIME": "20"}]
+    ))
+    p2.write_text(json.dumps({"EVENT_NO_TRIP": "3", "ACT_TIME": "30"}))  # bare object
+
+    register(spark)
+    raw = (
+        spark.read.format("http_json")
+        .option("urls", f"file://{p1},file://{p2}")
+        .load()
+    )
+    assert raw.columns == ["value"]
+    # one partition per URL — the planner fans endpoints across tasks
+    assert raw.rdd.getNumPartitions() == 2
+    parsed = raw.select(
+        F.from_json("value", "EVENT_NO_TRIP string, ACT_TIME string").alias("r")
+    ).select("r.*")
+    got = {(r.EVENT_NO_TRIP, r.ACT_TIME) for r in parsed.collect()}
+    assert got == {("1", "10"), ("2", "20"), ("3", "30")}
+
+
+def test_http_json_datasource_requires_urls(spark):
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.sources.http_json_source import register
+
+    register(spark)
+    with _pytest.raises(Exception, match="urls"):
+        spark.read.format("http_json").load().collect()
