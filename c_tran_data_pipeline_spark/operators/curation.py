@@ -357,3 +357,48 @@ def weighted_sample(
         .filter(F.col("rnk") <= k)
         .select(*df.columns, F.round("__es", 6).alias("es_key"), "rnk")
     )
+
+
+def temperature_sample(
+    df: DataFrame,
+    stratum: str,
+    target: int,
+    alpha: float = 0.5,
+    key: str = "doc_id",
+    salt: str = "temp",
+) -> DataFrame:
+    """Temperature-flattened stratified sampling (the multilingual /
+    multi-domain data-recipe sampler: p(stratum) ∝ n^alpha, alpha<1
+    upweights small strata relative to raw proportions). Each stratum's
+    expected take is ``target * n_s^alpha / Σ n_t^alpha`` capped at n_s;
+    membership is the deterministic md5 race (u(key) ≤ rate) — no RNG,
+    so reruns, replicas, and engines agree row-for-row.
+
+    Plan: one count-per-stratum agg (|strata| rows), the alpha-power
+    normalizer as a 1-row aggregate broadcast back via crossJoin, the
+    per-stratum rate broadcast-joined onto one corpus scan, then a
+    pushable hash filter. Nothing but the filtered sample ever
+    shuffles; the only floats are IEEE pow/divide on already-exact
+    counts — identical cross-engine, and u is a well-separated 60-bit
+    ratio so the ≤ boundary is measure-zero (the weighted_sample
+    policy)."""
+    counts = df.groupBy(stratum).agg(F.count(F.lit(1)).alias("__n"))
+    norm = counts.agg(
+        F.sum(F.pow(F.col("__n").cast("double"), F.lit(alpha))).alias("__z")
+    )
+    rates = counts.crossJoin(F.broadcast(norm)).select(
+        stratum,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(target))
+            * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+            / F.col("__z")
+            / F.col("__n").cast("double"),
+        ).alias("__rate"),
+    )
+    u = (md5_long(F.col(key).cast("string"), F.lit(salt)) + 1) / F.lit(float(1 << 60))
+    return (
+        df.join(F.broadcast(rates), stratum)
+        .filter(u <= F.col("__rate"))
+        .select(*df.columns, F.round("__rate", 9).alias("samp_rate"))
+    )

@@ -553,3 +553,40 @@ def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         (F.row_number().over(w) - 1).alias("position"),
     ).withColumn("shard", F.col("position") % 8)
+
+
+@query(
+    "q_temperature_sample",
+    """
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+    z AS (SELECT SUM(pow(CAST(n AS DOUBLE), 0.5)) AS z FROM counts),
+    rates AS (
+        SELECT source,
+               LEAST(1.0, 200.0 * pow(CAST(n AS DOUBLE), 0.5) / z / CAST(n AS DOUBLE))
+                   AS rate
+        FROM counts, z
+    )
+    SELECT d.doc_id, d.text, d.lang, d.source, d.n_chars,
+           ROUND(r.rate, 9) AS samp_rate
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE (CAST('0x' || substr(md5(concat('temp', ':', CAST(doc_id AS VARCHAR))), 1, 15)
+            AS BIGINT) + 1) / 1152921504606846976.0 <= r.rate
+    """,
+    doc="Temperature-flattened stratified sampling (operators/curation.py "
+    "temperature_sample, alpha=0.5, target=200): the multilingual/"
+    "multi-domain recipe sampler — stratum take ∝ n^alpha, so small "
+    "sources are upweighted relative to raw proportions (the mT5/XLM-R "
+    "sampling rule). Deterministic md5-race membership (u(doc) ≤ rate): "
+    "no RNG, reruns and engines agree row-for-row. Plan: |strata|-row "
+    "count agg, 1-row alpha-power normalizer re-entering as a broadcast "
+    "scalar, per-stratum rates broadcast onto ONE corpus scan, then a "
+    "hash filter — only the sample itself survives. The float policy is "
+    "the weighted_sample one: u is a well-separated 60-bit ratio so the "
+    "≤ boundary cannot flip cross-engine.",
+    tags=("curation", "sample", "training"),
+)
+def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import temperature_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_sample(docs, stratum="source", target=200, alpha=0.5)

@@ -1109,3 +1109,83 @@ def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q_important_stock",
+    """
+    WITH pv AS (
+        SELECT l_partkey, COUNT(*) AS n_lines,
+               SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8))) AS v
+        FROM lineitem GROUP BY 1
+    ), tot AS (SELECT SUM(v) AS t FROM pv)
+    SELECT l_partkey, n_lines, CAST(v AS DOUBLE) AS part_value
+    FROM pv, tot
+    WHERE CAST(v AS DOUBLE) > 0.0005 * CAST(t AS DOUBLE)
+    """,
+    doc="TPC-H Q11-shape 'important stock': parts whose revenue share "
+    "clears a FRACTION of the global total — the two-level scalar "
+    "pattern (group agg + whole-table agg) where the threshold itself "
+    "derives from the data. Spark plan: one partial-first agg on "
+    "l_partkey; the global total is a second agg OVER THE FIRST's "
+    "output (|parts| rows, not a rescan) re-entering as a broadcast "
+    "1-row crossJoin; the HAVING is a residual filter. Both levels sum "
+    "exact DECIMAL, compared in double after identical casts — the "
+    "share boundary cannot flip cross-engine.",
+    tags=("olap", "agg", "subquery"),
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount"))).cast("decimal(28,8)")
+    pv = li.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_lines"), F.sum(rev).alias("__v")
+    )
+    tot = pv.agg(F.sum("__v").alias("__t"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("__v").cast("double") > F.lit(0.0005) * F.col("__t").cast("double"))
+        .select("l_partkey", "n_lines", F.col("__v").cast("double").alias("part_value"))
+    )
+
+
+@query(
+    "q_moving_average_24h",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(28, 8))) OVER w AS DOUBLE)
+               / (COUNT(*) OVER w) AS ma_24h,
+           COUNT(*) OVER w AS n_in_window
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+    """,
+    doc="Trailing-24h moving average per user over EVENT TIME with a "
+    "RANGE frame — the time-based window (frame bounds in wall-clock "
+    "units, including all ties) that ROWS frames can't express on "
+    "irregular series. Spark orders by unix_micros with literal "
+    "microsecond bounds (Spark RANGE frames need numeric ordering); "
+    "DuckDB uses the INTERVAL frame directly — same [t-24h, t] "
+    "semantics. One hash exchange on user_id; the frame sum is exact "
+    "DECIMAL divided by the frame count, so the mean is bit-stable "
+    "regardless of how the frame's rows were folded.",
+    tags=("olap", "window", "timeseries"),
+)
+def q_moving_average_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-86_400_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        (
+            F.sum(F.col("value").cast("decimal(28,8)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("ma_24h"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    )

@@ -141,6 +141,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_volume_shipping",
     "q_promo_revenue",
     "q_disjunctive_revenue",
+    "q_temperature_sample",
+    "q_important_stock",
+    "q_moving_average_24h",
 )
 
 

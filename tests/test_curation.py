@@ -204,3 +204,56 @@ def test_weighted_sample_determinism_quota_and_weight_monotonicity(spark):
     other = weighted_sample(df, key="doc_id", weight="w", k=10, stratum="lang", salt="v2")
     ids_other = {r.doc_id for r in other.collect() if r.lang == "en"}
     assert ids_other != by_lang["en"]        # salt rotates the draw
+
+
+def test_temperature_sample_flattens_mixture(spark):
+    """alpha<1 upweights small strata: the sampled mixture's max/min
+    source ratio must shrink vs the raw corpus, per-stratum takes track
+    n^alpha expectations, and membership is deterministic."""
+    from c_tran_data_pipeline_spark.operators.curation import temperature_sample
+
+    from tests.conftest import SF_ORACLE
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    raw = {r["source"]: r["count"] for r in docs.groupBy("source").count().collect()}
+    out = temperature_sample(docs, stratum="source", target=200, alpha=0.5)
+    got = {r["source"]: r["count"] for r in out.groupBy("source").count().collect()}
+
+    z = sum(n**0.5 for n in raw.values())
+    for s, n in raw.items():
+        expect = min(n, 200 * (n**0.5) / z)
+        # hash membership is Binomial(n, rate): allow 4 sigma + 1
+        assert abs(got.get(s, 0) - expect) <= 4 * expect**0.5 + 1, (s, got.get(s), expect)
+    total_expect = sum(min(n, 200 * (n**0.5) / z) for n in raw.values())
+    assert abs(sum(got.values()) - total_expect) <= 4 * total_expect**0.5 + 1
+
+    again = temperature_sample(docs, stratum="source", target=200, alpha=0.5)
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+    # flattening property needs a SKEWED corpus (the fixture is uniform):
+    # 900 docs of 'big' vs 100 of 'small' → alpha=0.5 narrows the ratio
+    skew = spark.createDataFrame(
+        [(i, "big" if i < 900 else "small") for i in range(1000)], "doc_id long, source string"
+    )
+    s_out = {
+        r["source"]: r["count"]
+        for r in temperature_sample(skew, stratum="source", target=300, alpha=0.5)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    raw_ratio = 900 / 100
+    got_ratio = s_out["big"] / s_out["small"]
+    assert 1.0 < got_ratio < raw_ratio * 0.6  # pulled toward sqrt(9) = 3
+    # and alpha=1 reproduces raw proportions (sanity of the formula)
+    p_out = {
+        r["source"]: r["count"]
+        for r in temperature_sample(skew, stratum="source", target=300, alpha=1.0)
+        .groupBy("source")
+        .count()
+        .collect()
+    }
+    assert abs(p_out["big"] / p_out["small"] - 9.0) < 3.0
