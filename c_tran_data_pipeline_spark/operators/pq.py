@@ -252,3 +252,106 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("__d", 4).alias("dist"))
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    books: Codebooks,
+    k: int = 3,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+    rerank_factor: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IndexIVFPQ shape — the production ANN
+    default): the IVF coarse quantizer prunes the corpus to each query's
+    ``nprobe`` nearest cells, ADC over PQ codes ranks candidates INSIDE
+    the probed cells with m table lookups per pair, and an exact re-rank
+    of the k×``rerank_factor`` shortlist restores precision against true
+    vectors. Compute per query = nprobe/nlist of the corpus at PQ-code
+    cost, + shortlist·d exact work — the two pruning axes (which rows,
+    how many bytes per row) composed.
+
+    Physical shape: ONE corpus projection emits (id, cell, codes) — the
+    centroid table and codebooks are literal expressions, so neither
+    assignment nor encoding joins or shuffles anything (persist this
+    projection ``partitionBy('centroid_id')`` at scale, exactly like
+    write_ivf_index, and searches read nprobe cells' directories). The
+    query side broadcasts (probes × ADC tables); the only shuffles are
+    the candidate equi-join on centroid_id and the two top-k windows.
+
+    Deterministic end to end (md5-seeded quantizers, lowest-id ties), so
+    recall floors vs exact L2 are stable pytest assertions.
+    """
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _kmeans_rows,
+        _nearest_cell,
+        _probe_cells,
+    )
+
+    m = len(books)
+    dsub = len(books[0][0][1])
+    cents = _kmeans_rows(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=None)
+
+    # one projection: cell assignment + PQ codes, no joins corpus-side
+    cv = _as_double(F.col(vec))
+    code_cols = [
+        (
+            F.array_position(
+                _sub_scores(F.slice(cv, j * dsub + 1, dsub), books[j]),
+                F.array_min(_sub_scores(F.slice(cv, j * dsub + 1, dsub), books[j])),
+            )
+            - 1
+        ).cast("int")
+        for j in range(m)
+    ]
+    encoded_cells = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        _nearest_cell(cv, cents).alias("centroid_id"),
+        F.array(*code_cols).alias("codes"),
+    )
+
+    qv = _as_double(F.col(vec))
+    probes = queries.select(
+        F.col(key).alias("query_id"),
+        F.explode(_probe_cells(qv, cents, nprobe)).alias("centroid_id"),
+    )
+    qt = adc_tables(queries, books, key=key, vec=vec)
+    probe_tabs = probes.join(qt, "query_id")  # tiny × tiny, broadcast below
+
+    offs = [0]
+    for b in books:
+        offs.append(offs[-1] + len(b))
+    lookups = [
+        F.element_at(F.col("qtab"), F.lit(offs[j] + 1) + F.element_at(F.col("codes"), j + 1))
+        for j in range(m)
+    ]
+    adc = sum(lookups[1:], lookups[0])
+
+    scored = (
+        encoded_cells.join(F.broadcast(probe_tabs), on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc").asc(), F.col("neighbor_id").asc())
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * max(rerank_factor, 1))
+        .select("query_id", "neighbor_id")
+    )
+    cvs = corpus.select(F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"))
+    qvs = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    exact = (
+        shortlist.join(cvs, "neighbor_id")
+        .join(F.broadcast(qvs), "query_id")
+        .select("query_id", "neighbor_id", _l2sq(F.col("__qv"), F.col("__cv")).alias("__d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__d", 4).alias("dist"))
+    )

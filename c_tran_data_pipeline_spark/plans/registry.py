@@ -144,6 +144,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_temperature_sample",
     "q_important_stock",
     "q_moving_average_24h",
+    "q_ann_ivfpq_topk",
 )
 
 

@@ -724,3 +724,31 @@ def q_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.coalesce(F.col("n_hits"), F.lit(0).cast("long")) / F.lit(3.0)).alias("recall_at_3"),
         F.coalesce(F.col("rr"), F.lit(0.0)).alias("reciprocal_rank"),
     )
+
+
+@query(
+    "q_ann_ivfpq_topk",
+    None,  # both quantizers approximate — recall ladder + nprobe==nlist
+    # equivalence pinned in tests/test_pq.py
+    doc="IVF-PQ ANN (FAISS IndexIVFPQ shape, operators/pq.py "
+    "ivfpq_topk) — the production-default composition of the two "
+    "pruning axes: the IVF coarse quantizer prunes WHICH rows each "
+    "query scores (nprobe of nlist cells), PQ codes prune HOW MANY "
+    "BYTES each scoring touches (ADC table lookups, 64x compression), "
+    "and an exact re-rank of the k×8 shortlist restores precision. One "
+    "corpus projection emits (id, cell, codes) with centroids and "
+    "codebooks as literals — assignment and encoding join nothing; "
+    "persisted partitionBy(centroid_id), searches read nprobe cells' "
+    "directories. tests/test_pq.py pins recall floors, the "
+    "probe-more-never-hurts ladder, and nprobe==nlist ≡ whole-corpus "
+    "re-ranked PQ.",
+    tags=("similarity", "topk", "quantize"),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pq import ivfpq_topk, train_pq
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    return ivfpq_topk(
+        emb, emb.filter(F.col("vec_id") < 20), books, k=3, nlist=16, nprobe=4, rerank_factor=8
+    )

@@ -85,3 +85,34 @@ def test_rerank_distances_are_exact(spark):
     j = got.join(truth, on=["query_id", "neighbor_id"])
     assert j.count() == got.count()
     assert j.filter(F.col("dist") != F.col("true_d")).count() == 0
+
+
+def test_ivfpq_recall_and_nprobe_ladder(spark):
+    """IVF-PQ: recall@3 floors vs exact L2, probing more cells never
+    hurts, and nprobe == nlist reduces to plain re-ranked PQ over the
+    whole corpus (the cell pruning is the ONLY approximation IVF adds)."""
+    from c_tran_data_pipeline_spark.operators.pq import ivfpq_topk
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    books = train_pq(emb, m=8, ksub=16, dim=64)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in _exact_l2_topk(emb, queries).collect()
+    }
+
+    def pairs(nprobe):
+        out = ivfpq_topk(
+            emb, queries, books, k=3, nlist=8, nprobe=nprobe, rerank_factor=8
+        )
+        return {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+
+    r2 = len(exact & pairs(2)) / len(exact)
+    r8 = len(exact & pairs(8)) / len(exact)
+    assert r8 >= r2  # probing every cell can only add candidates
+    assert r2 >= 0.3, f"ivfpq recall@3 at nprobe=2 collapsed: {r2:.2f}"
+    assert r8 >= 0.5, f"ivfpq recall@3 at nprobe=nlist {r8:.2f}"
+
+    # nprobe == nlist ≡ whole-corpus re-ranked PQ with the same books
+    full = pq_topk(emb, queries, books, k=3, rerank_factor=8)
+    full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
+    assert pairs(8) == full_pairs

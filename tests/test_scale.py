@@ -163,6 +163,10 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_idle_customers",
     # 1-row corpus-total scalar for the mixture-share denominator
     "q_source_mix_report",
+    # 1-row alpha-power normalizer broadcast onto the stratum rates
+    "q_temperature_sample",
+    # 1-row global revenue total re-entering as the share threshold
+    "q_important_stock",
 }
 
 
