@@ -61,6 +61,12 @@ HEADLINE = [
     "q_knn_label",
     "q_rolling_actives",
     "q_incremental_neardup",
+    "q_ann_ivfpq_topk",
+    "q_scd2_history",
+    "q_moving_average_24h",
+    "q_temperature_sample",
+    "q_volume_shipping",
+    "q_retrieval_metrics",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -84,6 +90,12 @@ _POST_R01 = (
     "q_knn_label",
     "q_rolling_actives",
     "q_incremental_neardup",
+    "q_ann_ivfpq_topk",
+    "q_scd2_history",
+    "q_moving_average_24h",
+    "q_temperature_sample",
+    "q_volume_shipping",
+    "q_retrieval_metrics",
 )
 
 

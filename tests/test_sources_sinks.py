@@ -238,3 +238,50 @@ def test_http_json_datasource_requires_urls(spark):
     register(spark)
     with _pytest.raises(Exception, match="urls"):
         spark.read.format("http_json").load().collect()
+
+
+def test_versioned_store_time_travel_and_isolation(spark, tmp_path):
+    """Snapshot versioning: upsert/merge create immutable versions, old
+    versions stay readable (time travel), a resolved reader survives a
+    concurrent commit, a torn pointer write cannot corrupt the table,
+    and vacuum never drops the current version."""
+    from c_tran_data_pipeline_spark.sinks.versioned import VersionedTableStore
+
+    store = VersionedTableStore(
+        spark, str(tmp_path / "trips"), "trip_id long, route_id long, direction string"
+    )
+    assert store.current_version() == 0 and store.read().count() == 0
+
+    v1 = store.upsert(
+        spark.createDataFrame([(1, 10, "Out"), (2, 20, "Back")], store.schema),
+        keys=["trip_id"],
+    )
+    v2 = store.merge(
+        spark.createDataFrame([(1, 99, "Back")], store.schema),
+        keys=["trip_id"],
+        set_cols=["route_id", "direction"],
+    )
+    assert (v1, v2) == (1, 2)
+
+    # time travel: v1 still shows the pre-merge row
+    r1 = {r.trip_id: r.route_id for r in store.read(version=1).collect()}
+    r2 = {r.trip_id: r.route_id for r in store.read().collect()}
+    assert r1 == {1: 10, 2: 20} and r2 == {1: 99, 2: 20}
+
+    # a reader that resolved v2 keeps its snapshot across a later commit
+    pinned = store.read()
+    store.upsert(spark.createDataFrame([(3, 30, "Out")], store.schema), keys=["trip_id"])
+    assert pinned.count() == 2 and store.read().count() == 3
+
+    # torn pointer write (crash sim): leftover tmp never affects reads
+    (tmp_path / "trips" / "_current.__tmp__").write_text("9999")
+    assert store.current_version() == 3
+
+    # vacuum keeps the current version, drops the oldest
+    dropped = store.vacuum(keep_last=2)
+    assert dropped == [1]
+    assert store.read().count() == 3
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="version 1"):
+        store.read(version=1)
