@@ -386,3 +386,38 @@ def test_stream_stream_interval_join_matches_batch(spark, tmpdirs):
     assert len(got) == 2  # one stop per matched crumb; trip 102 unmatched
     states = {s for (_, _, _, s) in got}
     assert states == {"ontime", "late"}
+
+
+def test_stop_event_pipeline_onto_versioned_store(spark, tmpdirs, tmp_path):
+    """E2 merge against the VERSIONED store: each micro-batch commit is
+    an auditable snapshot — the pre-merge Trip state stays readable via
+    time travel after the stream updates it (the lakehouse audit-trail
+    upgrade of the plain _TableStore, same duck-typed merge contract)."""
+    from c_tran_data_pipeline_spark.sinks.versioned import VersionedTableStore
+
+    store = VersionedTableStore(spark, str(tmp_path / "vtrips"), schemas.TRIP)
+    store.commit(
+        spark.createDataFrame(
+            [
+                Row(trip_id=201, route_id=0, vehicle_id=4008,
+                    service_key="Weekday", direction="Out"),
+            ],
+            schema=schemas.TRIP,
+        )
+    )
+    events = [
+        {"trip_id": "201", "vehicle_number": "4008", "route_number": "65",
+         "direction": "1", "service_key": "W"},
+    ]
+    (tmp_path / "vin").mkdir()
+    (tmp_path / "vin" / "stops.json").write_text("\n".join(json.dumps(r) for r in events))
+
+    raw = spark.readStream.schema(schemas.RAW_STOP_EVENT).json(str(tmp_path / "vin"))
+    q = run_stop_event_pipeline(raw, store, str(tmp_path / "vckpt"))
+    q.awaitTermination(120)
+
+    assert store.current_version() == 2
+    now = {r.trip_id: r for r in store.read().collect()}
+    assert now[201].route_id == 65 and now[201].direction == "Back"
+    before = {r.trip_id: r for r in store.read(version=1).collect()}
+    assert before[201].route_id == 0 and before[201].direction == "Out"
