@@ -1189,3 +1189,54 @@ def q_moving_average_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ma_24h"),
         F.count(F.lit(1)).over(w).alias("n_in_window"),
     )
+
+
+@query(
+    "q_debounce_events",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               LAG(ts) OVER w AS prev_ts,
+               LAG(floor(value / 50)) OVER w AS prev_bucket,
+               floor(value / 50) AS bucket
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, ts, event_type, value
+    FROM s
+    WHERE prev_ts IS NULL
+       OR epoch_us(ts) - epoch_us(prev_ts) > 259200000000
+       OR bucket <> prev_bucket
+    """,
+    doc="Telemetry debounce: drop a reading when the SAME (user, type) "
+    "stream reported the same quantized level (floor(value/50) — the "
+    "sensor's meaningful resolution) within the last 72 h — the "
+    "sensor-noise cleaner a telemetry feed runs before storage "
+    "(chatty steady-state streams compress to level CHANGES; ~30% of "
+    "fixture rows drop). One LAG window per (user, type) partition — "
+    "a single hash exchange, state per key = one row; the "
+    "keep-predicate is pure column arithmetic, no self-join. "
+    "(ts, event_id) ordering is total and floor/divide are exact "
+    "IEEE, so the kept set is deterministic under any partitioning "
+    "and engine; as a stream this becomes "
+    "dropDuplicatesWithinWatermark on (user, type, bucket).",
+    tags=("olap", "window", "timeseries", "parity"),
+)
+def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    bucket = F.floor(F.col("value") / 50)
+    s = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value",
+        bucket.alias("__b"),
+        F.lag("ts").over(w).alias("__pts"),
+        F.lag(bucket).over(w).alias("__pb"),
+    )
+    keep = (
+        F.col("__pts").isNull()
+        | ((F.unix_micros("ts") - F.unix_micros("__pts")) > 259_200_000_000)
+        | (F.col("__b") != F.col("__pb"))
+    )
+    return s.filter(keep).select("event_id", "user_id", "ts", "event_type", "value")

@@ -145,6 +145,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_important_stock",
     "q_moving_average_24h",
     "q_ann_ivfpq_topk",
+    "q_debounce_events",
 )
 
 
