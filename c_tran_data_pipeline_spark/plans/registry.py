@@ -146,6 +146,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_moving_average_24h",
     "q_ann_ivfpq_topk",
     "q_debounce_events",
+    "q_stop_tokens",
+    "q_langid_confusion",
 )
 
 

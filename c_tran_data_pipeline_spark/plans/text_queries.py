@@ -699,3 +699,76 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_distinct_chars"),
         )
     )
+
+
+@query(
+    "q_stop_tokens",
+    r"""
+    WITH tok AS (
+        SELECT doc_id, unnest(list_distinct(
+                   string_split_regex(trim(lower(text)), '\s+'))) AS token
+        FROM documents
+    ),
+    df AS (SELECT token, COUNT(*) AS doc_freq FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT token, doc_freq,
+           ROUND(doc_freq * 1.0 / n_docs, 6) AS df_frac
+    FROM df, n
+    WHERE doc_freq * 1.0 / n_docs > 0.25
+    """,
+    doc="Data-driven stop-token discovery: tokens whose DOCUMENT "
+    "frequency exceeds 25% of the corpus — the empirical version of "
+    "the fixed df cap guarding the hybrid-search / n-gram inverted-"
+    "index joins (at corpus scale you derive the skew guard from the "
+    "data, not a constant; this output IS that guard's input). "
+    "Distinct-token explode → partial-first df agg on the token key — "
+    "the shuffle carries (token, count), never text; the corpus size "
+    "re-enters as a 1-row broadcast scalar. The relative threshold "
+    "survives 100x growth where an absolute count cutoff silently "
+    "stops firing.",
+    tags=("text", "curation", "skew"),
+)
+def q_stop_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("token"),
+    )
+    df_ = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    n = d.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        df_.crossJoin(F.broadcast(n))
+        .filter(F.col("doc_freq") * 1.0 / F.col("__n") > 0.25)
+        .select(
+            "token",
+            "doc_freq",
+            F.round(F.col("doc_freq") * 1.0 / F.col("__n"), 6).alias("df_frac"),
+        )
+    )
+
+
+@query(
+    "q_langid_confusion",
+    f"""
+    SELECT lang AS true_lang, {langid_case_sql()} AS pred_lang,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Language-ID confusion matrix: declared metadata lang × "
+    "predicted lang_id with counts — the audit that decides whether "
+    "to trust crawl metadata or the classifier before a lang filter "
+    "drops terabytes. Pure scan + one partial-first agg on a "
+    "|langs|² key space; the heavy lang_id expression evaluates once "
+    "per row inside the same codegen stage as the grouping.",
+    tags=("text", "quality", "report"),
+)
+def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("true_lang"), lang_id("text").alias("pred_lang"))
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
