@@ -1240,3 +1240,104 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("__b") != F.col("__pb"))
     )
     return s.filter(keep).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@query(
+    "q_session_overlap",
+    """
+    WITH s AS (
+        SELECT user_id, ts,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+        FROM s
+    ),
+    sess AS (
+        SELECT user_id, sid, MIN(ts) AS s_start, MAX(ts) AS s_end
+        FROM numbered GROUP BY 1, 2
+    )
+    SELECT a.user_id AS user_a, b.user_id AS user_b,
+           a.s_start AS a_start, b.s_start AS b_start,
+           epoch_us(least(a.s_end, b.s_end))
+               - epoch_us(greatest(a.s_start, b.s_start)) AS overlap_us
+    FROM sess a JOIN sess b
+      ON a.user_id < b.user_id
+     AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+    """,
+    doc="Interval-interval overlap join: cross-user pairs of 30-min-gap "
+    "sessions that overlap in wall-clock time (co-occurrence "
+    "detection) — the interval join shape q_range_join_follows' "
+    "point-in-window banding doesn't cover. Spark plan: sessions "
+    "derive from the q_sessionize window cascade (one user_id "
+    "exchange), then each session explodes to its covered 1-hour time "
+    "buckets and candidates equi-join ON THE BUCKET — fan-out is "
+    "duration/bucket per session and per-bucket cost is density-"
+    "bounded, never |sessions|² (the kernel_smooth guard applied to "
+    "interval pairs); a distinct collapses multi-bucket double-hits "
+    "and the exact overlap predicate re-verifies. The oracle is the "
+    "plain inequality join (DuckDB IEJoin). Overlap length is integer "
+    "µs arithmetic — exact cross-engine.",
+    tags=("olap", "join", "range", "session"),
+)
+def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    numbered = ev.select("user_id", "ts", new_s.alias("__new"))
+    numbered = numbered.withColumn(
+        "__sid", F.sum("__new").over(W.partitionBy("user_id").orderBy("ts"))
+    )
+    sess = numbered.groupBy("user_id", "__sid").agg(
+        F.min("ts").alias("s_start"), F.max("ts").alias("s_end")
+    )
+    bucket_us = 3_600_000_000
+    banded = sess.withColumn(
+        "__bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros("s_start") / bucket_us),
+                F.floor(F.unix_micros("s_end") / bucket_us),
+            )
+        ),
+    )
+    a = banded.select(
+        F.col("user_id").alias("user_a"),
+        F.col("s_start").alias("a_start"),
+        F.col("s_end").alias("a_end"),
+        "__bkt",
+    )
+    b = banded.select(
+        F.col("user_id").alias("user_b"),
+        F.col("s_start").alias("b_start"),
+        F.col("s_end").alias("b_end"),
+        "__bkt",
+    )
+    pairs = (
+        a.join(b, "__bkt")
+        .filter(
+            (F.col("user_a") < F.col("user_b"))
+            & (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+        )
+        .select("user_a", "user_b", "a_start", "b_start", "a_end", "b_end")
+        .distinct()
+    )
+    return pairs.select(
+        "user_a",
+        "user_b",
+        "a_start",
+        "b_start",
+        (
+            F.unix_micros(F.least("a_end", "b_end"))
+            - F.unix_micros(F.greatest("a_start", "b_start"))
+        ).alias("overlap_us"),
+    )

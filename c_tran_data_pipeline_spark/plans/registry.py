@@ -148,6 +148,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_debounce_events",
     "q_stop_tokens",
     "q_langid_confusion",
+    "q_session_overlap",
 )
 
 
