@@ -167,6 +167,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_temperature_sample",
     # 1-row global revenue total re-entering as the share threshold
     "q_important_stock",
+    # 1-row corpus doc count re-entering as the relative-df threshold
+    "q_stop_tokens",
 }
 
 
