@@ -9,6 +9,7 @@ DuckDB ``CAST('0x'||substr(md5(x),1,15) AS BIGINT)`` (verified bit-equal).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from c_tran_data_pipeline_spark.operators.dedup import (
     exact_dedup,
@@ -332,3 +333,101 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = minhash_buckets(existing)
     pairs, _store = incremental_neardup(new, store)
     return pairs
+
+
+@query(
+    "q_minhash_estimate",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeded AS (
+        SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)
+    ),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    bucketed AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM bucketed a JOIN bucketed b USING (band, bucket)
+        WHERE a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT p.d1, p.d2,
+               SUM(CASE WHEN sa.minhash = sb.minhash THEN 1 ELSE 0 END) / 16.0
+                   AS est_jaccard
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.d1
+        JOIN sig sb ON sb.doc_id = p.d2 AND sb.seed = sa.seed
+        GROUP BY 1, 2
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (
+        SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+        FROM sh a JOIN sh b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT d1, d2,
+               ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jacc
+        FROM inter JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+    )
+    SELECT e.d1, e.d2,
+           ROUND(e.est_jaccard, 6) AS est_jaccard,
+           COALESCE(x.jacc, 0.0) AS exact_jaccard,
+           ROUND(abs(e.est_jaccard - COALESCE(x.jacc, 0.0)), 6) AS abs_err
+    FROM est e LEFT JOIN exact x ON e.d1 = x.d1 AND e.d2 = x.d2
+    """,
+    doc="Sketch-quality audit: for every MinHash-LSH candidate pair, the "
+    "SIGNATURE-estimated Jaccard (matching components / 16) next to "
+    "the exact shingle Jaccard and the absolute error — how you "
+    "validate a sketch family before trusting it to delete data at "
+    "100 TB, computed in-engine on the same pass shapes the dedup "
+    "path already uses (signature agg + banded candidates + "
+    "inverted-index intersection, all partial-first equi-joins; the "
+    "exact leg is per-CANDIDATE, never all-pairs). MinHash is "
+    "deterministic here (seeded md5), so even the accuracy audit "
+    "carries an exact SQL oracle — the q_retrieval_metrics principle "
+    "applied to sketches.",
+    tags=("dedup", "eval"),
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4)
+    sigs = minhash_signatures(d, num_hashes=16)
+    sa = sigs.select(F.col("doc_id").alias("d1"), "seed", F.col("minhash").alias("__h1"))
+    sb = sigs.select(F.col("doc_id").alias("d2"), "seed", F.col("minhash").alias("__h2"))
+    est = (
+        pairs.join(sa, "d1")
+        .join(sb, ["d2", "seed"])
+        .groupBy("d1", "d2")
+        .agg(
+            (
+                F.sum(F.when(F.col("__h1") == F.col("__h2"), 1).otherwise(0)) / F.lit(16.0)
+            ).alias("__est")
+        )
+    )
+    exact = ngram_jaccard_pairs(d, threshold=0.0).select(
+        "d1", "d2", F.col("jaccard").alias("__jx")
+    )
+    return (
+        est.join(exact, ["d1", "d2"], "left_outer")
+        .select(
+            "d1",
+            "d2",
+            F.round("__est", 6).alias("est_jaccard"),
+            F.round(F.coalesce(F.col("__jx"), F.lit(0.0)), 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("__est") - F.coalesce(F.col("__jx"), F.lit(0.0))), 6).alias(
+                "abs_err"
+            ),
+        )
+    )

@@ -149,6 +149,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_stop_tokens",
     "q_langid_confusion",
     "q_session_overlap",
+    "q_minhash_estimate",
 )
 
 
