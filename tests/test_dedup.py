@@ -252,3 +252,25 @@ def test_incremental_neardup_empty_batch(spark):
     pairs, store2 = incremental_neardup(docs.filter("doc_id < 0"), store)
     assert pairs.count() == 0
     assert store2.count() == store.count()
+
+
+def test_minhash_estimate_error_bounded(spark):
+    """Sketch audit semantics: estimates live on the k=16 lattice
+    (multiples of 1/16), near-identical pairs estimate high, and the
+    mean absolute error over candidates is within the ~1/sqrt(k)
+    regime (16 hashes → sd ≈ 0.125 per pair at mid-range Jaccard)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    from tests.conftest import SF_SMOKE
+
+    rows = all_queries()["q_minhash_estimate"].builder(spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        assert abs(r["est_jaccard"] * 16 - round(r["est_jaccard"] * 16)) < 1e-6
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+    mean_err = sum(r["abs_err"] for r in rows) / len(rows)
+    assert mean_err <= 0.2, f"minhash estimate error blew past the k=16 regime: {mean_err}"
+    # LSH candidates are biased toward true near-dups: the top estimated
+    # pair should also be genuinely similar
+    top = max(rows, key=lambda r: r["est_jaccard"])
+    assert top["exact_jaccard"] >= 0.5
