@@ -150,6 +150,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_langid_confusion",
     "q_session_overlap",
     "q_minhash_estimate",
+    "q_bigram_pmi",
 )
 
 

@@ -772,3 +772,86 @@ def q_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("true_lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
+
+
+@query(
+    "q_bigram_pmi",
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS words
+        FROM documents
+    ),
+    bi AS (
+        SELECT u.a AS w1, u.b AS w2
+        FROM (SELECT unnest(list_transform(generate_series(1, len(words) - 1),
+                     i -> {'a': words[i], 'b': words[i+1]})) AS u FROM w)
+    ),
+    uni AS (SELECT unnest(words) AS w FROM w),
+    ub AS (SELECT w, COUNT(*) AS n FROM uni GROUP BY 1),
+    bb AS (SELECT w1, w2, COUNT(*) AS n_ab FROM bi GROUP BY 1, 2),
+    tot AS (SELECT (SELECT COUNT(*) FROM uni) AS nu,
+                   (SELECT COUNT(*) FROM bi) AS nb)
+    SELECT w1, w2, n_ab,
+           ROUND(ln((n_ab * 1.0 / nb) / ((a.n * 1.0 / nu) * (b.n * 1.0 / nu))), 6)
+               AS pmi
+    FROM bb JOIN ub a ON a.w = w1 JOIN ub b ON b.w = w2, tot
+    WHERE n_ab >= 5
+    """,
+    doc="Collocation mining by pointwise mutual information: adjacent "
+    "word pairs whose co-occurrence beats the independence baseline "
+    "(ln of observed/expected) — the phrase-detection pass (word2vec-"
+    "phrases / gensim Phrases shape) a tokenization pipeline runs to "
+    "promote 'new york'-style units. Spark plan: bigrams explode as a "
+    "pure projection (no shuffle until the count aggs), unigram and "
+    "bigram counts are partial-first aggs on word keys, the two corpus "
+    "totals re-enter as a broadcast 1-row scalar, and the PMI join "
+    "ships (word, count) pairs only. The n_ab >= 5 support floor is "
+    "what keeps the output (and the ub join's broadcast candidacy) "
+    "bounded at corpus scale. PMI itself is per-row IEEE math over "
+    "exact counts with identical operation order in both engines, "
+    "rounded to 6 dp.",
+    tags=("text", "agg", "report"),
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    idx = F.when(
+        F.size(words) >= 2, F.sequence(F.lit(1), F.size(words) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    w = d.select(words.alias("__ws"), idx.alias("__is"))
+    bi = w.select(
+        F.explode(
+            F.transform(
+                "__is",
+                lambda i: F.struct(
+                    F.element_at("__ws", i).alias("w1"),
+                    F.element_at("__ws", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("u")
+    ).select("u.*")
+    uni = w.select(F.explode("__ws").alias("w"))
+    ub = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    bb = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_ab"))
+    tot = uni.agg(F.count(F.lit(1)).alias("__nu")).crossJoin(
+        bi.agg(F.count(F.lit(1)).alias("__nb"))
+    )
+    a = ub.select(F.col("w").alias("w1"), F.col("n").alias("__na"))
+    b = ub.select(F.col("w").alias("w2"), F.col("n").alias("__nb2"))
+    joined = (
+        bb.filter(F.col("n_ab") >= 5)
+        .join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(tot))
+    )
+    pmi = F.round(
+        F.log(
+            (F.col("n_ab") * F.lit(1.0) / F.col("__nb"))
+            / (
+                (F.col("__na") * F.lit(1.0) / F.col("__nu"))
+                * (F.col("__nb2") * F.lit(1.0) / F.col("__nu"))
+            )
+        ),
+        6,
+    )
+    return joined.select("w1", "w2", "n_ab", pmi.alias("pmi"))

@@ -169,6 +169,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_important_stock",
     # 1-row corpus doc count re-entering as the relative-df threshold
     "q_stop_tokens",
+    # 1-row unigram/bigram totals re-entering as the PMI denominators
+    "q_bigram_pmi",
 }
 
 
