@@ -113,20 +113,37 @@ def main() -> None:
     # not session bring-up.
     registry["q_summaries"].builder(spark, sf_dir).collect()
 
+    # Median-of-REPS per query: measured cross-boot noise on this host is
+    # up to 2× on unchanged code (VERIFICATION.md r02 33.5→70→44 s), so a
+    # single-shot number cannot be compared round over round. The median
+    # absorbs one bad run; the min is kept as the "machine-best" figure.
+    # Run 1 additionally pays any build-once cost (e.g. the persisted
+    # IVF-PQ index), so median/min measure the amortized production path.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    timings_min: dict[str, float] = {}
     failed: list[str] = []
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
             continue
-        t0 = time.perf_counter()
+        if "baseline" in spec.tags:
+            # O(n²) oracle baselines are correctness fixtures, not
+            # throughput claims — never part of the headline metric.
+            continue
+        runs: list[float] = []
         try:
-            spec.builder(spark, sf_dir).collect()
+            for _ in range(reps):
+                t0 = time.perf_counter()
+                spec.builder(spark, sf_dir).collect()
+                runs.append(time.perf_counter() - t0)
         except Exception as exc:  # one broken query must not lose the whole run
             failed.append(name)
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             continue
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs.sort()
+        timings[name] = round(runs[len(runs) // 2], 3)
+        timings_min[name] = round(runs[0], 3)
 
     total = round(sum(timings.values()), 3)
     # The headline set grew past round 1's 20 queries (every _POST_R01
@@ -140,8 +157,10 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
+                "reps": reps,
                 "r01_comparable_total": round(sum(timings.get(n, 0.0) for n in r01_set), 3),
                 "queries": timings,
+                "queries_min": timings_min,
                 "sf": sf,
             }
         )

@@ -47,15 +47,45 @@ def _as_double(c: Column) -> Column:
     return c.cast("array<double>")
 
 
+def _guard_size(df: DataFrame, cap: int | None, what: str, hint: str) -> None:
+    """Raise if ``df`` exceeds ``cap`` rows (``cap=None`` opts out).
+
+    The baseline/bounded-side guard: limit(cap+1).count() touches at most
+    cap+1 rows (early-terminating scan, not a full count), so the check
+    itself is cheap. It exists to make the O(n²) oracle baselines and
+    must-be-small broadcast sides fail FAST with a named fix instead of
+    melting a cluster at 100× the fixture."""
+    if cap is None:
+        return
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{what} exceeds {cap} rows — this path is {hint}; "
+            f"pass the cap argument as None to opt in explicitly"
+        )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 3,
     key: str = "vec_id",
     vec: str = "embedding",
+    max_queries: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors for each query vector (self excluded).
-    Returns (query_id, neighbor_id, rank, cosine)."""
+    Returns (query_id, neighbor_id, rank, cosine).
+
+    Linear in |corpus| but |corpus|×|queries| in compute and broadcast-
+    bound in |queries| — correct ONLY for small query batches by
+    contract; ``max_queries`` enforces that contract (the scale path for
+    big batches is ann_lsh_topk / ivf_search)."""
+    _guard_size(
+        queries,
+        max_queries,
+        "cosine_topk query batch",
+        "the exact brute-force baseline (one corpus scan PER BATCH, "
+        "broadcast query side)",
+    )
     c = corpus.select(
         F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv")
     )
@@ -704,11 +734,27 @@ def label_centroids(
 
 
 def embedding_neardup_pairs(
-    df: DataFrame, threshold: float = 0.4, key: str = "vec_id", vec: str = "embedding"
+    df: DataFrame,
+    threshold: float = 0.4,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    baseline_cap: int | None = 100_000,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ threshold. Exact
     (all-pairs) form — O(n²), the oracle/recall baseline ONLY; the
-    registered scale path is embedding_neardup_pairs_lsh."""
+    registered scale path is embedding_neardup_pairs_lsh.
+
+    ``baseline_cap`` makes the baseline-only contract executable: a
+    corpus above the cap raises instead of launching the quadratic
+    self-join (pass None to opt in deliberately, e.g. for a one-off
+    recall audit on a sampled slice)."""
+    _guard_size(
+        df,
+        baseline_cap,
+        "embedding_neardup_pairs corpus",
+        "the O(n²) all-pairs oracle baseline (use "
+        "embedding_neardup_pairs_lsh at scale)",
+    )
     a = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
     b = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
     return (

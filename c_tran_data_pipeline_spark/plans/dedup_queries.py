@@ -387,8 +387,13 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "validate a sketch family before trusting it to delete data at "
     "100 TB, computed in-engine on the same pass shapes the dedup "
     "path already uses (signature agg + banded candidates + "
-    "inverted-index intersection, all partial-first equi-joins; the "
-    "exact leg is per-CANDIDATE, never all-pairs). MinHash is "
+    "inverted-index intersection, all partial-first equi-joins). The "
+    "exact leg SEMI-JOINS the corpus to the candidate doc ids before "
+    "building its inverted index, so its intersection join pairs only "
+    "candidate docs — cost is bounded by the (already sub-quadratic) "
+    "candidate set, never corpus-wide all-intersecting-pairs; the "
+    "oracle computes corpus-wide and left-joins, which is value-"
+    "identical for the emitted candidate rows. MinHash is "
     "deterministic here (seeded md5), so even the accuracy audit "
     "carries an exact SQL oracle — the q_retrieval_metrics principle "
     "applied to sketches.",
@@ -403,6 +408,11 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_candidates(d, num_hashes=16, bands=4)
+    # The audit re-derives candidates for the semi-join below, so pin the
+    # (deterministic) candidate set once — at scale you'd persist the
+    # banded-candidate table anyway (sinks/bucketed.py does for the
+    # incremental path).
+    pairs = pairs.persist()
     sigs = minhash_signatures(d, num_hashes=16)
     sa = sigs.select(F.col("doc_id").alias("d1"), "seed", F.col("minhash").alias("__h1"))
     sb = sigs.select(F.col("doc_id").alias("d2"), "seed", F.col("minhash").alias("__h2"))
@@ -416,7 +426,19 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("__est")
         )
     )
-    exact = ngram_jaccard_pairs(d, threshold=0.0).select(
+    # Exact-Jaccard leg restricted to candidate DOCS: a doc's own shingle
+    # set (and so any candidate pair's intersection/union) is unchanged by
+    # dropping non-candidate docs, but the inverted-index self-join now
+    # pairs only docs that appear in some candidate — without this it
+    # computed exact Jaccard for every intersecting pair corpus-wide and
+    # the audit's cost was dominated by pairs the left join then discarded.
+    cand_ids = (
+        pairs.select(F.col("d1").alias("doc_id"))
+        .union(pairs.select(F.col("d2").alias("doc_id")))
+        .distinct()
+    )
+    d_cand = d.join(cand_ids, "doc_id", "left_semi")
+    exact = ngram_jaccard_pairs(d_cand, threshold=0.0).select(
         "d1", "d2", F.col("jaccard").alias("__jx")
     )
     return (

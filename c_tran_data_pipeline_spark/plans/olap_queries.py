@@ -1208,18 +1208,21 @@ def q_moving_average_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
        OR epoch_us(ts) - epoch_us(prev_ts) > 259200000000
        OR bucket <> prev_bucket
     """,
-    doc="Telemetry debounce: drop a reading when the SAME (user, type) "
-    "stream reported the same quantized level (floor(value/50) — the "
-    "sensor's meaningful resolution) within the last 72 h — the "
-    "sensor-noise cleaner a telemetry feed runs before storage "
-    "(chatty steady-state streams compress to level CHANGES; ~30% of "
-    "fixture rows drop). One LAG window per (user, type) partition — "
-    "a single hash exchange, state per key = one row; the "
-    "keep-predicate is pure column arithmetic, no self-join. "
-    "(ts, event_id) ordering is total and floor/divide are exact "
-    "IEEE, so the kept set is deterministic under any partitioning "
-    "and engine; as a stream this becomes "
-    "dropDuplicatesWithinWatermark on (user, type, bucket).",
+    doc="Telemetry debounce, adjacent-row form: drop a reading when the "
+    "IMMEDIATELY PRECEDING raw reading of the same (user, type) stream "
+    "had the same quantized level (floor(value/50)) AND arrived within "
+    "72 h. Note the semantics precisely: the 72 h clause compares to "
+    "the previous RAW row, not the last EMITTED row — a stream sampled "
+    "more often than every 72 h at a constant level emits only the "
+    "level's first row (each later row chains off its dense "
+    "predecessor), i.e. steady state compresses to level CHANGES with "
+    "no periodic heartbeat. That is the right cleaner when storage "
+    "should hold transitions only; q_debounce_heartbeat is the "
+    "variant that re-emits a keep-alive per 72 h sub-window inside "
+    "long constant runs. One LAG window per (user, type) partition — "
+    "a single hash exchange; the keep-predicate is pure column "
+    "arithmetic, no self-join; (ts, event_id) ordering is total so "
+    "the kept set is deterministic under any partitioning and engine.",
     tags=("olap", "window", "timeseries", "parity"),
 )
 def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,6 +1243,75 @@ def q_debounce_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         | (F.col("__b") != F.col("__pb"))
     )
     return s.filter(keep).select("event_id", "user_id", "ts", "event_type", "value")
+
+
+@query(
+    "q_debounce_heartbeat",
+    """
+    WITH s AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               CASE WHEN LAG(floor(value / 50)) OVER w IS DISTINCT FROM floor(value / 50)
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+    ),
+    runs AS (
+        SELECT *, SUM(chg) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) AS run_id
+        FROM s
+    ),
+    sub AS (
+        SELECT *,
+               (epoch_us(ts) - MIN(epoch_us(ts))
+                    OVER (PARTITION BY user_id, event_type, run_id))
+                   // 259200000000 AS subwin
+        FROM runs
+    ),
+    ranked AS (
+        SELECT event_id, user_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id, event_type, run_id, subwin
+                                  ORDER BY ts, event_id) AS rn
+        FROM sub
+    )
+    SELECT event_id, user_id, ts, event_type, value FROM ranked WHERE rn = 1
+    """,
+    doc="Telemetry debounce, heartbeat form (the gaps-and-islands pass "
+    "q_debounce_events' adjacent-row semantics deliberately is not): "
+    "constant-level RUNS are identified per (user, type) stream via "
+    "the change-flag cumulative sum, then each run emits its first "
+    "row per 72 h sub-window measured from run start — so a dense "
+    "steady-state stream still produces a keep-alive every 72 h "
+    "(liveness), while noise inside a level still drops. Three "
+    "windows, ONE hash exchange: all partition keys extend "
+    "(user_id, event_type), so Catalyst plans a single exchange and "
+    "consecutive in-partition sorts. Run bucketing is exact integer "
+    "µs arithmetic (DIV), (ts, event_id) ordering is total — fully "
+    "deterministic, exact SQL oracle.",
+    tags=("olap", "window", "timeseries", "parity"),
+)
+def q_debounce_heartbeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    bucket = F.floor(F.col("value") / 50)
+    # NULL-safe inequality: the first row of a stream starts run 1
+    chg = F.when(F.lag(bucket).over(w).eqNullSafe(bucket), 0).otherwise(1)
+    runs = ev.select(
+        "event_id", "user_id", "ts", "event_type", "value", chg.alias("__chg")
+    ).withColumn("__run", F.sum("__chg").over(w))
+    w_run = W.partitionBy("user_id", "event_type", "__run")
+    sub = runs.withColumn(
+        "__diff", F.unix_micros("ts") - F.min(F.unix_micros("ts")).over(w_run)
+    ).withColumn("__subwin", F.expr("__diff DIV 259200000000"))
+    w_emit = W.partitionBy("user_id", "event_type", "__run", "__subwin").orderBy(
+        "ts", "event_id"
+    )
+    return (
+        sub.withColumn("__rn", F.row_number().over(w_emit))
+        .filter(F.col("__rn") == 1)
+        .select("event_id", "user_id", "ts", "event_type", "value")
+    )
 
 
 @query(

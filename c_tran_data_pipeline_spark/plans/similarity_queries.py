@@ -95,8 +95,11 @@ def q_ann_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Embedding-cosine near-dup pairs (threshold 0.4) — exact all-pairs "
     "oracle/recall baseline (O(n²) by construction, small-SF only); the "
-    "scale path is q_ann_neardup_lsh.",
-    tags=("similarity", "dedup"),
+    "scale path is q_ann_neardup_lsh. The `baseline` tag is enforced: "
+    "the operator raises above baseline_cap rows without explicit "
+    "opt-in, and bench.py excludes baseline-tagged queries from the "
+    "headline set.",
+    tags=("similarity", "dedup", "baseline"),
 )
 def q_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
@@ -564,7 +567,7 @@ def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     "input swaps to embedding_neardup_pairs_lsh (same (d1, d2) "
     "contract) and the degree agg is partial-first either way — the "
     "histogram shuffle is |distinct degrees| rows.",
-    tags=("similarity", "dedup", "report"),
+    tags=("similarity", "dedup", "report", "baseline"),
 )
 def q_neardup_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")

@@ -66,12 +66,24 @@ class VersionedTableStore:
 
     # -- read ---------------------------------------------------------------
     def read(self, version: int | None = None) -> DataFrame:
-        """Current table, or time-travel to an older committed version."""
+        """Current table, or time-travel to an older COMMITTED version.
+
+        Only versions at or below the pointer are readable: a crash
+        between the snapshot write and the pointer flip leaves a
+        partially-written orphan dir at current+1, and serving it would
+        be exactly the torn read the pointer protocol exists to prevent
+        — so time travel validates against committed versions, not
+        directory existence."""
         v = self.current_version() if version is None else version
         if v == 0:
             return self.spark.createDataFrame([], self.schema)
-        if version is not None and version not in self.versions():
-            raise ValueError(f"version {version} does not exist (have {self.versions()})")
+        if version is not None:
+            committed = [x for x in self.versions() if x <= self.current_version()]
+            if version not in committed:
+                raise ValueError(
+                    f"version {version} is not committed (committed: {committed}; "
+                    f"pointer: {self.current_version()})"
+                )
         return self.spark.read.parquet(self._vpath(v))
 
     # -- write --------------------------------------------------------------

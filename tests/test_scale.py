@@ -174,11 +174,31 @@ _ALLOWED_SCALAR_BROADCAST = {
 }
 
 
+# Both loop-join physical nodes: BroadcastNestedLoopJoin (bounded build
+# side) and CartesianProduct (both sides big — NEVER acceptable). The
+# structural checks below must fail on a cartesian even inside an
+# allowlisted query.
+_LOOP_MARKERS = ("NestedLoopJoin", "CartesianProduct")
+
+
+def _loop_lines(plan: str) -> list[str]:
+    return [line for line in plan.splitlines() if any(m in line for m in _LOOP_MARKERS)]
+
+
+def _only_broadcast_loops(plan: str) -> bool:
+    """Every loop join has a BROADCAST build side — i.e. one side is
+    bounded (constant query batch / scalar agg), so the join is one
+    linear pass over the other side, not a quadratic pairing. This is
+    the structural invariant behind every _ALLOWED_NESTED_LOOP entry;
+    checking it per plan (instead of exempting the query wholesale)
+    means a future genuinely-quadratic CartesianProduct or shuffled
+    loop join in these queries still fails the gate."""
+    return all("BroadcastNestedLoopJoin" in line for line in _loop_lines(plan))
+
+
 def _only_scalar_broadcast_loops(plan: str) -> bool:
     return all(
-        "BroadcastNestedLoopJoin BuildRight, Cross" in line
-        for line in plan.splitlines()
-        if "NestedLoopJoin" in line
+        "BroadcastNestedLoopJoin BuildRight, Cross" in line for line in _loop_lines(plan)
     )
 
 # Queries that legitimately cross into Python (Arrow-batched, SURVEY §2.10).
@@ -206,9 +226,14 @@ def test_no_unexpected_nested_loop_joins(spark):
     offenders = [
         n
         for n, plan in _registry_plans(spark)
-        if "NestedLoopJoin" in plan
-        and n not in _ALLOWED_NESTED_LOOP
-        and not (n in _ALLOWED_SCALAR_BROADCAST and _only_scalar_broadcast_loops(plan))
+        if any(m in plan for m in _LOOP_MARKERS)
+        and not (
+            # allowlisted queries are STILL structurally verified: every
+            # loop join must have a broadcast (bounded) build side —
+            # membership alone never exempts a plan
+            (n in _ALLOWED_NESTED_LOOP and _only_broadcast_loops(plan))
+            or (n in _ALLOWED_SCALAR_BROADCAST and _only_scalar_broadcast_loops(plan))
+        )
     ]
     assert not offenders, f"quadratic join shape crept into: {offenders}"
 

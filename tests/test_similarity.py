@@ -335,3 +335,38 @@ def test_mrl_full_prefix_equals_exact_and_short_prefix_recall(spark):
     truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
     recall = len(truth & approx) / len(truth)
     assert recall >= 0.6, f"MRL recall@3 {recall:.2f}"
+
+
+def test_baseline_guards_fire_and_bench_excludes_baselines(spark):
+    """The `baseline` contract is executable, not advisory: the O(n²)
+    all-pairs scorer and an oversized exact-top-k query batch raise
+    before launching quadratic work (opt-out is an explicit None), and
+    baseline-tagged queries never enter the bench headline set."""
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        cosine_topk as _ct,
+        embedding_neardup_pairs as _enp,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    with _pytest.raises(ValueError, match="all-pairs oracle baseline"):
+        _enp(emb, threshold=0.4, baseline_cap=10).collect()
+    with _pytest.raises(ValueError, match="query batch"):
+        _ct(emb, emb.filter("vec_id < 50"), k=3, max_queries=10).collect()
+    # explicit opt-in still works (cap=None) — the sanctioned oracle use
+    assert _enp(emb.filter("vec_id < 30"), baseline_cap=None).count() >= 0
+
+    import bench
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    registry = all_queries()
+    tagged = [
+        n for n in bench.HEADLINE if n in registry and "baseline" in registry[n].tags
+    ]
+    assert not tagged, f"baseline-tagged queries in bench HEADLINE: {tagged}"
+    # and the tag itself exists on the known baselines
+    assert "baseline" in registry["q_ann_neardup"].tags
+    assert "baseline" in registry["q_neardup_degree"].tags

@@ -218,6 +218,7 @@ def test_http_json_datasource_partitions_per_url(spark, tmp_path):
     raw = (
         spark.read.format("http_json")
         .option("urls", f"file://{p1},file://{p2}")
+        .option("allowed_schemes", "file")  # explicit opt-in: default is http,https
         .load()
     )
     assert raw.columns == ["value"]
@@ -238,6 +239,42 @@ def test_http_json_datasource_requires_urls(spark):
     register(spark)
     with _pytest.raises(Exception, match="urls"):
         spark.read.format("http_json").load().collect()
+
+
+def test_http_json_datasource_scheme_allowlist_and_size_cap(spark, tmp_path):
+    """Hardening contract: file:// is rejected unless opted in (default
+    allowlist is http,https — the source must not be an SSRF/local-read
+    primitive when the url list comes from untrusted config), and a
+    response bigger than max_bytes aborts instead of buffering."""
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.sources.http_json_source import register
+
+    register(spark)
+    p = tmp_path / "data.json"
+    p.write_text(json.dumps([{"a": 1}]))
+    # scheme rejected at plan time without the explicit opt-in
+    with _pytest.raises(Exception, match="allowed_schemes"):
+        spark.read.format("http_json").option("urls", f"file://{p}").load().collect()
+    # size cap aborts the fetch
+    with _pytest.raises(Exception, match="max_bytes"):
+        (
+            spark.read.format("http_json")
+            .option("urls", f"file://{p}")
+            .option("allowed_schemes", "file")
+            .option("max_bytes", "4")
+            .load()
+            .collect()
+        )
+    # within cap + opted-in scheme still works
+    got = (
+        spark.read.format("http_json")
+        .option("urls", f"file://{p}")
+        .option("allowed_schemes", "file")
+        .load()
+        .collect()
+    )
+    assert len(got) == 1
 
 
 def test_versioned_store_time_travel_and_isolation(spark, tmp_path):
@@ -285,3 +322,20 @@ def test_versioned_store_time_travel_and_isolation(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="version 1"):
         store.read(version=1)
+
+    # torn SNAPSHOT (crash between parquet write and pointer flip): an
+    # orphan dir ahead of the pointer exists on disk but is NOT
+    # committed — explicit time travel to it must refuse, not serve
+    # torn data
+    cur = store.current_version()
+    orphan = tmp_path / "trips" / "_versions" / f"v{cur + 1:08d}"
+    orphan.mkdir()
+    (orphan / "part-00000.parquet").write_bytes(b"partial write, not a parquet file")
+    with _pytest.raises(ValueError, match="not committed"):
+        store.read(version=cur + 1)
+    # ...and the next commit clobbers the orphan and proceeds normally
+    v_next = store.upsert(
+        spark.createDataFrame([(4, 40, "Out")], store.schema), keys=["trip_id"]
+    )
+    assert v_next == cur + 1
+    assert store.read(version=v_next).count() == 4
