@@ -61,7 +61,7 @@ HEADLINE = [
     "q_knn_label",
     "q_rolling_actives",
     "q_incremental_neardup",
-    "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_search",
     "q_scd2_history",
     "q_moving_average_24h",
     "q_temperature_sample",
@@ -90,7 +90,7 @@ _POST_R01 = (
     "q_knn_label",
     "q_rolling_actives",
     "q_incremental_neardup",
-    "q_ann_ivfpq_topk",
+    "q_ann_ivfpq_search",
     "q_scd2_history",
     "q_moving_average_24h",
     "q_temperature_sample",

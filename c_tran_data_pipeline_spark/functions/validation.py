@@ -86,3 +86,36 @@ def validate_with_audit(
     obs = Observation("validation")
     observed = df.observe(obs, *metrics)
     return (observed.filter(pred) if pred is not None else observed), obs
+
+
+def referential_check(fact: DataFrame, dim: DataFrame, keys: list[str]) -> DataFrame:
+    """J4: FK-integrity check — the fact rows whose key has NO match in
+    the dimension (orphans). The reference guarantees this relationally:
+    ``topic_consumer.py:101`` declares ``FOREIGN KEY (trip_id)`` and the
+    consumer writes Trip before BreadCrumb (``:204-205``) so inserts
+    can't orphan; here the same invariant is a queryable anti-join —
+    assert ``.isEmpty()`` after a pipeline, or feed the orphan rows to a
+    quarantine sink. One shuffle on the key (or none when the dim
+    broadcasts); at 100 TB prefer the summary form below, which never
+    materializes orphan payloads."""
+    return fact.join(dim.select(*keys).distinct(), keys, "left_anti")
+
+
+def referential_summary(
+    fact: DataFrame, dim: DataFrame, fk: str, pk: str, label: str
+) -> DataFrame:
+    """One-row FK audit: (fk, n_fact, n_orphans) for fact.fk → dim.pk.
+    Single pass: left join the fact's key column against the distinct
+    dim keys, count rows and null-matches in ONE aggregate — no second
+    scan, no anti-join materialization; the join carries only the two
+    key columns, so at scale the shuffle is key-width regardless of
+    fact row size."""
+    j = fact.select(F.col(fk).alias("__fk")).join(
+        dim.select(F.col(pk).alias("__pk")).distinct(),
+        F.col("__fk") == F.col("__pk"),
+        "left",
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_fact"),
+        F.count(F.when(F.col("__pk").isNull(), 1)).alias("n_orphans"),
+    ).select(F.lit(label).alias("fk"), "n_fact", "n_orphans")

@@ -355,3 +355,176 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("__d", 4).alias("dist"))
     )
+
+
+def ivfpq_index(
+    corpus: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    nlist: int = 16,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
+    """Build the full IVF-PQ index ONCE: (centroids, codebooks, encoded
+    corpus). The encoded DataFrame carries (neighbor_id, codes, __cv,
+    centroid_id) — PQ codes for ADC scoring, the true vector for the
+    exact re-rank, the cell for partition pruning — so a search never
+    touches the raw corpus again.
+
+    This is the amortization point the one-shot ivfpq_topk deliberately
+    skips: both quantizers train per invocation there (fine for a
+    recall audit, wrong for production where one index serves thousands
+    of query batches). Build here, persist with write_ivfpq_index, and
+    every later ivfpq_search is PQ-code scans over nprobe pruned cells
+    — zero training passes."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _as_double as _ad,
+        _kmeans_rows,
+        _nearest_cell,
+    )
+
+    dsub = None
+    cents = _kmeans_rows(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+    books = train_pq(corpus, m=m, ksub=ksub, dim=dim or len(cents[0][1]), iters=iters, key=key, vec=vec)
+    dsub = len(books[0][0][1])
+    cv = _ad(F.col(vec))
+    code_cols = []
+    for j in range(m):
+        scores = _sub_scores(F.slice(cv, j * dsub + 1, dsub), books[j])
+        code_cols.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+    encoded = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.array(*code_cols).alias("codes"),
+        cv.alias("__cv"),
+        _nearest_cell(cv, cents).alias("centroid_id"),
+    )
+    return cents, books, encoded
+
+
+def write_ivfpq_index(
+    index: tuple[list[tuple[int, list[float]]], Codebooks, DataFrame], path: str
+) -> None:
+    """Persist an IVF-PQ index: encoded corpus partitioned BY CELL (the
+    same storage-layer nprobe/nlist pruning as write_ivf_index) plus
+    centroids + codebooks as an underscore-prefixed JSON sidecar (Spark
+    readers skip ``_`` files). The sidecar is written LAST and doubles
+    as the commit marker: a crash mid-write leaves parquet without the
+    sidecar, and read_ivfpq_index refuses such a torn index."""
+    import json
+    import os
+
+    cents, books, encoded = index
+    encoded.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    tmp = os.path.join(path, "_ivfpq_meta.json.__tmp__")
+    with open(tmp, "w") as f:
+        json.dump({"centroids": cents, "codebooks": books}, f)
+    os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
+
+
+def read_ivfpq_index(
+    spark, path: str
+) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
+    """Load a persisted IVF-PQ index; the corpus side is the
+    partitioned-by-cell scan, so static cell pruning in ivfpq_search
+    becomes a parquet PartitionFilter."""
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no committed IVF-PQ index at {path} (missing _ivfpq_meta.json "
+            f"sidecar — torn or absent write)"
+        )
+    with open(meta_path) as f:
+        meta = json.load(f)
+    cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in meta["centroids"]]
+    books: Codebooks = [
+        [(int(cid), [float(x) for x in cent]) for cid, cent in book]
+        for book in meta["codebooks"]
+    ]
+    return cents, books, spark.read.parquet(path)
+
+
+def ivfpq_search(
+    index: tuple[list[tuple[int, list[float]]], Codebooks, DataFrame],
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 4,
+    rerank_factor: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    static_cell_pruning: bool = True,
+) -> DataFrame:
+    """Search a prebuilt IVF-PQ index — the amortized production path
+    (ivfpq_topk = ivfpq_index + this, fused and untuned). Same result
+    contract: (query_id, neighbor_id, rank, dist), dist exact after the
+    re-rank.
+
+    Physical shape per batch: probes and ADC tables are projections
+    over the tiny query batch (centroids/codebooks are literals);
+    ``static_cell_pruning`` collects the probed-cell union (≤ nlist
+    ids) and pushes it as a literal IN filter, which against a
+    write_ivfpq_index layout becomes a parquet PartitionFilter on BOTH
+    index scans (ADC leg reads codes-only columns, re-rank leg reads
+    vectors for shortlist rows' cells) — the scan physically touches
+    nprobe cells' directories, nothing else, no training jobs."""
+    cents, books, encoded = index
+    m = len(books)
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _as_double as _ad,
+        _probe_cells,
+    )
+
+    qv = _ad(F.col(vec))
+    probes = queries.select(
+        F.col(key).alias("query_id"),
+        F.explode(_probe_cells(qv, cents, nprobe)).alias("centroid_id"),
+    )
+    if static_cell_pruning:
+        probed = sorted(
+            r["centroid_id"] for r in probes.select("centroid_id").distinct().collect()
+        )
+        encoded = encoded.filter(F.col("centroid_id").isin(probed))
+
+    qt = adc_tables(queries, books, key=key, vec=vec)
+    probe_tabs = probes.join(qt, "query_id")  # tiny × tiny, broadcast below
+
+    offs = [0]
+    for b in books:
+        offs.append(offs[-1] + len(b))
+    lookups = [
+        F.element_at(F.col("qtab"), F.lit(offs[j] + 1) + F.element_at(F.col("codes"), j + 1))
+        for j in range(m)
+    ]
+    adc = sum(lookups[1:], lookups[0])
+
+    scored = (
+        encoded.select("neighbor_id", "centroid_id", "codes")
+        .join(F.broadcast(probe_tabs), on="centroid_id")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", adc.alias("__adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__adc").asc(), F.col("neighbor_id").asc())
+    shortlist = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k * max(rerank_factor, 1))
+        .select("query_id", "neighbor_id")
+    )
+    # Exact re-rank reads true vectors from the INDEX (same pruned cells
+    # — the shortlist is a subset of probed cells), never the raw corpus.
+    cvs = encoded.select("neighbor_id", "__cv")
+    qvs = queries.select(F.col(key).alias("query_id"), qv.alias("__qv"))
+    exact = (
+        shortlist.join(cvs, "neighbor_id")
+        .join(F.broadcast(qvs), "query_id")
+        .select("query_id", "neighbor_id", _l2sq(F.col("__qv"), F.col("__cv")).alias("__d"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__d").asc(), F.col("neighbor_id").asc())
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__d", 4).alias("dist"))
+    )

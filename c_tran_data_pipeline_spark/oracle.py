@@ -152,6 +152,73 @@ if __name__ == "__main__":
     raise SystemExit(main())
 
 
+# The real assertion behind every rows-only (no-SQL-oracle) query: the
+# driver's `no_oracle` CORRECTNESS rows are row-count smoke checks ONLY —
+# these pytest assertions are the evidence that the answers are right.
+# tests/test_oracle_parity.py enforces that every oracle-less registered
+# query has an entry here, so a new rows-only query cannot land without
+# naming its proof.
+ROWS_ONLY_EVIDENCE: dict[str, str] = {
+    "q_ann_ivf_topk": (
+        "tests/test_similarity.py::test_ivf_full_probe_equals_exact (nprobe==nlist "
+        "is ROW-IDENTICAL to exact brute force) + ::test_ivf_partial_probe_recall "
+        "(recall floor at nprobe=4/16)"
+    ),
+    "q_ann_ivfpq_topk": (
+        "tests/test_pq.py::test_ivfpq_recall_and_nprobe_ladder (recall floors, "
+        "probe-more-never-hurts monotonicity, nprobe==nlist ≡ whole-corpus "
+        "re-ranked PQ)"
+    ),
+    "q_ann_ivfpq_build": (
+        "tests/test_pq.py::test_ivfpq_persisted_index_roundtrip_pruning_and_equivalence "
+        "(write→read round-trip, sidecar commit marker, torn-index refusal) + "
+        "::test_ivfpq_registered_build_then_search_uses_cache (cells partition the "
+        "corpus exactly)"
+    ),
+    "q_ann_ivfpq_search": (
+        "tests/test_pq.py::test_ivfpq_persisted_index_roundtrip_pruning_and_equivalence "
+        "(search over the persisted index is ROW-IDENTICAL to the one-shot "
+        "ivfpq_topk; plan shows parquet PartitionFilters on centroid_id)"
+    ),
+    "q_ann_lsh_topk": (
+        "tests/test_similarity.py::test_lsh_topk_recall_floor (recall vs exact "
+        "cosine_topk over the identical query batch)"
+    ),
+    "q_ann_neardup_lsh": (
+        "tests/test_similarity.py::test_neardup_lsh_recall_and_exact_precision "
+        "(recall ≥ 0.9 AND precision == 1.0 vs the exact all-pairs baseline) + "
+        "::test_neardup_lsh_hot_bucket_cap_drops_degenerate_buckets"
+    ),
+    "q_ann_pq_topk": (
+        "tests/test_pq.py::test_pq_recall_ladder (raw ADC < re-ranked ADC ≤ exact) "
+        "+ ::test_rerank_distances_are_exact (re-ranked distances equal true L2)"
+    ),
+    "q_approx_distinct": (
+        "tests/test_olap.py::test_approx_distinct_error_bound (HLL++ estimate "
+        "within 3×rsd of exact COUNT DISTINCT per group)"
+    ),
+    "q_approx_percentiles": (
+        "tests/test_olap.py::test_approx_percentiles_within_rank_error (GK-sketch "
+        "percentiles within the configured rank error of the exact sort-based twin)"
+    ),
+    "q_frame_sample": (
+        "tests/test_multimodal.py::test_frame_sampling (deterministic fake-codec "
+        "frame synthesis: frame indices/strides and Arrow batch shapes pinned)"
+    ),
+    "q_multimodal_features": (
+        "tests/test_multimodal.py::test_feature_extraction (byte-level feature "
+        "values pinned against a pure-Python reference over the same payloads)"
+    ),
+    "q_pack_sequences": (
+        "tests/test_packing.py::test_every_doc_packed_exactly_once + "
+        "::test_budget_respected_except_oversized_singletons + "
+        "::test_token_totals_consistent + "
+        "::test_packing_deterministic_across_partitionings (bin-packing "
+        "invariants and cross-partitioning determinism)"
+    ),
+}
+
+
 def write_inventory(path: str = "QUERIES.md") -> None:
     """Generate the query-inventory doc from the registry (run:
     ``python -c "from c_tran_data_pipeline_spark.oracle import
@@ -164,7 +231,8 @@ def write_inventory(path: str = "QUERIES.md") -> None:
         "One row per registered query: driver-gate oracle kind, tags, and",
         "what it demonstrates. `exact` = DuckDB value-hash parity at",
         "sf0.01 AND sf0.1; `rows-only` = non-SQL-expressible (approximate/",
-        "iterative/UDF) with the real assertion in tests/.",
+        "iterative/UDF) — for those, the `real assertion` section below",
+        "names the pytest proof behind the driver's row-count smoke check.",
         "",
         "| query | oracle | tags | demonstrates |",
         "|---|---|---|---|",
@@ -173,5 +241,17 @@ def write_inventory(path: str = "QUERIES.md") -> None:
         kind = "exact" if spec.oracle else "rows-only"
         doc = " ".join((spec.doc or "").split())
         lines.append(f"| `{name}` | {kind} | {', '.join(spec.tags)} | {doc} |")
+    lines += [
+        "",
+        "## Real assertions behind rows-only queries",
+        "",
+        "A driver `no_oracle` row means ONLY that the query ran and its",
+        "row count was recorded. The correctness evidence is:",
+        "",
+        "| query | real assertion |",
+        "|---|---|",
+    ]
+    for name in sorted(ROWS_ONLY_EVIDENCE):
+        lines.append(f"| `{name}` | {ROWS_ONLY_EVIDENCE[name]} |")
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")

@@ -497,3 +497,68 @@ def q_hotspot_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("speed").alias("max_speed"),
         )
     )
+
+
+@query(
+    "q_fk_orphans",
+    """
+    SELECT 'lineitem.l_orderkey->orders.o_orderkey' AS fk,
+           COUNT(*) AS n_fact,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS n_orphans
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer.c_custkey' AS fk,
+           COUNT(*) AS n_fact,
+           COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans
+    FROM orders ord
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON ord.o_custkey = c.c_custkey
+    UNION ALL
+    SELECT 'events.user_id->customer.c_custkey' AS fk,
+           COUNT(*) AS n_fact,
+           COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS n_orphans
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON e.user_id = c.c_custkey
+    """,
+    doc="J4 as a first-class data-quality operator "
+    "(functions/validation.py referential_summary): per-FK audit rows "
+    "(fk, n_fact, n_orphans) for the fixture's three fact→dim "
+    "relationships — the queryable form of the reference's FOREIGN KEY "
+    "(trip_id) declaration + Trip-before-BreadCrumb write order "
+    "(topic_consumer.py:101,204-205); the streaming E1 test asserts "
+    "the same invariant via referential_check (orphan anti-join == "
+    "empty) after the pipeline runs. Each audit is ONE pass: left "
+    "join of the fact's key column against distinct dim keys, counts "
+    "folded into a single aggregate — key-width shuffle regardless of "
+    "fact row size, no orphan materialization. COUNT(CASE...) keeps "
+    "both engines in BIGINT (the r01 HUGEINT lesson).",
+    tags=("validation", "join", "report", "parity"),
+)
+def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.validation import referential_summary
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    events = load_table(spark, sf_dir, "events")
+    return (
+        referential_summary(
+            li, orders, "l_orderkey", "o_orderkey",
+            "lineitem.l_orderkey->orders.o_orderkey",
+        )
+        .unionAll(
+            referential_summary(
+                orders, customer, "o_custkey", "c_custkey",
+                "orders.o_custkey->customer.c_custkey",
+            )
+        )
+        .unionAll(
+            referential_summary(
+                events, customer, "user_id", "c_custkey",
+                "events.user_id->customer.c_custkey",
+            )
+        )
+    )

@@ -53,68 +53,17 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 
 
 # Names the external correctness gate should evaluate FIRST, in this
-# order. Round 1's gate recorded rows for exactly the first 50 of 62
-# registered queries (a hard cap or time budget — the cut was at
-# registry position 50, not at any slow query), so dict ordering decides
-# which queries get hard evidence each round. Queries that are missing a
-# green row from the previous round go to the front; queries already
-# proven last round are the ones that may fall off the end.
+# order. The gate records rows for exactly the first 50 names of
+# ``all_queries()`` ordering per round (a hard cap or time budget), so
+# dict ordering decides which queries get hard evidence each round.
+# Refreshed for round 3 per VERDICT.md next-round item 1: exactly the
+# 35 queries with NO row in CORRECTNESS_r01 ∪ r02 lead, followed by
+# this round's new registrations (also evidence-free); positions past
+# that fall to already-proven queries. Registry growth is deliberately
+# throttled (< 15 new queries/round) until this backlog clears, so
+# round 3 closes the every-query-has-a-row invariant.
 _GATE_FIRST: tuple[str, ...] = (
-    "q_ann_topk",
-    "q_ann_topk_arrow",
-    "q_ann_neardup",
-    "q_ann_neardup_lsh",
-    "q_ann_lsh_buckets",
-    "q_ann_lsh_topk",
-    "q_ann_ivf_topk",
-    "q_hybrid_search",
-    "q_skew_salted_join",
-    "q_skew_salted_agg",
-    "q_longest_sessions",
-    "q_dow_profile",
-    "q_summaries",
-    # fixed this round (HUGEINT oracle casts / serialized doc_ids) —
-    # need fresh green rows:
-    "q_sessionize",
-    "q_dedup_simhash",
-    "q_pivot_event_counts",
-    "q_pack_sequences",
-    # new this round — no prior evidence:
-    "q_text_repetition",
-    "q_pii_scrub",
-    "q_decontaminate",
-    "q_chunk_documents",
-    "q_length_histogram",
-    "q_label_centroids",
-    "q_boilerplate_scrub",
-    "q_quantize_embeddings",
-    "q_ann_topk_int8",
-    "q_shipping_priority",
-    "q_lm_score",
-    "q_incremental_agg",
-    "q_hotspot_grid",
-    "q_ann_pq_topk",
-    "q_decontaminate_semantic",
-    "q_quality_deciles",
-    "q_upsample_mix",
-    # round-2 late additions — no prior evidence:
-    "q_dedup_containment",
-    "q_ann_mrl_topk",
-    "q_kernel_smooth",
-    "q_mad_outliers",
-    "q_zorder_cells",
-    "q_dataset_fingerprint",
-    "q_value_rank_profile",
-    "q_group_moments",
-    "q_weighted_sample",
-    "q_resample_ffill",
-    "q_funnel_steps",
-    "q_cohort_retention",
-    "q_small_qty_revenue",
-    "q_fuzzy_pairs",
-    "q_payload_chunks",
-    # continuation additions — no prior evidence:
-    "q_order_priority_semijoin",
+    # never-gated backlog (r01 ∪ r02 have no row for these 35):
     "q_customer_order_distribution",
     "q_brand_supplier_counts",
     "q_waiting_orders",
@@ -131,7 +80,6 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_negative_samples",
     "q_psi_drift",
     "q_global_shuffle_shards",
-    # round-3 additions — no prior evidence:
     "q_min_cost_supplier",
     "q_scd2_history",
     "q_text_normalize",
@@ -151,6 +99,11 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_session_overlap",
     "q_minhash_estimate",
     "q_bigram_pmi",
+    # round-3 registrations — no prior evidence by construction:
+    "q_debounce_heartbeat",
+    "q_fk_orphans",
+    "q_ann_ivfpq_build",
+    "q_ann_ivfpq_search",
 )
 
 

@@ -755,3 +755,103 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_topk(
         emb, emb.filter(F.col("vec_id") < 20), books, k=3, nlist=16, nprobe=4, rerank_factor=8
     )
+
+
+def _ivfpq_cache_path(sf_dir: str) -> str:
+    """Per-fixture cache location for the persisted IVF-PQ index (under
+    the system tmp dir — never inside the read-only fixture tree)."""
+    import os
+    import tempfile
+
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", f"ivfpq_{base}")
+
+
+def _ivfpq_index_fresh(sf_dir: str, path: str) -> bool:
+    """True iff a committed index exists and is newer than the fixture
+    (the embeddings parquet) it was built from — a regenerated fixture
+    invalidates the cache by mtime, no content hashing needed."""
+    import os
+
+    meta = os.path.join(path, "_ivfpq_meta.json")
+    if not os.path.exists(meta):
+        return False
+    fixture = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        return os.path.getmtime(meta) >= os.path.getmtime(fixture)
+    except OSError:
+        return True  # fixture not on local fs — trust the committed index
+
+
+def _build_ivfpq(spark: SparkSession, sf_dir: str) -> str:
+    from c_tran_data_pipeline_spark.operators.pq import ivfpq_index, write_ivfpq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    idx = ivfpq_index(emb, m=8, ksub=16, nlist=16, iters=2, dim=64)
+    path = _ivfpq_cache_path(sf_dir)
+    write_ivfpq_index(idx, path)
+    return path
+
+
+@query(
+    "q_ann_ivfpq_build",
+    None,  # k-means + PQ codebook training — not SQL-expressible; the
+    # summary's invariants (cell partition of the corpus, m codes/row)
+    # are pinned in tests/test_pq.py
+    doc="IVF-PQ index BUILD (operators/pq.py ivfpq_index + "
+    "write_ivfpq_index): trains the coarse quantizer (nlist=16 "
+    "md5-seeded k-means cells) and the PQ codebooks (8 subspaces × 16 "
+    "sub-centroids) in O(iters) corpus scans, encodes the corpus in "
+    "ONE projection (id, codes, vector, cell — centroids/codebooks as "
+    "literals, no joins), and persists it partitionBy(centroid_id) "
+    "with a sidecar-last commit marker. Returns the per-cell row "
+    "histogram read back FROM THE WRITTEN INDEX, so the query measures "
+    "the full build+write+readback path. This is the amortization "
+    "half of the q_ann_ivfpq_search split: train once here, search "
+    "many there — the production shape the one-shot q_ann_ivfpq_topk "
+    "(train-in-query, kept as the recall-audit form) deliberately "
+    "is not.",
+    tags=("similarity", "quantize", "index-build"),
+)
+def q_ann_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pq import read_ivfpq_index
+
+    path = _build_ivfpq(spark, sf_dir)
+    _, _, encoded = read_ivfpq_index(spark, path)
+    return (
+        encoded.groupBy("centroid_id")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("centroid_id")
+    )
+
+
+@query(
+    "q_ann_ivfpq_search",
+    None,  # both quantizers approximate — identical-result pin vs the
+    # one-shot ivfpq_topk and the PartitionFilters assertion live in
+    # tests/test_pq.py
+    doc="IVF-PQ SEARCH against the persisted index (operators/pq.py "
+    "ivfpq_search) — the amortized production path: zero training "
+    "jobs; probes and ADC tables are projections over the 20-query "
+    "batch with centroids/codebooks as literals; static cell pruning "
+    "pushes the probed-cell union as a parquet PartitionFilter so "
+    "BOTH index scans (codes-only ADC leg, vectors-for-shortlist "
+    "re-rank leg) physically read nprobe=4 of nlist=16 cell "
+    "directories. Builds the index once if absent/stale (mtime vs "
+    "fixture), so a cold run pays the build exactly once and the "
+    "bench's median-of-3 measures the steady state. Results are "
+    "row-identical to q_ann_ivfpq_topk (same deterministic "
+    "quantizers) — pinned in tests/test_pq.py.",
+    tags=("similarity", "topk", "quantize"),
+)
+def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pq import ivfpq_search, read_ivfpq_index
+
+    path = _ivfpq_cache_path(sf_dir)
+    if not _ivfpq_index_fresh(sf_dir, path):
+        _build_ivfpq(spark, sf_dir)
+    idx = read_ivfpq_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_search(
+        idx, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, rerank_factor=8
+    )

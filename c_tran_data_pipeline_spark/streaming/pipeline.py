@@ -66,6 +66,20 @@ def decode_breadcrumb_messages(kafka_df: DataFrame) -> DataFrame:
     )
 
 
+def decode_stop_event_messages(kafka_df: DataFrame) -> DataFrame:
+    """Kafka (key,value) bytes → raw stop-event columns — the stop-topic
+    twin of decode_breadcrumb_messages (reference stop_consumer.py
+    value parse; V8 null-value skip applies identically). Together with
+    to_kafka_sink('stop_event', ...) this closes the encode→decode
+    round trip for the second message schema, so the only untestable
+    piece in this broker-less image is the broker itself."""
+    return (
+        kafka_df.filter(F.col("value").isNotNull())
+        .select(F.from_json(F.col("value").cast("string"), schemas.RAW_STOP_EVENT).alias("r"))
+        .select("r.*")
+    )
+
+
 def conform_validate_stream(raw: DataFrame, watermark: str = "48 hours") -> DataFrame:
     """Shared conform+validate plan: P1-P5 transforms, V1-V5 reject-row
     validation, watermark = the reference's 48h bound made a real

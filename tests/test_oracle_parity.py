@@ -21,3 +21,24 @@ def _names():
 def test_query_matches_oracle(spark, name):
     r = compare_query(spark, name, SF_SMOKE)
     assert r.ok, r.detail
+
+
+def test_every_rows_only_query_names_its_real_assertion():
+    """A rows-only registration cannot land without naming its pytest
+    proof: the driver's `no_oracle` rows are row-count smoke checks, so
+    ROWS_ONLY_EVIDENCE (rendered into QUERIES.md) is the map from each
+    oracle-less query to the assertion that actually verifies it."""
+    from c_tran_data_pipeline_spark.oracle import ROWS_ONLY_EVIDENCE
+
+    rows_only = {n for n, s in all_queries().items() if not s.oracle}
+    missing = rows_only - set(ROWS_ONLY_EVIDENCE)
+    stale = set(ROWS_ONLY_EVIDENCE) - rows_only
+    assert not missing, f"rows-only queries without named evidence: {sorted(missing)}"
+    assert not stale, f"evidence entries for unregistered queries: {sorted(stale)}"
+    # every cited test file must exist
+    import re
+    from pathlib import Path
+
+    for name, ev in ROWS_ONLY_EVIDENCE.items():
+        for path in set(re.findall(r"tests/\w+\.py", ev)):
+            assert Path("/root/repo", path).exists(), f"{name}: {path} missing"

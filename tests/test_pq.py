@@ -116,3 +116,74 @@ def test_ivfpq_recall_and_nprobe_ladder(spark):
     full = pq_topk(emb, queries, books, k=3, rerank_factor=8)
     full_pairs = {(r["query_id"], r["neighbor_id"]) for r in full.collect()}
     assert pairs(8) == full_pairs
+
+
+def test_ivfpq_persisted_index_roundtrip_pruning_and_equivalence(spark, tmp_path):
+    """The build/search split is lossless and physically pruned:
+    (1) write→read round-trips the index (sidecar-last commit marker;
+    a torn index without the sidecar refuses to load);
+    (2) search over the persisted index with static cell pruning shows
+    a parquet PartitionFilter on centroid_id — the scan reads probed
+    cells' directories only;
+    (3) results are ROW-IDENTICAL to the one-shot ivfpq_topk with the
+    same parameters (both quantizers are deterministic, so amortizing
+    the training cannot change a single answer)."""
+    import os
+
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        ivfpq_topk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivfpq")
+
+    idx = ivfpq_index(emb, m=8, ksub=16, nlist=16, iters=2, dim=64)
+    write_ivfpq_index(idx, path)
+    disk = read_ivfpq_index(spark, path)
+    assert disk[0] == idx[0]  # centroids survive the JSON round trip
+    assert disk[1] == idx[1]  # codebooks too
+
+    out = ivfpq_search(disk, queries, k=3, nprobe=4, rerank_factor=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+    oneshot = ivfpq_topk(
+        emb, queries, idx[1], k=3, nlist=16, nprobe=4, iters=2, rerank_factor=8
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, oneshot.collect()))
+
+    # torn index (crash before the sidecar write) refuses to load
+    os.remove(os.path.join(path, "_ivfpq_meta.json"))
+    with _pytest.raises(FileNotFoundError, match="torn or absent"):
+        read_ivfpq_index(spark, path)
+
+
+def test_ivfpq_registered_build_then_search_uses_cache(spark, tmp_path, monkeypatch):
+    """The registered pair: build writes the committed index; search
+    finds it fresh (no rebuild) and returns the ivfpq_topk contract."""
+    import c_tran_data_pipeline_spark.plans.similarity_queries as sq
+
+    monkeypatch.setattr(
+        sq, "_ivfpq_cache_path", lambda sf_dir: str(tmp_path / "idx")
+    )
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    registry = all_queries()
+    hist = registry["q_ann_ivfpq_build"].builder(spark, SF_SMOKE).collect()
+    assert sum(r["n_vectors"] for r in hist) == 500  # cells partition the corpus
+    assert len(hist) <= 16
+    # index is now fresh → search must NOT rebuild (pin by poisoning the
+    # build path: a rebuild would raise)
+    monkeypatch.setattr(sq, "_build_ivfpq", lambda *a: (_ for _ in ()).throw(AssertionError("rebuilt")))
+    out = registry["q_ann_ivfpq_search"].builder(spark, SF_SMOKE)
+    rows = out.collect()
+    assert out.columns == ["query_id", "neighbor_id", "rank", "dist"]
+    assert len(rows) == 60  # 20 queries × top-3

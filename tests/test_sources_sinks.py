@@ -339,3 +339,36 @@ def test_versioned_store_time_travel_and_isolation(spark, tmp_path):
     )
     assert v_next == cur + 1
     assert store.read(version=v_next).count() == 4
+
+
+def test_json_array_artifact_roundtrip(spark, tmp_path):
+    """K2 exact artifact: write_json_array emits ONE valid-JSON array
+    file (the reference's file_consumer.py:64-96 dump format, minus its
+    trailing-comma bug) that read_json_records(multiLine=True) — the
+    same reader the reference's load_inserts path maps to — round-trips
+    exactly; the small-result cap raises instead of funnelling a big
+    DataFrame through the driver."""
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark import schemas
+    from c_tran_data_pipeline_spark.sinks.json_array import write_json_array
+    from c_tran_data_pipeline_spark.sources.readers import read_json_records
+
+    rows = [
+        ("229207908", "3909", "9", "0", "W"),
+        ("229207909", "3910", "20", "1", "U"),
+    ]
+    df = spark.createDataFrame(rows, schemas.RAW_STOP_EVENT)
+    path = str(tmp_path / "dump2020-09-25.json")
+    n = write_json_array(df, path)
+    assert n == 2
+
+    # plain json.load accepts the artifact (the reference's own reader)
+    with open(path) as fh:
+        assert len(json.load(fh)) == 2
+
+    back = read_json_records(spark, path, schemas.RAW_STOP_EVENT, multi_line=True)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    with _pytest.raises(ValueError, match="max_rows"):
+        write_json_array(df, str(tmp_path / "cap.json"), max_rows=1)

@@ -68,6 +68,14 @@ def test_breadcrumb_pipeline_end_to_end(spark, tmpdirs):
     t = {r.trip_id: r for r in trips.collect()}
     assert t[101].route_id == 0 and t[101].direction == "Out"  # P5 placeholders
 
+    # J4: FK integrity as an assertion (SURVEY §2.5) — every stored crumb's
+    # trip_id must exist in the Trip store, the queryable form of the
+    # reference's FOREIGN KEY (trip_id) + Trip-before-BreadCrumb write
+    # order (topic_consumer.py:101,204-205)
+    from c_tran_data_pipeline_spark.functions.validation import referential_check
+
+    assert referential_check(crumbs, trips, ["trip_id"]).isEmpty()
+
     # replay the same input dir with a fresh checkpoint: idempotent upsert
     # keeps Trip stable (T4 at-least-once + idempotent sink)
     q2 = run_breadcrumb_pipeline(raw, trip_store, crumb_store, tmpdirs["ckpt2"] + "_replay")
@@ -421,3 +429,54 @@ def test_stop_event_pipeline_onto_versioned_store(spark, tmpdirs, tmp_path):
     assert now[201].route_id == 65 and now[201].direction == "Back"
     before = {r.trip_id: r for r in store.read(version=1).collect()}
     assert before[201].route_id == 0 and before[201].direction == "Out"
+
+
+def _roundtrip_kafka(spark, df, key_literal, decode):
+    """Encode via to_kafka_sink, feed the (key,value) binary frame back
+    through the decoder — the full both-directions contract minus the
+    broker itself."""
+    from c_tran_data_pipeline_spark.sources.kafka import to_kafka_sink
+
+    encoded = to_kafka_sink(df, key_literal)
+    assert encoded.columns == ["key", "value"]
+    assert [f.dataType.simpleString() for f in encoded.schema.fields] == ["binary", "binary"]
+    keys = {bytes(r["key"]) for r in encoded.collect()}
+    assert keys == {key_literal.encode()}  # constant key, reference producer.py:81
+    # inject a V8 null-value message alongside the encoded ones
+    null_row = spark.createDataFrame(
+        [(key_literal.encode(), None)], encoded.schema
+    )
+    return decode(encoded.unionAll(null_row))
+
+
+def test_kafka_contract_roundtrip_breadcrumbs(spark):
+    """K1→S3 contract, crumb schema: encode→decode is the identity on
+    RAW_BREADCRUMB rows (null-value V8 skip included) — both directions
+    of the reference's producer.py:84-93 / topic_consumer.py:215-235
+    exchange, minus only the broker."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import decode_breadcrumb_messages
+
+    raw = [GOOD, dict(GOOD, EVENT_NO_TRIP="202", VELOCITY="7", GPS_HDOP="1.2")]
+    df = spark.createDataFrame(
+        [tuple(r.get(f.name) for f in schemas.RAW_BREADCRUMB.fields) for r in raw],
+        schemas.RAW_BREADCRUMB,
+    )
+    back = _roundtrip_kafka(spark, df, "reading", decode_breadcrumb_messages)
+    assert back.schema == schemas.RAW_BREADCRUMB
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_kafka_contract_roundtrip_stop_events(spark):
+    """Same contract, stop-event schema (stop_producer.py:99 key
+    'stop_event' / stop_consumer.py value parse + :140-142 null skip)."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import decode_stop_event_messages
+
+    rows = [
+        ("229207908", "3909", "9", "0", "W"),
+        ("229207909", "3910", "20", "1", "U"),
+        ("229207910", "3911", "75", "", "S"),  # ''-direction survives transport
+    ]
+    df = spark.createDataFrame(rows, schemas.RAW_STOP_EVENT)
+    back = _roundtrip_kafka(spark, df, "stop_event", decode_stop_event_messages)
+    assert back.schema == schemas.RAW_STOP_EVENT
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
