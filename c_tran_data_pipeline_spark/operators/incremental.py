@@ -64,3 +64,46 @@ def finalize(state: DataFrame) -> DataFrame:
         F.col("min_v").alias("min_value"),
         F.col("max_v").alias("max_value"),
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame, keys: list[str], compare_cols: list[str]
+) -> DataFrame:
+    """Table reconciliation between two snapshots: one row per key whose
+    state differs, tagged ``added`` / ``removed`` / ``changed`` — the
+    CDC-derivation / migration-audit primitive (what changed between
+    yesterday's and today's table, or between a source and its copy).
+
+    ONE full outer join on the keys carrying only keys + compared
+    columns (project before the join — the shuffle is audit-width, not
+    row-width); classification is pure column logic on null-ness and
+    null-safe inequality (eqNullSafe, so NULL→value transitions count
+    as changes instead of vanishing under SQL null semantics). Values
+    compare natively — no row-hash — so float formatting differences
+    can't fake a diff. At 100 TB both sides shuffle once on the same
+    key; with both snapshots bucketed on the key (sinks/bucketed.py)
+    the join co-locates and the diff is exchange-free."""
+    # Presence is tracked with a literal marker per side: with a full
+    # outer join the keys coalesce and an absent side's columns are all
+    # NULL, so a never-null sentinel is the unambiguous "this side had a
+    # row" signal even when every compared column is legitimately NULL.
+    o = old.select(
+        *keys, F.lit(1).alias("__in_old"), *[F.col(c).alias(f"__o_{c}") for c in compare_cols]
+    )
+    n = new.select(
+        *keys, F.lit(1).alias("__in_new"), *[F.col(c).alias(f"__n_{c}") for c in compare_cols]
+    )
+    j = o.join(n, on=keys, how="full")
+    neq = F.lit(False)
+    for c in compare_cols:
+        neq = neq | ~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(neq, F.lit("changed"))
+    )
+    return (
+        j.withColumn("change", change)
+        .filter(F.col("change").isNotNull())
+        .select(*keys, "change")
+    )

@@ -790,6 +790,60 @@ def auto_banding(
     return planes, tables
 
 
+def embedding_lsh_candidates(
+    df: DataFrame,
+    planes: int = 4,
+    tables: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+    max_bucket_size: int | None = None,
+    max_bucket_factor: float | None = 8.0,
+) -> DataFrame:
+    """Candidate (d1, d2) id pairs sharing any LSH table bucket — the
+    pre-re-rank stage of embedding_neardup_pairs_lsh, exposed so the
+    scale ladder (tests/test_scale.py, SCALE.md) can measure candidate
+    VOLUME directly: this count is exactly the quantity auto_banding
+    exists to keep sub-quadratic."""
+    # ids-only bucket table, persisted: the plan below reads it three
+    # times (bucket sizing, both sides of the candidate self-join), and
+    # each read would re-evaluate tables×planes projections over the full
+    # corpus. The cached form is (table, bucket, key) — KBs per million
+    # vectors, never the embedding column — and LRU eviction bounds the
+    # footprint across repeated calls.
+    b = multi_table_lsh_buckets(df, planes, tables, key, vec, dim).select(
+        "table", "bucket", key
+    ).persist()
+    if max_bucket_size is not None or max_bucket_factor is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
+        keep_pred = F.lit(True)
+        if max_bucket_size is not None:
+            keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_size)
+        if max_bucket_factor is not None:
+            # mean over (table, bucket) cells ≈ n/2^planes for sane data;
+            # partial-agg the scalar and broadcast it back — a global
+            # window here would single-partition the sizes table (Catalyst
+            # folds a literal partition key away)
+            sizes = sizes.crossJoin(
+                F.broadcast(sizes.agg(F.avg("__bsz").alias("__avg")))
+            )
+            keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_factor * F.col("__avg"))
+        keep = sizes.filter(keep_pred).select("table", "bucket")
+        b = b.join(F.broadcast(keep), on=["table", "bucket"])
+    # Candidate generation carries IDS ONLY — the bucket self-join can emit
+    # tables × B²/2 rows, and shuffling two dim-wide vectors per row was a
+    # measured 4× slowdown. Vectors re-attach AFTER the pair dedup; the
+    # re-rank set is far smaller than the raw candidate stream.
+    left = b.select("table", "bucket", F.col(key).alias("d1"))
+    right = b.select("table", "bucket", F.col(key).alias("d2"))
+    return (
+        left.join(right, on=["table", "bucket"])
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .dropDuplicates(["d1", "d2"])  # union across tables
+    )
+
+
 def embedding_neardup_pairs_lsh(
     df: DataFrame,
     threshold: float = 0.4,
@@ -826,42 +880,15 @@ def embedding_neardup_pairs_lsh(
       capping at 200 on a 2000-vector corpus whose expected bucket is
       250 dropped 89/96 buckets and collapsed recall to 0.125.
     - ``max_bucket_size`` (absolute) remains for explicit bounds."""
-    # ids-only bucket table, persisted: the plan below reads it three
-    # times (bucket sizing, both sides of the candidate self-join), and
-    # each read would re-evaluate tables×planes projections over the full
-    # corpus. The cached form is (table, bucket, key) — KBs per million
-    # vectors, never the embedding column — and LRU eviction bounds the
-    # footprint across repeated calls.
-    b = multi_table_lsh_buckets(df, planes, tables, key, vec, dim).select(
-        "table", "bucket", key
-    ).persist()
-    if max_bucket_size is not None or max_bucket_factor is not None:
-        sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("__bsz"))
-        keep_pred = F.lit(True)
-        if max_bucket_size is not None:
-            keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_size)
-        if max_bucket_factor is not None:
-            # mean over (table, bucket) cells ≈ n/2^planes for sane data;
-            # partial-agg the scalar and broadcast it back — a global
-            # window here would single-partition the sizes table (Catalyst
-            # folds a literal partition key away)
-            sizes = sizes.crossJoin(
-                F.broadcast(sizes.agg(F.avg("__bsz").alias("__avg")))
-            )
-            keep_pred = keep_pred & (F.col("__bsz") <= max_bucket_factor * F.col("__avg"))
-        keep = sizes.filter(keep_pred).select("table", "bucket")
-        b = b.join(F.broadcast(keep), on=["table", "bucket"])
-    # Candidate generation carries IDS ONLY — the bucket self-join can emit
-    # tables × B²/2 rows, and shuffling two dim-wide vectors per row was a
-    # measured 4× slowdown. Vectors re-attach AFTER the pair dedup; the
-    # re-rank set is far smaller than the raw candidate stream.
-    left = b.select("table", "bucket", F.col(key).alias("d1"))
-    right = b.select("table", "bucket", F.col(key).alias("d2"))
-    pairs = (
-        left.join(right, on=["table", "bucket"])
-        .filter(F.col("d1") < F.col("d2"))
-        .select("d1", "d2")
-        .dropDuplicates(["d1", "d2"])  # union across tables
+    pairs = embedding_lsh_candidates(
+        df,
+        planes=planes,
+        tables=tables,
+        key=key,
+        vec=vec,
+        dim=dim,
+        max_bucket_size=max_bucket_size,
+        max_bucket_factor=max_bucket_factor,
     )
     # Norms are per-VECTOR, not per-pair: computing them here (n rows)
     # instead of inside the pair-level cosine (candidate-pair rows, often

@@ -104,6 +104,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_fk_orphans",
     "q_ann_ivfpq_build",
     "q_ann_ivfpq_search",
+    "q_table_diff",
+    "q_bm25_rank",
+    "q_bpe_merge_candidates",
 )
 
 

@@ -16,6 +16,7 @@ from c_tran_data_pipeline_spark.functions.text import (
     rolling_hash,
     stopword_ratio,
     token_count,
+    words,
 )
 from c_tran_data_pipeline_spark.plans.registry import query
 from c_tran_data_pipeline_spark.sources.readers import load_table
@@ -855,3 +856,166 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     return joined.select("w1", "w2", "n_ab", pmi.alias("pmi"))
+
+
+@query(
+    "q_bm25_rank",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, tok, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+              FROM documents)
+        GROUP BY 1, 2
+    ),
+    dlen AS (SELECT doc_id, SUM(tf) AS dl FROM toks GROUP BY 1),
+    stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total FROM dlen),
+    dfreq AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY 1),
+    qt AS (SELECT doc_id AS query_id, tok FROM toks WHERE doc_id < 5),
+    terms AS (
+        SELECT qt.query_id, t.doc_id AS cand,
+               ROUND(
+                 ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1)
+                 * (t.tf * 2.2)
+                 / (t.tf + 1.2 * (0.25 + 0.75 * (t_dl.dl
+                        / (CAST(s.total AS DOUBLE) / s.n_docs)))),
+               7) AS term
+        FROM qt
+        JOIN toks t ON t.tok = qt.tok AND t.doc_id != qt.query_id
+        JOIN dlen t_dl ON t_dl.doc_id = t.doc_id
+        JOIN dfreq f ON f.tok = qt.tok
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, cand,
+               CAST(SUM(CAST(term AS DECIMAL(38,12))) AS DOUBLE) AS raw
+        FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, cand, raw,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY raw DESC, cand ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand AS neighbor_id, rank, ROUND(raw, 6) AS score
+    FROM ranked WHERE rank <= 5
+    """,
+    doc="Full BM25 lexical ranking (k1=1.2, b=0.75 — the Okapi/Lucene "
+    "default): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over "
+    "query∩doc terms, top-5 per query doc — the real scoring function "
+    "behind q_hybrid_search's simplified overlap leg. Spark plan: tf "
+    "table from ONE explode+agg feeds all three statistics (doc "
+    "length, document frequency, corpus totals) — df and the 1-row "
+    "avgdl scalar re-enter as broadcasts, the candidate join is the "
+    "inverted-index equi-join on the token, and per-(query,cand) "
+    "scores aggregate partial-first. Cost is |queries|·Σdf(query "
+    "terms) — linear in corpus per query, the q_ann_topk shape on the "
+    "lexical axis; at web scale you'd add WAND/max-score df pruning "
+    "on top (noted, not needed for exactness). Float policy: each "
+    "per-term score is deterministic IEEE (ln + arithmetic in "
+    "identical op order), rounded at 7 dp, summed in exact DECIMAL — "
+    "associativity-proof, so rank and score carry a full exact "
+    "oracle.",
+    tags=("text", "topk", "retrieval"),
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select("doc_id", F.explode(words("text")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dlen = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    qt = toks.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("query_id"), "tok"
+    )
+    cand = toks.select(F.col("doc_id").alias("cand"), "tok", "tf")
+    avgdl = F.col("total").cast("double") / F.col("n_docs")
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    term = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl))),
+        7,
+    )
+    terms = (
+        qt.join(cand, "tok")
+        .filter(F.col("cand") != F.col("query_id"))
+        .join(dlen.select(F.col("doc_id").alias("cand"), "dl"), "cand")
+        .join(F.broadcast(dfreq), "tok")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "cand", term.alias("__term"))
+    )
+    scored = terms.groupBy("query_id", "cand").agg(
+        F.sum(F.col("__term").cast("decimal(38,12)")).cast("double").alias("__raw")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__raw").desc(), F.col("cand").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("cand").alias("neighbor_id"),
+            "rank",
+            F.round("__raw", 6).alias("score"),
+        )
+    )
+
+
+@query(
+    "q_bpe_merge_candidates",
+    r"""
+    WITH w AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS word
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair
+        FROM (SELECT word, unnest(generate_series(1, length(word) - 1)) AS i
+              FROM w WHERE length(word) >= 2)
+    ),
+    counted AS (SELECT pair, COUNT(*) AS n_occurrences FROM pairs GROUP BY 1)
+    SELECT pair, n_occurrences, rank FROM (
+        SELECT pair, n_occurrences,
+               ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, pair ASC) AS rank
+        FROM counted
+    ) WHERE rank <= 20
+    """,
+    doc="BPE merge-candidate mining — the inner statistic of byte-pair-"
+    "encoding vocabulary induction: count adjacent CHARACTER pairs "
+    "across all corpus word occurrences and rank the top merges (the "
+    "pair a BPE trainer would fuse first; iterate after applying the "
+    "merge to grow a vocabulary). Spark plan: words explode → each "
+    "word projects its length-1 adjacent pairs via transform(sequence) "
+    "— pure codegen projections, no shuffle until the pair count agg, "
+    "which is partial-first on a key space bounded by alphabet² "
+    "regardless of corpus size; the top-20 global window sorts that "
+    "tiny aggregate, not the corpus. Words of length 1 are filtered "
+    "on BOTH engines (Spark's sequence(1,0) would descend, DuckDB's "
+    "generate_series(1,0) is empty — the one semantic trap).",
+    tags=("text", "tokenize", "agg"),
+)
+def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.explode(words("text")).alias("word")).filter(
+        F.length("word") >= 2
+    )
+    pairs = w.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair")
+    )
+    counted = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    win = Window.orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+    return (
+        counted.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= 20)
+        .select("pair", "n_occurrences", "rank")
+    )

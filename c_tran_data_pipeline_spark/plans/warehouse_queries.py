@@ -129,3 +129,62 @@ def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w_ver).alias("version"),
         F.lead("valid_from").over(w_ver).isNull().alias("is_current"),
     )
+
+
+@query(
+    "q_table_diff",
+    """
+    WITH old_snap AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice
+        FROM orders WHERE o_orderkey % 10 != 7
+    ),
+    new_snap AS (
+        SELECT o_orderkey, o_orderstatus,
+               CASE WHEN o_orderkey % 13 = 0
+                    THEN ROUND(o_totalprice * 1.1, 2) ELSE o_totalprice END
+                   AS o_totalprice
+        FROM orders WHERE o_orderkey % 17 != 3
+    )
+    SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                  OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                THEN 'changed' END AS change
+    FROM old_snap o FULL JOIN new_snap n USING (o_orderkey)
+    WHERE (o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+           OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+           OR o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+    """,
+    doc="Snapshot reconciliation (operators/incremental.py "
+    "snapshot_diff): added / removed / changed keys between two table "
+    "states — the CDC-derivation and migration-audit primitive (the "
+    "set-based answer to 'what did today's load change', and the "
+    "verifier you run after any copy/backfill). The two snapshots here "
+    "derive deterministically from orders (old drops keys ≡7 mod 10; "
+    "new drops ≡3 mod 17 and bumps prices of keys ≡0 mod 13 — so all "
+    "three classes occur). ONE full outer join on the key carrying "
+    "only compared columns; presence = literal sentinels (outer-join "
+    "keys coalesce, and compared columns can be legitimately NULL); "
+    "changes detected with null-safe inequality on NATIVE values — no "
+    "row hashing, so cross-engine float formatting can't fake a diff. "
+    "At scale both sides bucket on the key and the join co-locates.",
+    tags=("warehouse", "join", "cdc", "report"),
+)
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.incremental import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 10 != 7).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 17 != 3).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 13 == 0, F.round(F.col("o_totalprice") * 1.1, 2)
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+    )
+    return snapshot_diff(old, new, ["o_orderkey"], ["o_orderstatus", "o_totalprice"])

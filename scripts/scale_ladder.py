@@ -1,0 +1,152 @@
+"""Scale-ladder measurement: candidate-pair volume and recall for the
+LSH banding paths, across a 16× synthetic corpus ladder — turning the
+sub-quadratic claims in ``operators/similarity.py:auto_banding`` and
+``operators/dedup.py:minhash_lsh_candidates`` from argument into data.
+
+Corpora are synthesized DETERMINISTICALLY in-engine (md5-derived
+uniforms — same trick as the hyperplane signs), matching the fixture's
+distribution families: 64-dim embeddings, 10-100-token docs over a
+31-word vocabulary. Every 50th item gets a planted near-duplicate so
+recall is measurable against the exact baseline at the sizes where the
+O(n²) baseline is still runnable.
+
+Run: ``python scripts/scale_ladder.py`` (~3-5 min on local[32]);
+paste the table into SCALE.md's scale-ladder section.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent.parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+DIM = 64
+VOCAB = [f"w{i}" for i in range(31)]
+
+
+def synth_embeddings(spark: SparkSession, n: int, plant_every: int = 50) -> DataFrame:
+    """n deterministic 64-dim vectors, uniform per-dim in [-1, 1]
+    (md5(id:dim) → uniform), plus a planted near-dup (same vector, one
+    dim nudged +0.05) for every ``plant_every``-th id — the positives
+    the recall measurement needs."""
+    base = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.expr(
+            f"transform(sequence(0, {DIM - 1}), d -> "
+            f"(cast(conv(substr(md5(concat(id, ':', d)), 1, 8), 16, 10) as double)"
+            f" / 4294967295.0) * 2 - 1)"
+        ).alias("embedding"),
+    )
+    dups = (
+        base.filter(F.col("vec_id") % plant_every == 0)
+        .select(
+            (F.col("vec_id") + n).alias("vec_id"),
+            F.expr(
+                "transform(embedding, (x, d) -> CASE WHEN d = 0 THEN x + 0.05 ELSE x END)"
+            ).alias("embedding"),
+        )
+    )
+    return base.unionAll(dups)
+
+
+def synth_documents(spark: SparkSession, n: int, plant_every: int = 50) -> DataFrame:
+    """n deterministic docs of 10-100 tokens over the 31-word vocabulary
+    (matching the fixture's shape), plus a near-dup (same text + one
+    extra token) for every ``plant_every``-th doc."""
+    vocab_lit = "array(" + ",".join(f"'{w}'" for w in VOCAB) + ")"
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, "
+            f"10 + cast(cast(conv(substr(md5(concat('L', id)), 1, 8), 16, 10) as bigint) % 91 as int)), "
+            f"j -> element_at({vocab_lit}, 1 + cast(cast(conv(substr(md5(concat(id, '#', j)), 1, 8), 16, 10) as bigint) % 31 as int))))"
+        ).alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % plant_every == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        F.concat_ws(" ", F.col("text"), F.lit("w0")).alias("text"),
+    )
+    return base.unionAll(dups)
+
+
+def main() -> None:
+    from c_tran_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        auto_banding,
+        embedding_lsh_candidates,
+        embedding_neardup_pairs,
+        embedding_neardup_pairs_lsh,
+    )
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("scale-ladder")
+    out: dict[str, list[dict]] = {"embedding_lsh": [], "minhash": []}
+
+    # ---- embedding LSH: candidate volume, fixed vs auto banding -------
+    for n in (2_000, 4_000, 8_000, 16_000, 32_000):
+        emb = synth_embeddings(spark, n).persist()
+        n_total = emb.count()
+        row: dict = {"n": n_total}
+
+        planes_a, tables_a = auto_banding(n_total)
+        t0 = time.perf_counter()
+        row["auto_candidates"] = embedding_lsh_candidates(
+            emb, planes=planes_a, tables=tables_a, dim=DIM
+        ).count()
+        row["auto_sec"] = round(time.perf_counter() - t0, 2)
+        row["auto_banding"] = [planes_a, tables_a]
+
+        if n <= 8_000:  # fixed 3×12 banding goes quadratic — cap the measurement
+            t0 = time.perf_counter()
+            row["fixed_candidates"] = embedding_lsh_candidates(
+                emb, planes=3, tables=12, dim=DIM
+            ).count()
+            row["fixed_sec"] = round(time.perf_counter() - t0, 2)
+
+        if n <= 4_000:  # exact baseline for recall (O(n²), opt-in)
+            exact = {
+                (r["d1"], r["d2"])
+                for r in embedding_neardup_pairs(
+                    emb, threshold=0.9, baseline_cap=None
+                ).collect()
+            }
+            got = {
+                (r["d1"], r["d2"])
+                for r in embedding_neardup_pairs_lsh(
+                    emb, threshold=0.9, planes=planes_a, tables=tables_a, dim=DIM
+                ).collect()
+            }
+            row["n_true_pairs"] = len(exact)
+            row["recall"] = round(len(exact & got) / max(len(exact), 1), 4)
+        out["embedding_lsh"].append(row)
+        emb.unpersist()
+        print(json.dumps(row), flush=True)
+
+    # ---- MinHash banding: candidate volume across the doc ladder ------
+    for n in (5_000, 10_000, 20_000, 40_000):
+        docs = synth_documents(spark, n).persist()
+        n_total = docs.count()
+        t0 = time.perf_counter()
+        cands = minhash_lsh_candidates(docs, num_hashes=16, bands=4).count()
+        row = {
+            "n": n_total,
+            "candidates": cands,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        out["minhash"].append(row)
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -171,6 +171,9 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_stop_tokens",
     # 1-row unigram/bigram totals re-entering as the PMI denominators
     "q_bigram_pmi",
+    # 1-row (n_docs, total tokens) scalar re-entering as the avgdl /
+    # idf corpus constants
+    "q_bm25_rank",
 }
 
 
@@ -419,3 +422,44 @@ def test_zorder_layout_files_cover_compact_tiles(spark, tmp_path):
     # x-sorted files span all 64 y values; z-ordered files cover ~16-row tiles
     assert x_span >= n * 0.9
     assert z_span <= n / 2, f"zorder mean y-span {z_span} vs naive {x_span}"
+
+
+def test_lsh_candidate_volume_subquadratic_with_auto_banding(spark):
+    """The scale-ladder invariant behind auto_banding (SCALE.md records
+    the full 16× synthetic ladder; this is the fast in-CI slice over
+    real fixture vectors): doubling the corpus twice (500→2000) must
+    grow LSH candidate-pair volume FAR slower than the quadratic 16×,
+    because planes track log2(n/target_bucket); with the base banding
+    FROZEN at (3, 12), growth approaches quadratic — the silent
+    all-pairs failure auto_banding exists to prevent. Measured on the
+    candidate stage itself (embedding_lsh_candidates), the exact
+    quantity that hits the shuffle at 100 TB."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        auto_banding,
+        embedding_lsh_candidates,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").persist()
+    counts_auto: dict[int, int] = {}
+    counts_fixed: dict[int, int] = {}
+    for n in (500, 1000, 2000):
+        sub = emb.filter(F.col("vec_id") < n)
+        planes, tables = auto_banding(n)
+        counts_auto[n] = embedding_lsh_candidates(
+            sub, planes=planes, tables=tables, dim=64
+        ).count()
+        counts_fixed[n] = embedding_lsh_candidates(
+            sub, planes=3, tables=12, dim=64
+        ).count()
+    emb.unpersist()
+
+    growth_auto = counts_auto[2000] / max(counts_auto[500], 1)
+    growth_fixed = counts_fixed[2000] / max(counts_fixed[500], 1)
+    # quadratic would be 16×; auto banding must stay clearly below it
+    # and clearly below the frozen-banding growth on the same data
+    assert growth_auto < 10, f"auto-banding candidate growth {growth_auto:.1f}× (counts {counts_auto})"
+    assert growth_auto < growth_fixed, (
+        f"auto {growth_auto:.1f}× vs fixed {growth_fixed:.1f}× — adaptive banding "
+        f"is not reducing candidate volume ({counts_auto} vs {counts_fixed})"
+    )
