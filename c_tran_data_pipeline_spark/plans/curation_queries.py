@@ -590,3 +590,158 @@ def q_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return temperature_sample(docs, stratum="source", target=200, alpha=0.5)
+
+
+@query(
+    "q_span_corruption",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, u.i AS pos, len(string_split_regex(trim(text), '\s+')) AS n_tokens
+        FROM (SELECT doc_id, text,
+                     unnest(list_transform(
+                        generate_series(1, len(string_split_regex(trim(text), '\s+'))),
+                        i -> {'i': i})) AS u
+              FROM documents)
+    ),
+    flagged AS (
+        SELECT doc_id, n_tokens,
+               CASE WHEN CAST('0x' || substr(md5(concat(doc_id, ':', pos)), 1, 15)
+                         AS BIGINT) % 100 < 15 THEN 1 ELSE 0 END AS m,
+               CASE WHEN pos > 1 AND
+                         CAST('0x' || substr(md5(concat(doc_id, ':', pos - 1)), 1, 15)
+                              AS BIGINT) % 100 < 15 THEN 1 ELSE 0 END AS prev_m
+        FROM toks
+    )
+    SELECT doc_id, MAX(n_tokens) AS n_tokens,
+           COUNT(CASE WHEN m = 1 THEN 1 END) AS n_masked,
+           COUNT(CASE WHEN m = 1 AND prev_m = 0 THEN 1 END) AS n_spans
+    FROM flagged GROUP BY 1
+    """,
+    doc="T5-style span-corruption planning: mask ~15% of each document's "
+    "tokens via a deterministic md5 coin per (doc, position), merge "
+    "consecutive masked tokens into sentinel spans, and report per-doc "
+    "(n_tokens, n_masked, n_spans) — the statistics a denoising-"
+    "objective data pipeline needs to size sentinel vocabulary and "
+    "target lengths. The span merge needs NO window: a token starts a "
+    "span iff it is masked and position-1's coin (recomputed from the "
+    "same hash — pure expression) is not, so the whole plan is "
+    "explode → projection → one partial-first agg per doc; "
+    "deterministic across engines, partitionings, and reruns, hence "
+    "the exact oracle. At 100 TB the fan-out row is (doc_id, two "
+    "bits), and the same coin recipe applied at APPLY time "
+    "reconstructs identical spans without storing the plan.",
+    tags=("curation", "text", "training"),
+)
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.size(words("text")).alias("n_tokens"),
+        F.posexplode(words("text")).alias("pos0", "tok"),
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"))
+
+    def coin(pos_col):
+        return (
+            F.conv(F.substring(F.md5(F.concat_ws(":", F.col("doc_id"), pos_col)), 1, 15), 16, 10)
+            .cast("bigint")
+            % 100
+            < 15
+        )
+
+    flagged = toks.select(
+        "doc_id",
+        "n_tokens",
+        coin(F.col("pos")).cast("int").alias("m"),
+        ((F.col("pos") > 1) & coin(F.col("pos") - 1)).cast("int").alias("prev_m"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.max("n_tokens").alias("n_tokens"),
+        F.count(F.when(F.col("m") == 1, 1)).alias("n_masked"),
+        F.count(F.when((F.col("m") == 1) & (F.col("prev_m") == 0), 1)).alias("n_spans"),
+    )
+
+
+@query(
+    "q_grouped_kfold",
+    """
+    SELECT doc_id,
+           CAST('0x' || substr(md5(md5(text)), 1, 15) AS BIGINT) % 5 AS fold
+    FROM documents
+    """,
+    doc="Leakage-safe k-fold assignment: the fold is a deterministic "
+    "hash of the document's CONTENT fingerprint (md5(text)), so exact "
+    "duplicates — the classic cross-validation leak — land in the "
+    "same fold by construction, across engines and reruns, with no "
+    "stored fold table (the same property as the hash train/val "
+    "split, lifted from row identity to content identity; for "
+    "near-dup-safe folds, substitute the dedup-cluster representative "
+    "id from q_dedup_clusters as the group key — same one-line "
+    "recipe). Pure projection: no shuffle, no state, reproducible on "
+    "100 TB by re-evaluating the expression.",
+    tags=("curation", "sample", "training"),
+)
+def q_grouped_kfold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fold = (
+        F.conv(F.substring(F.md5(F.md5(F.col("text"))), 1, 15), 16, 10).cast("bigint") % 5
+    )
+    return docs.select("doc_id", fold.alias("fold"))
+
+
+@query(
+    "q_source_gini",
+    r"""
+    WITH mass AS (
+        SELECT source, SUM(len(string_split_regex(trim(text), '\s+'))) AS toks
+        FROM documents GROUP BY 1
+    ),
+    ranked AS (
+        SELECT source, toks,
+               ROW_NUMBER() OVER (ORDER BY toks ASC, source ASC) AS i,
+               COUNT(*) OVER () AS n,
+               SUM(toks) OVER () AS total
+        FROM mass
+    )
+    SELECT ROUND(
+             CAST(SUM(CAST(2 * i * toks AS DECIMAL(38,6))) AS DOUBLE)
+                 / (MAX(n) * MAX(total))
+               - (MAX(n) + 1.0) / MAX(n),
+           6) AS gini
+    FROM ranked
+    """,
+    doc="Gini coefficient of token mass across sources — the one-number "
+    "source-imbalance diagnostic a curation pipeline tracks before and "
+    "after domain capping / temperature sampling (0 = perfectly "
+    "balanced mixture, →1 = one source dominates; pairs with "
+    "q_source_mix_report's per-source shares and q_domain_cap's "
+    "correction). Computed by the Lorenz-order identity "
+    "G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over ascending-sorted strata: the "
+    "sort/window runs over the |sources|-row AGGREGATE (tiny by "
+    "construction), never the corpus — token mass partial-aggregates "
+    "per source in one pass. Integer i·xᵢ products summed in exact "
+    "DECIMAL; the two final divisions are single IEEE ops — exact "
+    "oracle.",
+    tags=("curation", "report", "agg"),
+)
+def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.functions.text import words
+
+    docs = load_table(spark, sf_dir, "documents")
+    mass = docs.groupBy("source").agg(F.sum(F.size(words("text"))).alias("toks"))
+    w_rank = Window.orderBy(F.col("toks").asc(), F.col("source").asc())
+    ranked = mass.select(
+        "toks",
+        F.row_number().over(w_rank).alias("i"),
+    )
+    return ranked.agg(
+        F.round(
+            F.sum((2 * F.col("i") * F.col("toks")).cast("decimal(38,6)")).cast("double")
+            / (F.count(F.lit(1)) * F.sum("toks"))
+            - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+            6,
+        ).alias("gini")
+    )

@@ -107,6 +107,9 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_table_diff",
     "q_bm25_rank",
     "q_bpe_merge_candidates",
+    "q_span_corruption",
+    "q_grouped_kfold",
+    "q_source_gini",
 )
 
 
