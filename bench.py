@@ -51,7 +51,7 @@ HEADLINE = [
     "q_ann_topk_int8",
     "q_shipping_priority",
     "q_lm_score",
-    "q_ann_pq_topk",
+    "q_ann_pq_search",
     "q_incremental_agg",
     "q_hotspot_grid",
     "q_quantize_embeddings",
@@ -67,6 +67,9 @@ HEADLINE = [
     "q_temperature_sample",
     "q_volume_shipping",
     "q_retrieval_metrics",
+    "q_ann_ivf_search",
+    "q_bm25_rank",
+    "q_table_diff",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -80,7 +83,7 @@ _POST_R01 = (
     "q_ann_topk_int8",
     "q_shipping_priority",
     "q_lm_score",
-    "q_ann_pq_topk",
+    "q_ann_pq_search",
     "q_incremental_agg",
     "q_hotspot_grid",
     "q_quantize_embeddings",
@@ -96,6 +99,9 @@ _POST_R01 = (
     "q_temperature_sample",
     "q_volume_shipping",
     "q_retrieval_metrics",
+    "q_ann_ivf_search",
+    "q_bm25_rank",
+    "q_table_diff",
 )
 
 

@@ -193,6 +193,18 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "tests/test_pq.py::test_pq_recall_ladder (raw ADC < re-ranked ADC ≤ exact) "
         "+ ::test_rerank_distances_are_exact (re-ranked distances equal true L2)"
     ),
+    "q_ann_ivf_search": (
+        "tests/test_pq.py::test_ivf_search_from_shared_index_row_identical "
+        "(IVF-flat search over the shared persisted index is ROW-IDENTICAL to "
+        "the one-shot ivf_topk at the index's training parameters; plan shows "
+        "PartitionFilters on centroid_id)"
+    ),
+    "q_ann_pq_search": (
+        "tests/test_pq.py::test_pq_search_amortized_books_row_identical (search "
+        "with the persisted index's codebooks is ROW-IDENTICAL to the "
+        "train-in-query q_ann_pq_topk — identical deterministic training "
+        "parameters, zero training jobs)"
+    ),
     "q_approx_distinct": (
         "tests/test_olap.py::test_approx_distinct_error_bound (HLL++ estimate "
         "within 3×rsd of exact COUNT DISTINCT per group)"

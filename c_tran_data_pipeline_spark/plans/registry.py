@@ -110,6 +110,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_span_corruption",
     "q_grouped_kfold",
     "q_source_gini",
+    "q_ann_pq_search",
+    "q_ann_ivf_search",
 )
 
 

@@ -855,3 +855,64 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfpq_search(
         idx, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, rerank_factor=8
     )
+
+
+@query(
+    "q_ann_pq_search",
+    None,  # ADC is approximate — identical-result pin vs the one-shot
+    # q_ann_pq_topk (same deterministic codebooks) in tests/test_pq.py
+    doc="PQ ANN SEARCH with amortized codebooks (operators/pq.py "
+    "pq_topk over the PERSISTED IVF-PQ index's codebooks — trained "
+    "with identical parameters, so the codes and ranking are "
+    "row-identical to the train-in-query q_ann_pq_topk, which stays "
+    "registered as the recall-audit form): isolates the PQ "
+    "compression axis (ADC over 8 codes/vector, whole-corpus scan, "
+    "exact shortlist re-rank) with ZERO training jobs per query "
+    "batch — the q_ann_ivfpq_search treatment applied to the "
+    "IndexPQ shape. Builds the shared index once if absent/stale; "
+    "the bench headline carries this entry so the PQ tier is "
+    "measured amortized, like every production index.",
+    tags=("similarity", "topk", "quantize"),
+)
+def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pq import pq_topk, read_ivfpq_index
+
+    path = _ivfpq_cache_path(sf_dir)
+    if not _ivfpq_index_fresh(sf_dir, path):
+        _build_ivfpq(spark, sf_dir)
+    _, books, _ = read_ivfpq_index(spark, path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    return pq_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=3, rerank_factor=8)
+
+
+@query(
+    "q_ann_ivf_search",
+    None,  # approximate by construction — identical-result pin vs the
+    # one-shot ivf_topk (same deterministic quantizer) in tests/test_pq.py
+    doc="IVF-flat ANN SEARCH against the persisted index — the third "
+    "consumer of the ONE shared index layout: read_ivfpq_index's "
+    "encoded corpus carries (id, codes, vector, cell), which is a "
+    "strict superset of the IVF-flat index, so the same "
+    "partitionBy(centroid_id) table serves IVF-flat search (this "
+    "query: probe 4/16 cells, exact-cosine re-rank of true vectors), "
+    "IVF-PQ search (q_ann_ivfpq_search: ADC over codes), and PQ "
+    "search (q_ann_pq_search: codebooks) — exactly how a production "
+    "vector store amortizes one build across index flavors. Zero "
+    "training jobs; static cell pruning → parquet PartitionFilters; "
+    "row-identical to the one-shot ivf_topk at the index's training "
+    "parameters (iters=2), pinned in tests.",
+    tags=("similarity", "topk"),
+)
+def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pq import read_ivfpq_index
+    from c_tran_data_pipeline_spark.operators.similarity import ivf_search
+
+    path = _ivfpq_cache_path(sf_dir)
+    if not _ivfpq_index_fresh(sf_dir, path):
+        _build_ivfpq(spark, sf_dir)
+    cents, _, encoded = read_ivfpq_index(spark, path)
+    index = (cents, encoded.select("neighbor_id", "__cv", "centroid_id"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_search(
+        index, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, static_cell_pruning=True
+    )

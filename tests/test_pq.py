@@ -187,3 +187,44 @@ def test_ivfpq_registered_build_then_search_uses_cache(spark, tmp_path, monkeypa
     rows = out.collect()
     assert out.columns == ["query_id", "neighbor_id", "rank", "dist"]
     assert len(rows) == 60  # 20 queries × top-3
+
+
+def test_pq_search_amortized_books_row_identical(spark, tmp_path, monkeypatch):
+    """q_ann_pq_search (codebooks read from the persisted IVF-PQ index)
+    must return exactly the rows of the train-in-query q_ann_pq_topk:
+    both quantizer trainings are deterministic with identical
+    parameters (m=8, ksub=16, iters=2), so amortizing the codebooks
+    cannot change an answer."""
+    import c_tran_data_pipeline_spark.plans.similarity_queries as sq
+
+    monkeypatch.setattr(sq, "_ivfpq_cache_path", lambda sf_dir: str(tmp_path / "idx"))
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    registry = all_queries()
+    amortized = registry["q_ann_pq_search"].builder(spark, SF_SMOKE)
+    oneshot = registry["q_ann_pq_topk"].builder(spark, SF_SMOKE)
+    assert sorted(map(tuple, amortized.collect())) == sorted(map(tuple, oneshot.collect()))
+
+
+def test_ivf_search_from_shared_index_row_identical(spark, tmp_path, monkeypatch):
+    """One persisted index, three search flavors: IVF-flat search over
+    the shared IVF-PQ index layout must equal the one-shot ivf_topk at
+    the index's training parameters (nlist=16, iters=2) — and its plan
+    must show the same PartitionFilters pruning."""
+    import c_tran_data_pipeline_spark.plans.similarity_queries as sq
+    from c_tran_data_pipeline_spark.operators.similarity import ivf_topk
+
+    monkeypatch.setattr(sq, "_ivfpq_cache_path", lambda sf_dir: str(tmp_path / "idx"))
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    registry = all_queries()
+    out = registry["q_ann_ivf_search"].builder(spark, SF_SMOKE)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    oneshot = ivf_topk(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, nlist=16, nprobe=4, iters=2, dim=64
+    )
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, oneshot.collect()))
