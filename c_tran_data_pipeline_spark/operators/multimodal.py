@@ -253,3 +253,117 @@ def chunk_payloads(
         F.length(chunk).alias("chunk_len"),
         F.md5(chunk).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode path — stdlib RIFF/PCM WAV (no external codec needed):
+# unlike the image path (whose JPEG/PNG decoders are not in this image and
+# stay behind the fake codec), WAV parses with the standard library, so
+# this decode is the genuine article end to end — real container parse,
+# real PCM samples, real features.
+# ---------------------------------------------------------------------------
+
+
+def make_wav(n_samples: int, rate: int = 8000, channels: int = 1, seed: int = 0) -> bytes:
+    """A real RIFF/PCM WAV file (16-bit LE) carrying a deterministic
+    seeded sine — the test/fixture generator for the real decode path."""
+    import io
+    import math
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        freq = 220 + (seed % 40)
+        frames = bytearray()
+        for i in range(n_samples):
+            val = int(12000 * math.sin(2 * math.pi * freq * i / rate))
+            frames += struct.pack("<h", val) * channels
+    # wave requires writeframes inside the with-block for header fixup
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def _decode_audio_bytes(payload: bytes, codec: str):
+    """→ (rate, channels, sampwidth, n_frames, pcm_bytes), or None for
+    undecodable payloads. codec='wav' is REAL (stdlib RIFF/PCM parse);
+    compressed codecs (mp3/flac/ogg) need libs absent from this image."""
+    if codec == "wav":
+        import io
+        import wave
+
+        if payload is None:
+            return None
+        try:
+            with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
+                n = w.getnframes()
+                return (
+                    w.getframerate(),
+                    w.getnchannels(),
+                    w.getsampwidth(),
+                    n,
+                    w.readframes(n),
+                )
+        except Exception:
+            return None
+    raise NotImplementedError(
+        f"codec {codec!r}: compressed-audio decoding (libsndfile/ffmpeg) is not "
+        "available in this environment; 'wav' (RIFF/PCM) is fully supported"
+    )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_s", T.DoubleType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def extract_audio_features(assets: DataFrame, codec: str = "wav") -> DataFrame:
+    """Decode + per-clip audio features via Arrow-batched mapInPandas —
+    the REAL decode path (stdlib WAV). Features are deterministic by
+    construction: the squared-sample sum is exact int64 arithmetic
+    (numpy int32 squares summed into Python int), so rms = sqrt(S/n) is
+    one IEEE op on exact inputs — reproducible across partitionings,
+    batch sizes, and platforms. Undecodable payloads yield NULL feature
+    columns (same audit-trail convention as the image path)."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = (
+                "asset_id", "sample_rate", "channels", "n_samples",
+                "duration_s", "rms", "peak", "byte_len",
+            )
+            out = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                out["byte_len"].append(len(payload) if payload is not None else 0)
+                dec = _decode_audio_bytes(payload, codec)
+                if dec is None or dec[2] != 2:  # only 16-bit PCM features
+                    for k in ("sample_rate", "channels", "n_samples", "duration_s", "rms", "peak"):
+                        out[k].append(None)
+                    continue
+                rate, ch, _, n, pcm = dec
+                x = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+                ssum = int((x * x).sum())
+                out["sample_rate"].append(rate)
+                out["channels"].append(ch)
+                out["n_samples"].append(n)
+                out["duration_s"].append(round(n / rate, 6))
+                out["rms"].append(
+                    round(float((ssum / len(x)) ** 0.5), 6) if len(x) else None
+                )
+                out["peak"].append(int(np.abs(x).max()) if len(x) else None)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)

@@ -205,6 +205,12 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "train-in-query q_ann_pq_topk — identical deterministic training "
         "parameters, zero training jobs)"
     ),
+    "q_audio_features": (
+        "tests/test_multimodal.py::test_audio_features_real_wav_decode (REAL "
+        "stdlib RIFF/PCM WAV decode: every feature matches an independent "
+        "pure-Python recomputation from the raw PCM bytes, including the "
+        "exact-integer RMS; malformed payloads yield NULL features)"
+    ),
     "q_approx_distinct": (
         "tests/test_olap.py::test_approx_distinct_error_bound (HLL++ estimate "
         "within 3×rsd of exact COUNT DISTINCT per group)"

@@ -149,3 +149,44 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("frame_payload")).alias("frame_md5"),
         F.length(F.col("frame_payload")).alias("frame_bytes"),
     )
+
+
+@query(
+    "q_audio_features",
+    None,  # UDF decode — rows-only driver check; byte-exact feature
+    # assertions vs an independent pure-Python reference in
+    # tests/test_multimodal.py
+    doc="REAL audio decode pipeline (operators/multimodal.py "
+    "extract_audio_features): synthesize genuine RIFF/PCM WAV files "
+    "per doc (stdlib wave container, 16-bit seeded sine), then parse "
+    "the real container and compute per-clip features (sample rate, "
+    "duration, RMS, peak) from the actual PCM samples — unlike the "
+    "image path, whose codecs aren't in this image, this modality is "
+    "NOT stubbed: the bytes on the wire are a spec-compliant WAV any "
+    "player accepts. Arrow-batched mapInPandas both directions; RMS "
+    "uses an exact int64 squared-sample sum so the one IEEE sqrt is "
+    "reproducible across partitionings and batch sizes.",
+    tags=("multimodal", "udf"),
+)
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        make_wav,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        make_wav(200 + int(i) % 300, rate=8000, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    return extract_audio_features(assets)

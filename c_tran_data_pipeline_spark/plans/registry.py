@@ -112,6 +112,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_source_gini",
     "q_ann_pq_search",
     "q_ann_ivf_search",
+    "q_audio_features",
 )
 
 

@@ -120,3 +120,45 @@ def test_chunk_payloads_reassemble_roundtrip(spark):
     assert [by_asset[i] for i in range(len(payloads))] == payloads
     n_chunks = {r.asset_id: r.n_chunks for r in out}
     assert n_chunks == {0: 3, 1: 1, 2: 1, 3: 12}
+
+
+def test_audio_features_real_wav_decode(spark):
+    """The audio path is REAL: payloads are spec-compliant RIFF/PCM WAV
+    files (stdlib wave accepts them back), and every feature matches an
+    independent pure-Python recomputation from the raw PCM bytes —
+    including the exact-integer RMS. Malformed payloads yield NULL
+    features, not dropped rows."""
+    import io
+    import math
+    import struct as _struct
+    import wave as _wave
+
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        make_wav,
+    )
+
+    clips = [(0, make_wav(400, rate=8000, seed=0)),
+             (1, make_wav(250, rate=16000, channels=2, seed=7)),
+             (2, b"definitely not audio")]
+    assets = spark.createDataFrame(clips, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in extract_audio_features(assets).collect()}
+
+    for aid, payload in clips[:2]:
+        # independent reference decode: stdlib only, no engine code
+        with _wave.open(io.BytesIO(payload), "rb") as w:
+            rate, ch, n = w.getframerate(), w.getnchannels(), w.getnframes()
+            pcm = w.readframes(n)
+        samples = [s for (s,) in _struct.iter_unpack("<h", pcm)]
+        ssum = sum(s * s for s in samples)
+        r = got[aid]
+        assert (r["sample_rate"], r["channels"], r["n_samples"]) == (rate, ch, n)
+        assert r["duration_s"] == round(n / rate, 6)
+        assert r["rms"] == round(math.sqrt(ssum / len(samples)), 6)
+        assert r["peak"] == max(abs(s) for s in samples)
+        assert r["byte_len"] == len(payload)
+    bad = got[2]
+    assert bad["rms"] is None and bad["sample_rate"] is None
+    assert bad["byte_len"] == len(b"definitely not audio")

@@ -211,6 +211,8 @@ _ALLOWED_PYTHON = {
     "q_ann_topk_arrow",
     # fake-codec synthesis + frame-sample explode, both Arrow mapInPandas
     "q_frame_sample",
+    # REAL WAV synthesis + decode, both Arrow mapInPandas
+    "q_audio_features",
 }
 
 
