@@ -921,6 +921,15 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")
+    # The tf table IS the inverted index, consumed four times below (doc
+    # lengths, document frequencies, query terms, candidates). It is
+    # deliberately NOT .persist()ed: caching was MEASURED SLOWER here
+    # (2.2 s vs 1.8 s warm at sf0.1) because the InMemoryRelation blocks
+    # the doc_id < 5 pushdown on the query-terms branch, which otherwise
+    # reads 5 docs from parquet instead of scanning the cached corpus
+    # index. At 100 TB the equivalent of the persist is writing the tf
+    # table to storage once per corpus version (partitioned so the
+    # query-side filter prunes), not executor caching.
     toks = (
         docs.select("doc_id", F.explode(words("text")).alias("tok"))
         .groupBy("doc_id", "tok")
