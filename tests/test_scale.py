@@ -128,6 +128,8 @@ _ALLOWED_NESTED_LOOP = {
     # ADC codes ⋈ broadcast query tables (constant-sized batch), then the
     # shortlist re-rank — same linear-corpus-pass shape
     "q_ann_pq_topk",
+    # identical ADC shape, codebooks read from the persisted index
+    "q_ann_pq_search",
     # broadcast eval batch × one corpus scan (q_ann_topk with roles flipped)
     "q_decontaminate_semantic",
     # MRL shortlist pass: broadcast constant query batch (!=) over one
