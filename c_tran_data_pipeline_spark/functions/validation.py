@@ -109,7 +109,14 @@ def referential_summary(
     dim keys, count rows and null-matches in ONE aggregate — no second
     scan, no anti-join materialization; the join carries only the two
     key columns, so at scale the shuffle is key-width regardless of
-    fact row size."""
+    fact row size.
+
+    NULL-key semantics are deliberately STRICT: a NULL fk can never
+    match a dim key, so it counts as an orphan here (and surfaces as a
+    row in referential_check). SQL FOREIGN KEY semantics would excuse
+    NULLs — if that's wanted, pre-filter ``fact.filter(col(fk).
+    isNotNull())``; an audit that silently excuses NULL keys hides the
+    most common ingestion bug."""
     j = fact.select(F.col(fk).alias("__fk")).join(
         dim.select(F.col(pk).alias("__pk")).distinct(),
         F.col("__fk") == F.col("__pk"),

@@ -82,7 +82,12 @@ def snapshot_diff(
     compare natively — no row-hash — so float formatting differences
     can't fake a diff. At 100 TB both sides shuffle once on the same
     key; with both snapshots bucketed on the key (sinks/bucketed.py)
-    the join co-locates and the diff is exchange-free."""
+    the join co-locates and the diff is exchange-free.
+
+    Contract: ``keys`` must identify rows uniquely within each snapshot
+    (the usual table-key invariant) — duplicate keys would make the
+    outer join multiply rows and double-count diffs; run the snapshots
+    through exact dedup first if that isn't guaranteed."""
     # Presence is tracked with a literal marker per side: with a full
     # outer join the keys coalesce and an absent side's columns are all
     # NULL, so a never-null sentinel is the unambiguous "this side had a

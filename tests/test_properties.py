@@ -115,3 +115,66 @@ def test_weighted_sample_exactly_min_k_and_subset_stability(spark, rows, k):
     winners = df.filter(F.col("doc_id").isin(*got.keys()))
     sub = {r.doc_id: r.es_key for r in weighted_sample(winners, key="doc_id", weight="w", k=k).collect()}
     assert sub == got
+
+
+_vals = st.one_of(st.none(), st.integers(-3, 3))
+
+
+@given(
+    old=st.dictionaries(st.integers(0, 9), _vals, max_size=8),
+    new=st.dictionaries(st.integers(0, 9), _vals, max_size=8),
+)
+@_settings
+def test_snapshot_diff_matches_dict_reference(spark, old, new):
+    """snapshot_diff's classification must equal the obvious dict-based
+    diff on arbitrary keyed states, including NULL values on either
+    side (eqNullSafe: NULL→value and value→NULL are CHANGES, NULL→NULL
+    is not)."""
+    from c_tran_data_pipeline_spark.operators.incremental import snapshot_diff
+
+    schema = "k int, v int"
+    o = spark.createDataFrame(list(old.items()), schema)
+    n = spark.createDataFrame(list(new.items()), schema)
+    got = {r["k"]: r["change"] for r in snapshot_diff(o, n, ["k"], ["v"]).collect()}
+
+    expect = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            expect[k] = "added"
+        elif k not in new:
+            expect[k] = "removed"
+        elif old[k] != new[k]:
+            expect[k] = "changed"
+    assert got == expect
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=30
+        ),
+        min_size=0,
+        max_size=6,
+    )
+)
+@_settings
+def test_json_array_roundtrip_arbitrary_unicode(spark, tmp_path_factory, texts):
+    """The K2 array artifact round-trips ARBITRARY unicode payloads
+    (newlines, quotes, emoji, control chars) through toJSON framing and
+    the multiLine reader — string content is preserved byte-for-byte."""
+    from c_tran_data_pipeline_spark import schemas as _schemas  # noqa: F401
+    from c_tran_data_pipeline_spark.sinks.json_array import write_json_array
+    from c_tran_data_pipeline_spark.sources.readers import read_json_records
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [T.StructField("i", T.LongType()), T.StructField("s", T.StringType())]
+    )
+    df = spark.createDataFrame(list(enumerate(texts)), schema)
+    path = str(tmp_path_factory.mktemp("ja") / "dump.json")
+    n = write_json_array(df, path)
+    assert n == len(texts)
+    if not texts:
+        return  # an empty array file round-trips to an empty frame
+    back = read_json_records(spark, path, schema, multi_line=True)
+    assert sorted(map(tuple, back.collect())) == sorted(enumerate(texts))

@@ -147,3 +147,31 @@ def test_dup_token_fraction_known_values(spark):
     assert out[1] == 0.6  # 5 tokens, 2 distinct -> 3/5
     assert out[2] == 0.0
     assert out[3] == 0.75
+
+
+def test_referential_check_and_summary_strict_null_semantics(spark):
+    """J4 operators: orphans = fact keys with no dim match, and a NULL
+    fk counts as an orphan BY DESIGN (strict audit — SQL FK semantics
+    would excuse NULLs, which hides the most common ingestion bug);
+    dim-side duplicate keys must not multiply fact rows."""
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.functions.validation import (
+        referential_check,
+        referential_summary,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (99, "c"), (None, "d")], "fk int, payload string"
+    )
+    # dim carries a duplicate key on purpose: distinct() inside must
+    # prevent row multiplication in both operators
+    dim = spark.createDataFrame([(1,), (1,), (2,), (3,)], "pk int")
+
+    orphans = referential_check(
+        fact, dim.select(F.col("pk").alias("fk")), ["fk"]
+    ).collect()
+    assert sorted(r["payload"] for r in orphans) == ["c", "d"]
+
+    row = referential_summary(fact, dim, "fk", "pk", "fact.fk->dim.pk").collect()[0]
+    assert (row["fk"], row["n_fact"], row["n_orphans"]) == ("fact.fk->dim.pk", 4, 2)
