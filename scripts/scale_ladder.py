@@ -148,5 +148,62 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def ann_ladder() -> None:
+    """IVF-PQ build/search scaling (run: ``python scripts/scale_ladder.py
+    --ann``): build the persisted index at each corpus size (nlist
+    scaled so cells stay probe-prunable) and time warm searches — the
+    measurement behind SCALE.md's "amortized search stays flat" claim.
+    """
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.operators.pq import (
+        ivfpq_index,
+        ivfpq_search,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("ann-ladder")
+    tmp = Path(tempfile.mkdtemp(prefix="ann_ladder_"))
+    try:
+        for n, nlist in ((8_000, 32), (32_000, 64), (128_000, 128)):
+            emb = synth_embeddings(spark, n).persist()
+            emb.count()
+            queries = emb.filter(F.col("vec_id") < 20)
+            t0 = time.perf_counter()
+            idx = ivfpq_index(emb, m=8, ksub=16, nlist=nlist, iters=2, dim=64)
+            path = str(tmp / f"idx_{n}")
+            write_ivfpq_index(idx, path)
+            build_s = time.perf_counter() - t0
+            disk = read_ivfpq_index(spark, path)
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                ivfpq_search(disk, queries, k=3, nprobe=4, rerank_factor=8).collect()
+                times.append(time.perf_counter() - t0)
+            emb.unpersist()
+            print(
+                json.dumps(
+                    {
+                        "n": n,
+                        "nlist": nlist,
+                        "build_s": round(build_s, 2),
+                        "search_s": [round(x, 2) for x in sorted(times)],
+                    }
+                ),
+                flush=True,
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 if __name__ == "__main__":
-    main()
+    if "--ann" in sys.argv:
+        ann_ladder()
+    else:
+        main()
