@@ -8,14 +8,23 @@ task processes a columnar batch of payloads; partitioning stays
 size-aware via ``repartition_for_payloads`` (payload bytes, not row
 count, is what bounds executor memory for media).
 
-The actual codec step (JPEG decode, audio resample, video frame-sample)
-needs libs not present in this image — those calls are isolated behind
-``_decode_image_bytes``/``_decode_audio_bytes`` which raise
-NotImplementedError unless the deterministic FAKE codec is requested.
-The fake codec parses our synthetic payload header, so the full Spark
-path — schema, batching, UDF signatures, explode of frame samples — runs
-and is tested for real (tests/test_multimodal.py); swapping in Pillow/
-torchaudio is a two-line change inside the decode functions only.
+Codec status — two REAL, one faked:
+
+- **PNG (real)**: ``_decode_png_bytes`` is a spec-compliant stdlib
+  decoder (zlib inflate + the five row filters, CRC-checked); 8-bit
+  grayscale/truecolor PNGs decode to their actual pixels
+  (``extract_png_features``). Per-filter reconstruction is pinned
+  against an independent forward-filter encoder in tests.
+- **WAV (real)**: ``_decode_audio_bytes`` parses genuine RIFF/PCM
+  containers via stdlib ``wave`` (``extract_audio_features``).
+- **JPEG / compressed audio / video containers (faked)**: these need
+  libjpeg/ffmpeg-class libs absent from this image, so
+  ``_decode_image_bytes`` raises NotImplementedError unless the
+  deterministic FAKE codec is requested. The fake codec parses our
+  synthetic payload header, so the full Spark path — schema, batching,
+  UDF signatures, explode of frame samples — runs and is tested for
+  real (tests/test_multimodal.py); swapping in Pillow/torchaudio is a
+  two-line change inside the decode functions only.
 """
 
 from __future__ import annotations
@@ -367,3 +376,174 @@ def extract_audio_features(assets: DataFrame, codec: str = "wav") -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL image decode path — stdlib PNG (zlib inflate + the five PNG row
+# filters from the public spec). Like WAV, this needs no external codec:
+# 8-bit grayscale and truecolor PNGs decode to their actual pixels, so
+# the image modality is real for PNG inputs; JPEG (which needs libjpeg)
+# remains behind the fake codec.
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def make_png(width: int, height: int, pixels: bytes, channels: int = 1) -> bytes:
+    """A real PNG file (8-bit, grayscale channels=1 or truecolor
+    channels=3, no interlace) from raw row-major pixel bytes — the
+    test/fixture generator for the real decode path. Rows are written
+    with filter type 0 (None); any spec-compliant reader accepts the
+    output."""
+    import zlib
+
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixels length must be width*height*channels")
+    color_type = {1: 0, 3: 2}[channels]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + pixels[y * stride : (y + 1) * stride] for y in range(height)
+    )
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def _decode_png_bytes(payload: bytes):
+    """→ (width, height, channels, pixel_bytes) for 8-bit non-interlaced
+    grayscale/truecolor PNGs, or None for anything malformed (bad
+    signature, CRC mismatch, unsupported bit depth/color type/interlace,
+    short data). Pure stdlib: chunk walk + zlib inflate + the five row
+    filters (None/Sub/Up/Average/Paeth) from the public PNG spec."""
+    import zlib
+
+    try:
+        if payload is None or bytes(payload[:8]) != _PNG_SIG:
+            return None
+        data = bytes(payload)
+        pos = 8
+        ihdr = None
+        idat = b""
+        while pos + 8 <= len(data):
+            (length,) = struct.unpack(">I", data[pos : pos + 4])
+            ctype = data[pos + 4 : pos + 8]
+            body = data[pos + 8 : pos + 8 + length]
+            if len(body) != length or pos + 12 + length > len(data):
+                return None
+            (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+            if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+                return None
+            if ctype == b"IHDR":
+                ihdr = body
+            elif ctype == b"IDAT":
+                idat += body
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            return None
+        w, h, depth, color_type, comp, filt, interlace = struct.unpack(">IIBBBBB", ihdr)
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3}.get(color_type)
+        if channels is None or w == 0 or h == 0:
+            return None
+        raw = zlib.decompress(idat)
+        stride = w * channels
+        if len(raw) != h * (stride + 1):
+            return None
+        out = bytearray(h * stride)
+        bpp = channels
+        for y in range(h):
+            ftype = raw[y * (stride + 1)]
+            row = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+            base = y * stride
+            prev = base - stride
+            if ftype == 0:  # None
+                out[base : base + stride] = row
+            elif ftype == 1:  # Sub
+                for x in range(stride):
+                    a = out[base + x - bpp] if x >= bpp else 0
+                    out[base + x] = (row[x] + a) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    b = out[prev + x] if y else 0
+                    out[base + x] = (row[x] + b) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    a = out[base + x - bpp] if x >= bpp else 0
+                    b = out[prev + x] if y else 0
+                    out[base + x] = (row[x] + ((a + b) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = out[base + x - bpp] if x >= bpp else 0
+                    b = out[prev + x] if y else 0
+                    c = out[prev + x - bpp] if (y and x >= bpp) else 0
+                    out[base + x] = (row[x] + _paeth(a, b, c)) & 0xFF
+            else:
+                return None
+        return w, h, channels, bytes(out)
+    except Exception:
+        return None
+
+
+PNG_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("byte_len", T.LongType()),
+    ]
+)
+
+
+def extract_png_features(assets: DataFrame) -> DataFrame:
+    """Decode REAL PNGs + per-image features via Arrow-batched
+    mapInPandas — the genuine image twin of extract_audio_features
+    (extract_image_features keeps the fake codec for the formats whose
+    decoders aren't in this image). mean_intensity is an exact integer
+    byte-sum divided once — deterministic under any partitioning."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("asset_id", "width", "height", "channels", "mean_intensity", "byte_len")
+            out = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                out["byte_len"].append(len(payload) if payload is not None else 0)
+                dec = _decode_png_bytes(payload)
+                if dec is None:
+                    for k in ("width", "height", "channels", "mean_intensity"):
+                        out[k].append(None)
+                    continue
+                w, h, ch, px = dec
+                out["width"].append(w)
+                out["height"].append(h)
+                out["channels"].append(ch)
+                out["mean_intensity"].append(round(sum(px) / len(px), 6) if px else None)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, PNG_FEATURES_SCHEMA)
