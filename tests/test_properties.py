@@ -162,7 +162,6 @@ def test_json_array_roundtrip_arbitrary_unicode(spark, tmp_path_factory, texts):
     """The K2 array artifact round-trips ARBITRARY unicode payloads
     (newlines, quotes, emoji, control chars) through toJSON framing and
     the multiLine reader — string content is preserved byte-for-byte."""
-    from c_tran_data_pipeline_spark import schemas as _schemas  # noqa: F401
     from c_tran_data_pipeline_spark.sinks.json_array import write_json_array
     from c_tran_data_pipeline_spark.sources.readers import read_json_records
     from pyspark.sql import types as T
