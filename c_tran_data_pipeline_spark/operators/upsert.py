@@ -50,16 +50,21 @@ def merge_update(
     updates: DataFrame,
     keys: list[str],
     set_cols: list[str],
+    broadcast_updates: bool = True,
 ) -> DataFrame:
     """K5/J2: keyed enrichment merge — the stop-event UPDATE
     (stop_consumer.py:76-79) as one left join + coalesce. Rows in target
     with a match take the update's values for ``set_cols``; unmatched rows
     are unchanged. ``updates`` must be unique per key (apply first_wins
     upstream — the reference dedups trip_ids per batch for the same reason).
-    Updates side is typically dim-delta sized → broadcast join, no shuffle
-    of the target."""
+
+    ``broadcast_updates`` (default True) encodes the API contract that the
+    updates side is a dim-delta / micro-batch — bounded, so broadcasting it
+    avoids shuffling the (much larger) target. Pass False when merging an
+    unbounded update set (e.g. a full-history backfill): the join then
+    shuffles both sides on ``keys`` and scales with the bigger one."""
     upd = updates.select(*keys, *[F.col(c).alias(f"__new_{c}") for c in set_cols])
-    out = target.join(F.broadcast(upd), on=keys, how="left")
+    out = target.join(F.broadcast(upd) if broadcast_updates else upd, on=keys, how="left")
     for c in set_cols:
         out = out.withColumn(c, F.coalesce(F.col(f"__new_{c}"), F.col(c)))
     return out.drop(*[f"__new_{c}" for c in set_cols])

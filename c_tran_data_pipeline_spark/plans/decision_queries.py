@@ -256,9 +256,10 @@ _COS = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding A
     "labeling): top-5 cosine neighbors per query vector (self "
     "excluded), neighbor labels tallied, majority wins with "
     "deterministic ties (votes DESC, label ASC). Composes cosine_topk "
-    "(broadcast queries x one corpus scan) with a broadcast label "
-    "lookup — the label join ships (vec_id,label) pairs only, never "
-    "vectors. The 50-query slice bounds the broadcast; for full-corpus "
+    "(broadcast queries x one corpus scan) with a label join that "
+    "BROADCASTS THE TOP-K SIDE (bounded by |queries|·k) against a "
+    "streamed O(corpus) label map — ids only, never vectors. The "
+    "50-query slice bounds the broadcast; for full-corpus "
     "labeling at scale swap the exact leg for ivf_topk/ann_lsh_topk "
     "(same output contract), which is why the vote stage joins on ids "
     "rather than carrying labels through the ranking.",
@@ -268,8 +269,12 @@ def q_knn_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     topk = cosine_topk(emb, emb.filter(F.col("vec_id") < 50), k=5)
     labels = emb.select(F.col("vec_id").alias("neighbor_id"), "label")
+    # Broadcast the TOP-K side: it is bounded by |queries|·k (250 rows
+    # here) regardless of corpus size, while the label map is O(corpus).
+    # Broadcasting the label map would ship the whole corpus's
+    # (vec_id,label) pairs to every executor — the scale-killer at 100×.
     votes = (
-        topk.join(F.broadcast(labels), "neighbor_id")
+        F.broadcast(topk).join(labels, "neighbor_id")
         .groupBy("query_id", "label")
         .agg(F.count(F.lit(1)).alias("votes"))
     )

@@ -129,10 +129,13 @@ def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) WHERE rn <= 3
     """,
     doc="TF-IDF featurization: term frequency per doc × ln(N/df), top-3 "
-    "terms per doc (tfidf desc, token asc). One explode, two partial-"
-    "aggregated shuffles (doc-term tf, term df), df table broadcast back "
-    "onto tf, window top-k. The classic sparse featurizer for corpus "
-    "exploration/filtering.",
+    "terms per doc (tfidf desc, token asc). One explode, then df is a "
+    "WINDOW count over the tf table (tf rows are distinct (doc,token) "
+    "pairs, so count over partitionBy(token) IS the document frequency) "
+    "— no join and no O(vocabulary) broadcast; the full-vocab df table "
+    "is corpus-sized and must never be a broadcast build side. Shuffles: "
+    "tf agg, token window, doc window — same count as the join form, "
+    "scale-safe shape.",
     tags=("text", "vocab", "topk"),
 )
 def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,11 +145,16 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_docs = d.count()  # scalar; at scale a cheap metadata count
     toks = d.select("doc_id", F.explode(words("text")).alias("token"))
     tf = toks.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = toks.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
+    # tf has exactly one row per (doc_id, token), so a count over the
+    # token partition IS count(distinct doc_id) — df without a join, and
+    # without broadcasting the O(vocabulary) df table.
+    wdf = Window.partitionBy("token")
+    scored = tf.select(
         "doc_id",
         "token",
-        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("__tfidf"),
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.count(F.lit(1)).over(wdf))).alias(
+            "__tfidf"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("__tfidf").desc(), F.col("token").asc())
     return (

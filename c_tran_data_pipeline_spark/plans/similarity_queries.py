@@ -279,7 +279,8 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id, unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
         FROM documents
     ),
-    hot AS (SELECT tok FROM toks GROUP BY tok HAVING COUNT(*) > 100),
+    hot AS (SELECT tok FROM toks GROUP BY tok
+            HAVING COUNT(*) > 0.2 * (SELECT COUNT(*) FROM documents)),
     toks_f AS (SELECT * FROM toks ANTI JOIN hot USING (tok)),
     qt AS (SELECT * FROM toks_f WHERE doc_id < 5),
     overlap AS (
@@ -324,10 +325,14 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "modern two-tower retrieval pattern as one declarative plan over "
     "the documents + embeddings tables; each leg is the scalable form "
     "already proven by q_dedup_ngram_jaccard / q_ann_topk. The lexical "
-    "leg drops tokens with document frequency > 100 BEFORE the inverted-"
-    "index join (same skew guard as ngram max_shingle_df, applied "
-    "identically in the oracle): a stopword appearing in every doc "
-    "would otherwise emit |queries|×|corpus| join rows.",
+    "leg drops tokens with document frequency > 20% of the corpus "
+    "BEFORE the inverted-index join (same skew guard as ngram "
+    "max_shingle_df, applied identically in the oracle): a stopword "
+    "appearing in every doc would otherwise emit |queries|×|corpus| "
+    "join rows. The threshold is RELATIVE by design: the number of "
+    "tokens with df > f·N is bounded by avg_doc_len/f — constant in "
+    "corpus size — so the broadcast hot list stays bytes-sized at any "
+    "scale, where an absolute cutoff (df > 100) grows linearly with N.",
     tags=("similarity", "text", "topk", "hybrid"),
 )
 def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,10 +347,17 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(words("text"))).alias("tok")
     )
-    # Hot-token guard: drop df>100 tokens before the inverted-index join
-    # (broadcast anti-join on the tiny hot-token list). Without it a
-    # corpus-wide stopword makes the join quadratic in corpus size.
-    hot = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") > 100)
+    # Hot-token guard: drop tokens present in >20% of docs before the
+    # inverted-index join (broadcast anti-join on the tiny hot-token
+    # list). Without it a corpus-wide stopword makes the join quadratic
+    # in corpus size. Relative threshold ⇒ the hot list is bounded by
+    # avg_doc_len/0.2 tokens — constant in corpus size, broadcast-safe.
+    n_docs = docs.count()  # scalar; at scale a cheap metadata count
+    hot = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 0.2 * n_docs)
+    )
     toks = toks.join(F.broadcast(hot.select("tok")), on="tok", how="left_anti")
     qt = toks.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "tok"

@@ -904,8 +904,10 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "query∩doc terms, top-5 per query doc — the real scoring function "
     "behind q_hybrid_search's simplified overlap leg. Spark plan: tf "
     "table from ONE explode+agg feeds all three statistics (doc "
-    "length, document frequency, corpus totals) — df and the 1-row "
-    "avgdl scalar re-enter as broadcasts, the candidate join is the "
+    "length, document frequency, corpus totals) — df (semi-joined down "
+    "to the query vocabulary first, so the broadcast side is bounded "
+    "by |query terms|, never the O(corpus) full vocabulary) and the "
+    "1-row avgdl scalar re-enter as broadcasts, the candidate join is the "
     "inverted-index equi-join on the token, and per-(query,cand) "
     "scores aggregate partial-first. Cost is |queries|·Σdf(query "
     "terms) — linear in corpus per query, the q_ann_topk shape on the "
@@ -944,6 +946,13 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("query_id"), "tok"
     )
     cand = toks.select(F.col("doc_id").alias("cand"), "tok", "tf")
+    # Only the QUERY terms' document frequencies are ever used by the
+    # scoring join, so semi-join dfreq down to qt's distinct tokens
+    # before broadcasting: the broadcast side is then bounded by the
+    # query vocabulary, not the full corpus vocabulary (which is O(n)
+    # and would be shipped to every executor at scale).
+    q_vocab = qt.select("tok").distinct()
+    dfreq_q = dfreq.join(F.broadcast(q_vocab), "tok", "left_semi")
     avgdl = F.col("total").cast("double") / F.col("n_docs")
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     term = F.round(
@@ -956,7 +965,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         qt.join(cand, "tok")
         .filter(F.col("cand") != F.col("query_id"))
         .join(dlen.select(F.col("doc_id").alias("cand"), "dl"), "cand")
-        .join(F.broadcast(dfreq), "tok")
+        .join(F.broadcast(dfreq_q), "tok")
         .crossJoin(F.broadcast(stats))
         .select("query_id", "cand", term.alias("__term"))
     )

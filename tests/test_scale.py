@@ -5,6 +5,8 @@ both Exchanges)."""
 
 from __future__ import annotations
 
+import re as _re
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -253,6 +255,108 @@ def test_no_unexpected_python_in_plans(spark):
         if any(m in plan for m in markers) and n not in _ALLOWED_PYTHON
     ]
     assert not offenders, f"Python eval crept into relational plans: {offenders}"
+
+
+# ---------------------------------------------------------------------------
+# Broadcast build sides must be BOUNDED relations. A broadcast ships its
+# entire build side to every executor, so an O(corpus) build side (a full
+# label map, a full-vocabulary df table) is the classic scale-killer: fine
+# at sf0.1, fatal at 100×. The gate below rebuilds every registry plan
+# with spark.sql.autoBroadcastJoinThreshold=-1 — which removes Spark's
+# own stats-based broadcasts (those re-decide correctly as data grows)
+# and leaves exactly the broadcasts WE hinted, i.e. the ones frozen into
+# the code at every scale — then structurally classifies each
+# BroadcastExchange subtree as bounded: a literal-pruned scan (query
+# batch), a scalar aggregate, a semi-joined derivative, a limit/top-k,
+# or a dim-table-only subtree. Anything else must carry a documented
+# per-query pattern in _BOUNDED_BROADCAST_NOTES or the test fails.
+# ---------------------------------------------------------------------------
+
+_FACT_TABLES = ("lineitem", "orders", "events", "documents", "embeddings")
+
+
+def _broadcast_subtree_depth(line: str) -> int:
+    return len(_re.match(r"^[ :+\-|]*", line).group(0))
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Each BroadcastExchange node with its full child subtree (by tree
+    indentation); ReusedExchange references are duplicates, skipped."""
+    lines = plan.splitlines()
+    subs = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" in line and "ReusedExchange" not in line:
+            d = _broadcast_subtree_depth(line)
+            sub = [line]
+            for nxt in lines[i + 1 :]:
+                if not nxt.strip() or _broadcast_subtree_depth(nxt) <= d:
+                    break
+                sub.append(nxt)
+            subs.append("\n".join(sub))
+    return subs
+
+
+def _broadcast_bounded_class(sub: str) -> str | None:
+    """Classify a BroadcastExchange subtree as a bounded relation, or
+    None if it could grow with the corpus."""
+    if "HashAggregate(keys=[]" in sub:
+        return "scalar-agg"  # 1-row global aggregate
+    if "LeftSemi" in sub:
+        return "semi-joined"  # restricted to a (bounded) probe set
+    if "GlobalLimit" in sub or "TakeOrderedAndProject" in sub:
+        return "limit"
+    scans = set(_re.findall(r"sf[\d.]+/(\w+)\.parquet", sub))
+    if scans and not (scans & set(_FACT_TABLES)):
+        return "dim-only"  # only dimension-table scans feed it
+    if not scans:
+        return "local"  # createDataFrame literals / in-memory fixture
+    if _re.search(r"PushedFilters: \[[^\]]*(LessThan|GreaterThan|EqualTo|In)\(", sub):
+        return "pruned-scan"  # literal predicate reached the scan (query batch)
+    if "Window" in sub and _re.search(r"#\d+L? <= \d+\)", sub):
+        return "topk"  # row_number <= k derivative
+    return None
+
+
+# Hint-driven broadcasts whose build side IS bounded, but by domain
+# knowledge the structural classifier can't see. Each entry: a regex the
+# offending subtree must match (so the exemption can't silently cover a
+# different, genuinely-unbounded broadcast later) + the reason.
+_BOUNDED_BROADCAST_NOTES = {
+    # distinct calendar days — bounded by the date domain, not row count
+    "q_rolling_actives": (r"Aggregate\(keys=\[d#\d+", "calendar-day spine"),
+    # per-event_type aggregates — event_type is a small categorical domain
+    "q_psi_drift": (r"Aggregate\(keys=\[event_type#\d+", "event-type domain"),
+    "q_mad_outliers": (r"Aggregate\(keys=\[event_type#\d+", "event-type domain"),
+    # per-dimension scale factors — bounded by embedding dimensionality
+    "q_quantize_embeddings": (r"Aggregate\(keys=\[dim#\d+", "embedding-dim domain"),
+    # merge_update contract: updates side is a dim-delta / micro-batch
+    # (here: latest order per customer ≤ |customer|, a dim table)
+    "q_enrich_merge": (r"__new_last_priority", "merge_update dim-delta contract"),
+    # heavy-hitter token list at a RELATIVE df threshold — ≤ avg_dl/0.2
+    # tokens regardless of corpus size (see q_hybrid_search doc)
+    "q_hybrid_search": (r"Filter \((cast\()?df#\d+L?[^<>]* > ", "relative-df heavy hitters"),
+}
+
+
+def test_broadcast_build_sides_bounded(spark):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        offenders = []
+        for name, plan in _registry_plans(spark):
+            for sub in _broadcast_subtrees(plan):
+                if _broadcast_bounded_class(sub) is not None:
+                    continue
+                note = _BOUNDED_BROADCAST_NOTES.get(name)
+                if note and _re.search(note[0], sub):
+                    continue
+                offenders.append((name, sub.splitlines()[0].strip()[:80]))
+        assert not offenders, (
+            "unbounded broadcast build side (O(corpus) shipped to every "
+            f"executor at scale): {offenders}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_runtime_bloom_filter_prunes_fact_scan(spark):
