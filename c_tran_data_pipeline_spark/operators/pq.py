@@ -41,6 +41,18 @@ from c_tran_data_pipeline_spark.operators.similarity import (
 Codebooks = list[list[tuple[int, list[float]]]]
 
 
+def deterministic_sample(df: DataFrame, mod: int = 4, key: str = "vec_id") -> DataFrame:
+    """1/``mod`` training sample, deterministic in the KEY (xxhash64 —
+    stable across engines, partitionings and runs, no RNG): the standard
+    train-on-sample half of the IVF recipe. Quantizer training only
+    needs enough points to place nlist·ksub centroids, so sampling cuts
+    the O(iters) training scans to 1/mod of the corpus while assignment
+    and encoding still cover every row — at 100 TB this is the
+    difference between training touching TBs and training touching
+    everything."""
+    return df.filter(F.pmod(F.xxhash64(F.col(key)), F.lit(mod)) == 0)
+
+
 def train_pq(
     df: DataFrame,
     m: int = 8,
@@ -366,6 +378,7 @@ def ivfpq_index(
     key: str = "vec_id",
     vec: str = "embedding",
     dim: int | None = None,
+    train_df: DataFrame | None = None,
 ) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
     """Build the full IVF-PQ index ONCE: (centroids, codebooks, encoded
     corpus). The encoded DataFrame carries (neighbor_id, codes, __cv,
@@ -378,7 +391,14 @@ def ivfpq_index(
     recall audit, wrong for production where one index serves thousands
     of query batches). Build here, persist with write_ivfpq_index, and
     every later ivfpq_search is PQ-code scans over nprobe pruned cells
-    — zero training passes."""
+    — zero training passes.
+
+    ``train_df``: train BOTH quantizers on this frame instead of the
+    full corpus (pass ``deterministic_sample(corpus, ...)`` — the
+    train-on-sample, assign-full-corpus IVF recipe). Training is the
+    only part of the build whose cost scans the corpus O(iters) times,
+    so at scale this is the build's dominant lever; assignment and
+    encoding below always cover every corpus row regardless."""
     from c_tran_data_pipeline_spark.operators.similarity import (
         _as_double as _ad,
         _kmeans_rows,
@@ -386,8 +406,9 @@ def ivfpq_index(
     )
 
     dsub = None
-    cents = _kmeans_rows(corpus, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
-    books = train_pq(corpus, m=m, ksub=ksub, dim=dim or len(cents[0][1]), iters=iters, key=key, vec=vec)
+    train = train_df if train_df is not None else corpus
+    cents = _kmeans_rows(train, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+    books = train_pq(train, m=m, ksub=ksub, dim=dim or len(cents[0][1]), iters=iters, key=key, vec=vec)
     dsub = len(books[0][0][1])
     cv = _ad(F.col(vec))
     code_cols = []
@@ -404,14 +425,27 @@ def ivfpq_index(
 
 
 def write_ivfpq_index(
-    index: tuple[list[tuple[int, list[float]]], Codebooks, DataFrame], path: str
+    index: tuple[list[tuple[int, list[float]]], Codebooks, DataFrame],
+    path: str,
+    meta: dict | None = None,
 ) -> None:
     """Persist an IVF-PQ index: encoded corpus partitioned BY CELL (the
     same storage-layer nprobe/nlist pruning as write_ivf_index) plus
     centroids + codebooks as an underscore-prefixed JSON sidecar (Spark
     readers skip ``_`` files). The sidecar is written LAST and doubles
     as the commit marker: a crash mid-write leaves parquet without the
-    sidecar, and read_ivfpq_index refuses such a torn index."""
+    sidecar, and read_ivfpq_index refuses such a torn index.
+
+    ``meta``: caller metadata (build hyperparameters, source-fixture
+    fingerprint) stored in the sidecar under ``"meta"``;
+    read_ivfpq_index can validate it so a cached index is never served
+    for a different recipe or corpus.
+
+    LOCAL-FILESYSTEM CONTRACT: ``path`` must be a local path — the
+    parquet half goes through Spark but the sidecar uses
+    open()/os.replace(), so on HDFS/S3 the commit-marker protocol would
+    not hold. Route the sidecar through the Hadoop FileSystem API before
+    pointing this at remote storage."""
     import json
     import os
 
@@ -419,16 +453,22 @@ def write_ivfpq_index(
     encoded.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
     tmp = os.path.join(path, "_ivfpq_meta.json.__tmp__")
     with open(tmp, "w") as f:
-        json.dump({"centroids": cents, "codebooks": books}, f)
+        json.dump({"centroids": cents, "codebooks": books, "meta": meta}, f)
     os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
 
 
 def read_ivfpq_index(
-    spark, path: str
+    spark, path: str, expect_meta: dict | None = None
 ) -> tuple[list[tuple[int, list[float]]], Codebooks, DataFrame]:
     """Load a persisted IVF-PQ index; the corpus side is the
     partitioned-by-cell scan, so static cell pruning in ivfpq_search
-    becomes a parquet PartitionFilter."""
+    becomes a parquet PartitionFilter.
+
+    ``expect_meta``: if given, the sidecar's stored ``meta`` must equal
+    it exactly or a ValueError is raised — the guard against serving an
+    index built with different hyperparameters or from a different
+    corpus than the caller assumes. Same local-filesystem contract as
+    write_ivfpq_index (sidecar read via open())."""
     import json
     import os
 
@@ -440,6 +480,11 @@ def read_ivfpq_index(
         )
     with open(meta_path) as f:
         meta = json.load(f)
+    if expect_meta is not None and meta.get("meta") != expect_meta:
+        raise ValueError(
+            f"IVF-PQ index at {path} was built with different metadata "
+            f"(stored {meta.get('meta')!r}, expected {expect_meta!r}) — rebuild"
+        )
     cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in meta["centroids"]]
     books: Codebooks = [
         [(int(cid), [float(x) for x in cent]) for cid, cent in book]

@@ -769,40 +769,138 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The ONE recipe every persisted-index consumer shares. The cache path
+# embeds a hash of these params + the absolute fixture path, so changed
+# hyperparameters or two fixtures sharing a basename can never serve each
+# other's index; the sidecar stores the same record (plus the fixture's
+# mtime/size fingerprint) and is validated again at read time.
+# train_sample_mod=4: both quantizers train on a deterministic 1/4
+# hash-sample of the corpus (train-on-sample, assign-full-corpus — the
+# standard IVF recipe); encoding still covers every row.
+_IVFPQ_PARAMS = {
+    "m": 8,
+    "ksub": 16,
+    "nlist": 16,
+    "iters": 2,
+    "dim": 64,
+    "train_sample_mod": 4,
+}
+
+
+def _ivfpq_fixture_fingerprint(sf_dir: str) -> dict:
+    """Identity of the corpus an index was built from: absolute path +
+    mtime + size of the embeddings parquet. Stored in the sidecar and
+    compared on every freshness check — a regenerated fixture (new
+    mtime/size) or a different directory invalidates the cache."""
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, "embeddings.parquet"))
+    try:
+        st = os.stat(p)
+        return {"path": p, "mtime": st.st_mtime, "size": st.st_size}
+    except OSError:
+        # Unreadable/non-local fixture: identity is the path alone —
+        # freshness then never matches a fingerprint that carried
+        # mtime/size, forcing a rebuild rather than trusting blindly.
+        return {"path": p}
+
+
+def _ivfpq_meta(sf_dir: str) -> dict:
+    return {"params": _IVFPQ_PARAMS, "fixture": _ivfpq_fixture_fingerprint(sf_dir)}
+
+
 def _ivfpq_cache_path(sf_dir: str) -> str:
-    """Per-fixture cache location for the persisted IVF-PQ index (under
-    the system tmp dir — never inside the read-only fixture tree)."""
+    """Per-(fixture, recipe) cache location for the persisted IVF-PQ
+    index (under the system tmp dir — never inside the read-only fixture
+    tree). Keyed by a hash of the build params and the ABSOLUTE fixture
+    dir, so a recipe change or a basename collision gets a fresh path
+    instead of silently reusing a mismatched index."""
+    import hashlib
+    import json as _json
     import os
     import tempfile
 
+    tag = hashlib.md5(
+        _json.dumps(
+            {"sf_dir": os.path.abspath(sf_dir), "params": _IVFPQ_PARAMS},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", f"ivfpq_{base}")
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_indexes", f"ivfpq_{base}_{tag}"
+    )
 
 
 def _ivfpq_index_fresh(sf_dir: str, path: str) -> bool:
-    """True iff a committed index exists and is newer than the fixture
-    (the embeddings parquet) it was built from — a regenerated fixture
-    invalidates the cache by mtime, no content hashing needed."""
+    """True iff a COMMITTED index exists at ``path`` whose sidecar
+    records exactly the current recipe and the current fixture
+    fingerprint. Any read error, torn sidecar, or mismatch means
+    'unknown' → rebuild (never trust a cache blindly)."""
+    import json as _json
     import os
 
-    meta = os.path.join(path, "_ivfpq_meta.json")
-    if not os.path.exists(meta):
-        return False
-    fixture = os.path.join(sf_dir, "embeddings.parquet")
     try:
-        return os.path.getmtime(meta) >= os.path.getmtime(fixture)
-    except OSError:
-        return True  # fixture not on local fs — trust the committed index
+        with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+            rec = _json.load(f).get("meta") or {}
+        return rec == _ivfpq_meta(sf_dir)
+    except (OSError, ValueError):
+        return False
+
+
+def _ivfpq_index_for(spark: SparkSession, sf_dir: str):
+    """Build the shared index IN MEMORY with the canonical recipe —
+    the single source of truth the committed cache, the registered
+    build query, and the row-identity test twins all derive from."""
+    from c_tran_data_pipeline_spark.operators.pq import deterministic_sample, ivfpq_index
+
+    p = _IVFPQ_PARAMS
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivfpq_index(
+        emb,
+        m=p["m"],
+        ksub=p["ksub"],
+        nlist=p["nlist"],
+        iters=p["iters"],
+        dim=p["dim"],
+        train_df=deterministic_sample(emb, mod=p["train_sample_mod"], key="vec_id"),
+    )
 
 
 def _build_ivfpq(spark: SparkSession, sf_dir: str) -> str:
-    from c_tran_data_pipeline_spark.operators.pq import ivfpq_index, write_ivfpq_index
+    """Build and COMMIT the shared index: write to a pid-unique temp
+    dir, then swap into the cache path — concurrent runs each build
+    their own temp and the last rename wins whole, so a reader never
+    sees a half-written directory at the committed path (worst case it
+    hits the swap window, finds no sidecar, and rebuilds)."""
+    import os
+    import shutil
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    idx = ivfpq_index(emb, m=8, ksub=16, nlist=16, iters=2, dim=64)
+    from c_tran_data_pipeline_spark.operators.pq import write_ivfpq_index
+
+    idx = _ivfpq_index_for(spark, sf_dir)
     path = _ivfpq_cache_path(sf_dir)
-    write_ivfpq_index(idx, path)
+    tmp = f"{path}.build-{os.getpid()}"
+    write_ivfpq_index(idx, tmp, meta=_ivfpq_meta(sf_dir))
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
     return path
+
+
+def _ensure_ivfpq(spark: SparkSession, sf_dir: str):
+    """Committed-index handle for the search queries: build if absent/
+    stale, read with sidecar-metadata validation, rebuild once if the
+    validation races a concurrent swap."""
+    from c_tran_data_pipeline_spark.operators.pq import read_ivfpq_index
+
+    path = _ivfpq_cache_path(sf_dir)
+    if not _ivfpq_index_fresh(sf_dir, path):
+        _build_ivfpq(spark, sf_dir)
+    try:
+        return read_ivfpq_index(spark, path, expect_meta=_ivfpq_meta(sf_dir))
+    except (FileNotFoundError, ValueError):
+        path = _build_ivfpq(spark, sf_dir)
+        return read_ivfpq_index(spark, path, expect_meta=_ivfpq_meta(sf_dir))
 
 
 @query(
@@ -813,10 +911,14 @@ def _build_ivfpq(spark: SparkSession, sf_dir: str) -> str:
     doc="IVF-PQ index BUILD (operators/pq.py ivfpq_index + "
     "write_ivfpq_index): trains the coarse quantizer (nlist=16 "
     "md5-seeded k-means cells) and the PQ codebooks (8 subspaces × 16 "
-    "sub-centroids) in O(iters) corpus scans, encodes the corpus in "
-    "ONE projection (id, codes, vector, cell — centroids/codebooks as "
-    "literals, no joins), and persists it partitionBy(centroid_id) "
-    "with a sidecar-last commit marker. Returns the per-cell row "
+    "sub-centroids) on a DETERMINISTIC 1/4 HASH-SAMPLE of the corpus "
+    "(train-on-sample, assign-full-corpus — the standard IVF recipe; "
+    "training is the only build stage that scans the corpus O(iters) "
+    "times, so sampling is the build's dominant cost lever at scale), "
+    "encodes the FULL corpus in ONE projection (id, codes, vector, "
+    "cell — centroids/codebooks as literals, no joins), and persists "
+    "it partitionBy(centroid_id) with a sidecar-last commit marker "
+    "carrying the recipe + fixture fingerprint. Returns the per-cell row "
     "histogram read back FROM THE WRITTEN INDEX, so the query measures "
     "the full build+write+readback path. This is the amortization "
     "half of the q_ann_ivfpq_search split: train once here, search "
@@ -849,20 +951,19 @@ def q_ann_ivfpq_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pushes the probed-cell union as a parquet PartitionFilter so "
     "BOTH index scans (codes-only ADC leg, vectors-for-shortlist "
     "re-rank leg) physically read nprobe=4 of nlist=16 cell "
-    "directories. Builds the index once if absent/stale (mtime vs "
-    "fixture), so a cold run pays the build exactly once and the "
-    "bench's median-of-3 measures the steady state. Results are "
-    "row-identical to q_ann_ivfpq_topk (same deterministic "
-    "quantizers) — pinned in tests/test_pq.py.",
+    "directories. Builds the index once if absent/stale (sidecar "
+    "recipe + fixture fingerprint mismatch), so a cold run pays the "
+    "build exactly once and the bench measures the steady state. "
+    "Results are row-identical to ivfpq_search over a freshly-built "
+    "same-recipe index (deterministic sampled training) — pinned in "
+    "tests/test_pq.py; q_ann_ivfpq_topk stays the full-train "
+    "recall-audit twin.",
     tags=("similarity", "topk", "quantize"),
 )
 def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.operators.pq import ivfpq_search, read_ivfpq_index
+    from c_tran_data_pipeline_spark.operators.pq import ivfpq_search
 
-    path = _ivfpq_cache_path(sf_dir)
-    if not _ivfpq_index_fresh(sf_dir, path):
-        _build_ivfpq(spark, sf_dir)
-    idx = read_ivfpq_index(spark, path)
+    idx = _ensure_ivfpq(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return ivfpq_search(
         idx, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, rerank_factor=8
@@ -871,13 +972,14 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_ann_pq_search",
-    None,  # ADC is approximate — identical-result pin vs the one-shot
-    # q_ann_pq_topk (same deterministic codebooks) in tests/test_pq.py
+    None,  # ADC is approximate — identical-result pin vs pq_topk with
+    # the same sampled-trained codebooks in tests/test_pq.py
     doc="PQ ANN SEARCH with amortized codebooks (operators/pq.py "
-    "pq_topk over the PERSISTED IVF-PQ index's codebooks — trained "
-    "with identical parameters, so the codes and ranking are "
-    "row-identical to the train-in-query q_ann_pq_topk, which stays "
-    "registered as the recall-audit form): isolates the PQ "
+    "pq_topk over the PERSISTED IVF-PQ index's codebooks — sampled "
+    "deterministic training, so the codes and ranking are "
+    "row-identical to pq_topk rerun with the same codebooks; the "
+    "full-train q_ann_pq_topk stays registered as the recall-audit "
+    "form): isolates the PQ "
     "compression axis (ADC over 8 codes/vector, whole-corpus scan, "
     "exact shortlist re-rank) with ZERO training jobs per query "
     "batch — the q_ann_ivfpq_search treatment applied to the "
@@ -887,12 +989,9 @@ def q_ann_ivfpq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "topk", "quantize"),
 )
 def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.operators.pq import pq_topk, read_ivfpq_index
+    from c_tran_data_pipeline_spark.operators.pq import pq_topk
 
-    path = _ivfpq_cache_path(sf_dir)
-    if not _ivfpq_index_fresh(sf_dir, path):
-        _build_ivfpq(spark, sf_dir)
-    _, books, _ = read_ivfpq_index(spark, path)
+    _, books, _ = _ensure_ivfpq(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     return pq_topk(emb, emb.filter(F.col("vec_id") < 20), books, k=3, rerank_factor=8)
 
@@ -911,18 +1010,14 @@ def q_ann_pq_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search (q_ann_pq_search: codebooks) — exactly how a production "
     "vector store amortizes one build across index flavors. Zero "
     "training jobs; static cell pruning → parquet PartitionFilters; "
-    "row-identical to the one-shot ivf_topk at the index's training "
-    "parameters (iters=2), pinned in tests.",
+    "row-identical to ivf_search over a freshly-built same-recipe "
+    "index (sampled training is deterministic), pinned in tests.",
     tags=("similarity", "topk"),
 )
 def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.operators.pq import read_ivfpq_index
     from c_tran_data_pipeline_spark.operators.similarity import ivf_search
 
-    path = _ivfpq_cache_path(sf_dir)
-    if not _ivfpq_index_fresh(sf_dir, path):
-        _build_ivfpq(spark, sf_dir)
-    cents, _, encoded = read_ivfpq_index(spark, path)
+    cents, _, encoded = _ensure_ivfpq(spark, sf_dir)
     index = (cents, encoded.select("neighbor_id", "__cv", "centroid_id"))
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_search(

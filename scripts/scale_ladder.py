@@ -161,6 +161,7 @@ def ann_ladder() -> None:
     from pyspark.sql import functions as F
 
     from c_tran_data_pipeline_spark.operators.pq import (
+        deterministic_sample,
         ivfpq_index,
         ivfpq_search,
         read_ivfpq_index,
@@ -176,7 +177,18 @@ def ann_ladder() -> None:
             emb.count()
             queries = emb.filter(F.col("vec_id") < 20)
             t0 = time.perf_counter()
-            idx = ivfpq_index(emb, m=8, ksub=16, nlist=nlist, iters=2, dim=64)
+            # Canonical recipe: both quantizers train on the 1/4
+            # deterministic hash-sample (train-on-sample, assign-full-
+            # corpus); the r3 ladder trained on the full corpus.
+            idx = ivfpq_index(
+                emb,
+                m=8,
+                ksub=16,
+                nlist=nlist,
+                iters=2,
+                dim=64,
+                train_df=deterministic_sample(emb, mod=4, key="vec_id"),
+            )
             path = str(tmp / f"idx_{n}")
             write_ivfpq_index(idx, path)
             build_s = time.perf_counter() - t0
@@ -186,6 +198,23 @@ def ann_ladder() -> None:
                 t0 = time.perf_counter()
                 ivfpq_search(disk, queries, k=3, nprobe=4, rerank_factor=8).collect()
                 times.append(time.perf_counter() - t0)
+            # Candidate volume: rows the ADC leg actually scores = Σ over
+            # (query, probed cell) of cell size — the quantity the IVF
+            # pruning bounds to ~|queries|·nprobe·(n/nlist) regardless of
+            # corpus size at fixed cell occupancy.
+            from c_tran_data_pipeline_spark.operators.similarity import (
+                _as_double,
+                _probe_cells,
+            )
+
+            cents, _, encoded = disk
+            probes = queries.select(
+                F.col("vec_id").alias("query_id"),
+                F.explode(
+                    _probe_cells(_as_double(F.col("embedding")), cents, 4)
+                ).alias("centroid_id"),
+            )
+            cand = encoded.join(probes, "centroid_id").count()
             emb.unpersist()
             print(
                 json.dumps(
@@ -194,6 +223,7 @@ def ann_ladder() -> None:
                         "nlist": nlist,
                         "build_s": round(build_s, 2),
                         "search_s": [round(x, 2) for x in sorted(times)],
+                        "candidates": cand,
                     }
                 ),
                 flush=True,
