@@ -71,6 +71,7 @@ HEADLINE = [
     "q_ann_ivf_search",
     "q_bm25_rank",
     "q_table_diff",
+    "q_bm25_rank_pruned",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -103,6 +104,7 @@ _POST_R01 = (
     "q_ann_ivf_search",
     "q_bm25_rank",
     "q_table_diff",
+    "q_bm25_rank_pruned",
 )
 
 

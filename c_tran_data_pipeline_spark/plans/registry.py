@@ -56,63 +56,68 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # order. The gate records rows for exactly the first 50 names of
 # ``all_queries()`` ordering per round (a hard cap or time budget), so
 # dict ordering decides which queries get hard evidence each round.
-# Refreshed for round 3 per VERDICT.md next-round item 1: exactly the
-# 35 queries with NO row in CORRECTNESS_r01 ∪ r02 lead, followed by
-# this round's new registrations (also evidence-free); positions past
-# that fall to already-proven queries. Registry growth is deliberately
-# throttled (< 15 new queries/round) until this backlog clears, so
-# round 3 closes the every-query-has-a-row invariant.
+# Round-3 closed the never-gated backlog (all 144 queries have a row);
+# from round 4 on the list ROTATES STALE EVIDENCE per VERDICT.md r3
+# item 3: this round's new registrations lead (evidence-free by
+# construction), then every query whose only driver row is from r01
+# (44 — code has changed since), then the oldest r02 rows prioritizing
+# queries whose plan changed this round (q_hybrid_search's hot-token
+# threshold). Rolling this forward each round keeps every query's
+# evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
-    # never-gated backlog (r01 ∪ r02 have no row for these 35):
-    "q_customer_order_distribution",
-    "q_brand_supplier_counts",
-    "q_waiting_orders",
-    "q_idle_customers",
-    "q_knn_label",
-    "q_source_mix_report",
-    "q_prefix_dedup",
-    "q_token_budget_cap",
-    "q_rolling_actives",
-    "q_neardup_degree",
-    "q_incremental_neardup",
-    "q_quality_topp",
-    "q_table_stats",
-    "q_negative_samples",
-    "q_psi_drift",
-    "q_global_shuffle_shards",
-    "q_min_cost_supplier",
-    "q_scd2_history",
-    "q_text_normalize",
-    "q_frame_sample",
-    "q_retrieval_metrics",
-    "q_char_entropy",
-    "q_volume_shipping",
-    "q_promo_revenue",
-    "q_disjunctive_revenue",
-    "q_temperature_sample",
-    "q_important_stock",
-    "q_moving_average_24h",
-    "q_ann_ivfpq_topk",
-    "q_debounce_events",
-    "q_stop_tokens",
-    "q_langid_confusion",
-    "q_session_overlap",
-    "q_minhash_estimate",
-    "q_bigram_pmi",
-    # round-3 registrations — no prior evidence by construction:
-    "q_debounce_heartbeat",
-    "q_fk_orphans",
-    "q_ann_ivfpq_build",
-    "q_ann_ivfpq_search",
-    "q_table_diff",
-    "q_bm25_rank",
-    "q_bpe_merge_candidates",
-    "q_span_corruption",
-    "q_grouped_kfold",
-    "q_source_gini",
-    "q_ann_pq_search",
-    "q_ann_ivf_search",
-    "q_audio_features",
+    # round-4 registrations — no prior evidence by construction:
+    "q_bm25_rank_pruned",
+    # r01-only evidence (stale 3 rounds, refresh all 44):
+    "q_window_hourly",
+    "q_profile_events",
+    "q_text_tokens",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_train_split",
+    "q_stratified_sample",
+    "q_domain_cap",
+    "q_corpus_prep",
+    "q_corpus_prep_neardup",
+    "q_incremental_ingest",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_sig",
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_simhash_pairs",
+    "q_binary_meta",
+    "q_multimodal_features",
+    "q_asof_prev_purchase",
+    "q_asof_tolerance",
+    "q_range_join_follows",
+    "q_rollup_pricing",
+    "q_cube_order_matrix",
+    "q_grouping_sets_shipping",
+    "q_approx_distinct",
+    "q_set_ops_cohorts",
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_running_total",
+    "q_asof_next_purchase",
+    "q_region_revenue",
+    "q_asof_nearest_purchase",
+    "q_vocab_topk",
+    "q_tfidf_top_terms",
+    "q_flagship_hotspot",
+    "q_flagship_hotspot_pm",
+    "q_conform_validate",
+    "q_breadcrumb_conform",
+    "q_distinct_tuples",
+    "q_first_wins_dedup",
+    "q_antijoin_absent",
+    "q_enrich_merge",
+    # oldest r02 rows, plan-changed-this-round first:
+    "q_hybrid_search",
+    "q_sessionize",
+    "q_length_histogram",
+    "q_text_repetition",
+    "q_pii_scrub",
 )
 
 

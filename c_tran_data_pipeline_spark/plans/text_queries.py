@@ -858,9 +858,7 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select("w1", "w2", "n_ab", pmi.alias("pmi"))
 
 
-@query(
-    "q_bm25_rank",
-    r"""
+_BM25_ORACLE = r"""
     WITH toks AS (
         SELECT doc_id, tok, COUNT(*) AS tf
         FROM (SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
@@ -898,7 +896,12 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, cand AS neighbor_id, rank, ROUND(raw, 6) AS score
     FROM ranked WHERE rank <= 5
-    """,
+    """
+
+
+@query(
+    "q_bm25_rank",
+    _BM25_ORACLE,
     doc="Full BM25 lexical ranking (k1=1.2, b=0.75 — the Okapi/Lucene "
     "default): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over "
     "query∩doc terms, top-5 per query doc — the real scoring function "
@@ -920,9 +923,49 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "topk", "retrieval"),
 )
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_rank(spark, sf_dir, prune=False)
+
+
+@query(
+    "q_bm25_rank_pruned",
+    _BM25_ORACLE,  # IDENTICAL oracle: max-score pruning is lossless by
+    # construction, and the driver's hash-match proves it every round
+    doc="BM25 with max-score/WAND-style candidate pruning — the exact "
+    "same ranking as q_bm25_rank (same oracle SQL, hash-identical "
+    "results) computed over a PRUNED candidate set. Per query: (1) a "
+    "seed pass scores only the postings of the single highest-"
+    "upper-bound term and takes its k-th best exact score as the "
+    "threshold θ (a sound lower bound on the final k-th score, since "
+    "seeds are a candidate subset); (2) each query term gets the "
+    "static Okapi upper bound ub = idf·(k1+1)+ε (per-term score is "
+    "strictly below idf·(k1+1) for any tf, dl), and a term is "
+    "NON-ESSENTIAL when the ub-descending suffix sum from it is < θ — "
+    "a doc matching only non-essential terms is bounded below θ and "
+    "can never enter the top k, so its postings are never joined; (3) "
+    "survivors are scored exactly. This is the document-pruning half "
+    "of WAND brought to a declarative plan: at web scale the win is "
+    "skipping the long postings lists of common (low-idf) terms "
+    "entirely once rare terms have established θ. "
+    "tests/test_bm25.py pins result equality with the "
+    "unpruned form AND that the pruned candidate volume is strictly "
+    "smaller on the fixture.",
+    tags=("text", "topk", "retrieval"),
+)
+def q_bm25_rank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _bm25_rank(spark, sf_dir, prune=True)
+
+
+def _bm25_rank(
+    spark: SparkSession,
+    sf_dir: str,
+    prune: bool,
+    return_candidates: bool = False,
+    docs: DataFrame | None = None,
+) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    if docs is None:
+        docs = load_table(spark, sf_dir, "documents")
     # The tf table IS the inverted index, consumed four times below (doc
     # lengths, document frequencies, query terms, candidates). It is
     # deliberately NOT .persist()ed: caching was MEASURED SLOWER here
@@ -961,20 +1004,102 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         / (F.col("tf") + 1.2 * (0.25 + 0.75 * (F.col("dl") / avgdl))),
         7,
     )
-    terms = (
-        qt.join(cand, "tok")
-        .filter(F.col("cand") != F.col("query_id"))
-        .join(dlen.select(F.col("doc_id").alias("cand"), "dl"), "cand")
-        .join(F.broadcast(dfreq_q), "tok")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "cand", term.alias("__term"))
-    )
-    scored = terms.groupBy("query_id", "cand").agg(
-        F.sum(F.col("__term").cast("decimal(38,12)")).cast("double").alias("__raw")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("__raw").desc(), F.col("cand").asc())
+    def term_rows(qtx: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+        """Per-(query, cand, term) BM25 contributions for the query-term
+        set ``qtx``; ``pairs`` (query_id, cand) semi-joins the inverted-
+        index join output immediately, before the dl/df attachment."""
+        out = qtx.join(cand, "tok").filter(F.col("cand") != F.col("query_id"))
+        if pairs is not None:
+            out = out.join(pairs, ["query_id", "cand"], "left_semi")
+        return (
+            out.join(dlen.select(F.col("doc_id").alias("cand"), "dl"), "cand")
+            .join(F.broadcast(dfreq_q), "tok")
+            .crossJoin(F.broadcast(stats))
+            .select("query_id", "cand", term.alias("__term"))
+        )
+
+    def topk_scores(terms: DataFrame) -> DataFrame:
+        scored = terms.groupBy("query_id", "cand").agg(
+            F.sum(F.col("__term").cast("decimal(38,12)")).cast("double").alias("__raw")
+        )
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("__raw").desc(), F.col("cand").asc()
+        )
+        return scored.withColumn("rank", F.row_number().over(w))
+
+    qt_scoring = qt
+    pairs = None
+    if prune:
+        # Max-score/WAND-style pruning, exactness-preserving (see the
+        # q_bm25_rank_pruned doc). ub = idf·(k1+1)+ε is a strict static
+        # upper bound on any single term's contribution (tf→∞, dl→0
+        # limit of the Okapi term), with ε covering the 7-dp rounding.
+        ub = (idf * 2.2 + F.lit(1e-6)).alias("__ub")
+        qts = (
+            qt.join(F.broadcast(dfreq_q), "tok")
+            .crossJoin(F.broadcast(stats))
+            .select("query_id", "tok", ub)
+        )
+        wseed = Window.partitionBy("query_id").orderBy(
+            F.col("__ub").desc(), F.col("tok").asc()
+        )
+        seed_terms = (
+            qts.withColumn("__rn", F.row_number().over(wseed))
+            .filter(F.col("__rn") == 1)
+            .select("query_id", "tok")
+        )
+        seed_pairs = (
+            seed_terms.join(cand, "tok")
+            .filter(F.col("cand") != F.col("query_id"))
+            .select("query_id", "cand")
+            .distinct()
+        )
+        # θ_q = k-th best EXACT score among the seed candidates — a
+        # sound lower bound on the final k-th score (seeds ⊆ final
+        # candidate set: the seed term has the maximal suffix sum, so it
+        # is always essential). Fewer than k seeds → no θ row → the
+        # left join below keeps every term (no pruning).
+        theta = (
+            topk_scores(term_rows(qt, seed_pairs))
+            .filter(F.col("rank") == 5)
+            .select("query_id", F.col("__raw").alias("__theta"))
+        )
+        # A term is non-essential when the ub-descending suffix sum from
+        # it is < θ: any doc matching ONLY such terms is bounded < θ.
+        wss = (
+            Window.partitionBy("query_id")
+            .orderBy(F.col("__ub").desc(), F.col("tok").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        qt_scoring = (
+            qts.withColumn("__ss", F.sum("__ub").over(wss))
+            .join(F.broadcast(theta), "query_id", "left")
+            .filter(F.col("__theta").isNull() | (F.col("__ss") >= F.col("__theta")))
+            .select("query_id", "tok")
+        )
+        pairs = (
+            qt_scoring.join(cand, "tok")
+            .filter(F.col("cand") != F.col("query_id"))
+            .select("query_id", "cand")
+            .distinct()
+        )
+        # Survivors are scored over their FULL matched-term sets (qt,
+        # not just essential terms) — pruning selects documents, never
+        # drops score mass from a surviving document.
+        qt_scoring = qt
+
+    if return_candidates:  # measurement hook for the pruning-volume test
+        if pairs is not None:
+            return pairs
+        return (
+            qt.join(cand, "tok")
+            .filter(F.col("cand") != F.col("query_id"))
+            .select("query_id", "cand")
+            .distinct()
+        )
+
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        topk_scores(term_rows(qt_scoring, pairs))
         .filter(F.col("rank") <= 5)
         .select(
             "query_id",

@@ -178,6 +178,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     # 1-row (n_docs, total tokens) scalar re-entering as the avgdl /
     # idf corpus constants
     "q_bm25_rank",
+    # same scalars, in both the seed/θ pass and the final scoring pass
+    "q_bm25_rank_pruned",
 }
 
 
