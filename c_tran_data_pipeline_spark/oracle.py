@@ -220,12 +220,14 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "percentiles within the configured rank error of the exact sort-based twin)"
     ),
     "q_frame_sample": (
-        "tests/test_multimodal.py::test_frame_sampling (deterministic fake-codec "
-        "frame synthesis: frame indices/strides and Arrow batch shapes pinned)"
+        "tests/test_multimodal.py::test_registered_query_matches_golden (ALL 750 "
+        "sf0.01 output rows — frame md5s + byte lengths — equal the committed "
+        "golden file) + test_frame_sampling (stride/index semantics)"
     ),
     "q_multimodal_features": (
-        "tests/test_multimodal.py::test_feature_extraction (byte-level feature "
-        "values pinned against a pure-Python reference over the same payloads)"
+        "tests/test_multimodal.py::test_registered_query_matches_golden (ALL 500 "
+        "sf0.01 output rows equal the committed golden file) + "
+        "test_feature_extraction (byte-level values vs a pure-Python reference)"
     ),
     "q_pack_sequences": (
         "tests/test_packing.py::test_every_doc_packed_exactly_once + "

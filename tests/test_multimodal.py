@@ -307,3 +307,34 @@ def test_resize_pngs_real_pixels_roundtrip(spark):
         for x in range(3):
             sy, sx = min(int(y * h / 2), h - 1), min(int(x * w / 3), w - 1)
             assert px[y * 3 + x] == g[sy * w + sx]
+
+
+# ---------------------------------------------------------------------------
+# Golden pins for the two rows-only registered queries: EVERY row of the
+# sf0.01 output (500 assets / 750 frames) must match the committed golden
+# byte-for-byte (sorted row lists; floats are exact — each is one IEEE
+# division of exact integers, deterministic across partitionings). This is
+# the strongest evidence a fake-codec pipeline can carry: shape checks
+# can't see a corrupted payload byte, a full-output golden can.
+# ---------------------------------------------------------------------------
+
+
+def _golden(name):
+    import json
+    from pathlib import Path
+
+    p = Path(__file__).parent / "goldens" / f"{name}_sf0.01.json"
+    with open(p) as f:
+        return json.load(f)
+
+
+@pytest.mark.parametrize("name", ["q_multimodal_features", "q_frame_sample"])
+def test_registered_query_matches_golden(spark, name):
+    from c_tran_data_pipeline_spark.plans import all_queries
+    from tests.conftest import SF_ORACLE
+
+    golden = _golden(name)
+    df = all_queries()[name].builder(spark, SF_ORACLE)
+    assert df.columns == golden["columns"]
+    rows = sorted([list(r) for r in df.collect()])
+    assert rows == golden["rows"]
