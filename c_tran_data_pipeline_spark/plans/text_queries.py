@@ -948,7 +948,11 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entirely once rare terms have established θ. "
     "tests/test_bm25.py pins result equality with the "
     "unpruned form AND that the pruned candidate volume is strictly "
-    "smaller on the fixture.",
+    "smaller on the fixture. Like the unpruned form, the tf table is "
+    "deliberately NOT persisted across the three passes: measured 3.5 s "
+    "vs 8.6 s persisted at sf0.1 — the InMemoryRelation blocks the "
+    "doc_id<5 pushdown on every query-side branch, same effect as the "
+    "q_bm25_rank note, tripled.",
     tags=("text", "topk", "retrieval"),
 )
 def q_bm25_rank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -343,6 +343,13 @@ _BOUNDED_BROADCAST_NOTES = {
 def test_broadcast_build_sides_bounded(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # Cached relations substitute their ORIGINAL physical plan into new
+    # queries (CacheManager matches on the canonicalized logical plan),
+    # so a .persist() registered by an earlier test — compiled under the
+    # default broadcast threshold — would re-inject auto-broadcasts into
+    # the plans built here and false-positive the gate. Plan from a cold
+    # cache so only this build's (hint-driven) broadcasts are visible.
+    spark.catalog.clearCache()
     try:
         offenders = []
         for name, plan in _registry_plans(spark):
