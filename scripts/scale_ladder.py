@@ -232,8 +232,87 @@ def ann_ladder() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+_EN_VOCAB = (
+    "the and of to in for with on at by from this that is are was were be "
+    "have has had not but they them their there here when where what which "
+    "who how all some many most other into over under"
+).split()  # 40 common English words so lang_id passes and quality is real
+
+
+def synth_english_documents(spark: SparkSession, n: int, plant_every: int = 50) -> DataFrame:
+    """Like synth_documents but over an English stopword vocabulary (so
+    the corpus-prep language filter keeps the docs) and with a source
+    column (37 synthetic domains) for the domain-cap stage."""
+    vocab_lit = "array(" + ",".join(f"'{w}'" for w in _EN_VOCAB) + ")"
+    nv = len(_EN_VOCAB)
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 37).cast("string")).alias("source"),
+        F.expr(
+            f"concat_ws(' ', transform(sequence(1, "
+            f"10 + cast(cast(conv(substr(md5(concat('L', id)), 1, 8), 16, 10) as bigint) % 91 as int)), "
+            f"j -> element_at({vocab_lit}, 1 + cast(cast(conv(substr(md5(concat(id, '#', j)), 1, 8), 16, 10) as bigint) % {nv} as int))))"
+        ).alias("text"),
+    )
+    dups = base.filter(F.col("doc_id") % plant_every == 0).select(
+        (F.col("doc_id") + n).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.col("text"), F.lit("the")).alias("text"),
+    )
+    return base.unionAll(dups)
+
+
+def prep_ladder() -> None:
+    """END-TO-END corpus-prep scaling (run: ``python scripts/scale_ladder.py
+    --prep``): the full q_corpus_prep_neardup pipeline — langid + quality
+    scoring, exact dedup, MinHash-LSH near-dup candidates, star-contraction
+    connected components, domain cap — timed over a 16× synthetic English
+    corpus ladder. The claim under test: the whole pipeline is equi-join/
+    agg-shaped, so wall-clock grows ~linearly with the corpus (no hidden
+    quadratic stage)."""
+    from c_tran_data_pipeline_spark.functions.text import lang_id, quality_score
+    from c_tran_data_pipeline_spark.operators.curation import domain_cap, exact_dedup
+    from c_tran_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("prep-ladder")
+    for n in (5_000, 20_000, 80_000):
+        docs = synth_english_documents(spark, n).persist()
+        n_total = docs.count()
+        t0 = time.perf_counter()
+        scored = docs.select(
+            "doc_id", "source", "text",
+            lang_id("text").alias("pred_lang"),
+            quality_score("text").alias("quality"),
+        )
+        kept = scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.2))
+        exact = exact_dedup(kept, content="text", key="doc_id").localCheckpoint(eager=False)
+        pairs = minhash_lsh_candidates(exact, num_hashes=16, bands=4)
+        comp = dedup_clusters(pairs)
+        survivors = (
+            exact.join(comp, on="doc_id", how="left")
+            .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+            .drop("component")
+        )
+        capped = domain_cap(
+            survivors, domain="source",
+            order_by=[F.col("quality").desc(), F.col("doc_id").asc()], cap=1000,
+        )
+        n_out = capped.count()
+        row = {
+            "n_docs": n_total,
+            "survivors": n_out,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_ladder()
+    elif "--prep" in sys.argv:
+        prep_ladder()
     else:
         main()

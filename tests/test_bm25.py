@@ -71,3 +71,31 @@ def test_pruned_bm25_scores_fewer_candidates_zipf(spark):
     f_full = _bm25_rank(spark, SF_ORACLE, prune=False, return_candidates=True).count()
     f_kept = _bm25_rank(spark, SF_ORACLE, prune=True, return_candidates=True).count()
     assert f_kept <= f_full
+
+
+# ---------------------------------------------------------------------------
+# Property: pruning is lossless on ARBITRARY corpora. The Zipf test covers
+# the shape pruning was built for; hypothesis sweeps the space where the
+# soundness argument has to hold edge to edge — ties at θ, queries with
+# fewer than k seed candidates (no pruning), empty postings, single-token
+# docs, shared vs disjoint vocabularies.
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_tok = st.sampled_from(["a", "b", "c", "dd", "ee", "rare1", "rare2", "zz"])
+_doc = st.lists(_tok, min_size=1, max_size=6).map(" ".join)
+
+
+@given(texts=st.lists(_doc, min_size=6, max_size=18))
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_pruned_bm25_lossless_on_random_corpora(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    plain = _bm25_rank(spark, SF_ORACLE, prune=False, docs=docs)
+    pruned = _bm25_rank(spark, SF_ORACLE, prune=True, docs=docs)
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pruned.collect()))

@@ -338,3 +338,36 @@ def test_registered_query_matches_golden(spark, name):
     assert df.columns == golden["columns"]
     rows = sorted([list(r) for r in df.collect()])
     assert rows == golden["rows"]
+
+
+def test_png_decode_roundtrip_property():
+    """Property sweep of the decoder: random dimensions, channel counts,
+    pixel contents, and PER-ROW filter-type mixes, all encoded by the
+    independent forward-filter writer — the vectorized reconstruction
+    (cumsum Sub, vector-add Up, serial Average/Paeth) must return the
+    exact pixels for every combination. Pure-Python, no Spark, so the
+    sweep is wide and fast."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from c_tran_data_pipeline_spark.operators.multimodal import _decode_png_bytes
+
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 8),
+        ch=st.sampled_from([1, 3]),
+        data=st.data(),
+    )
+    @settings(max_examples=60, deadline=None)
+    def check(w, h, ch, data):
+        n = w * h * ch
+        pixels = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        )
+        ftypes = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        payload = _png_with_filters(w, h, ch, pixels, ftypes)
+        assert _decode_png_bytes(payload) == (w, h, ch, pixels)
+
+    check()
