@@ -72,6 +72,9 @@ HEADLINE = [
     "q_bm25_rank",
     "q_table_diff",
     "q_bm25_rank_pruned",
+    "q_bloom_prefilter_join",
+    "q_phrase_search",
+    "q_pagerank",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -105,6 +108,9 @@ _POST_R01 = (
     "q_bm25_rank",
     "q_table_diff",
     "q_bm25_rank_pruned",
+    "q_bloom_prefilter_join",
+    "q_phrase_search",
+    "q_pagerank",
 )
 
 

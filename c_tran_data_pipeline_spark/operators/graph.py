@@ -158,3 +158,53 @@ def dedup_clusters(pairs: DataFrame, src: str = "d1", dst: str = "d2") -> DataFr
     return connected_components(pairs, src=src, dst=dst).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping: float = 0.85,
+    teleport: float = 0.15,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """(node, rank) after ``iters`` synchronous PageRank iterations over
+    a DIRECTED edge list (src, dst) — pass both directions for an
+    undirected graph, which also guarantees no dangling mass. Each
+    iteration is join(rank ⋈ edges ⋈ out-degree) → per-dst aggregate.
+    ``teleport`` is a SEPARATE literal rather than 1-damping because
+    IEEE 1.0-0.85 = 0.15000000000000002, which would diverge from an
+    oracle that writes the literal 0.15 — pass both explicitly.
+    per-edge contributions are cast to DECIMAL(38,18) before the sum so
+    the fixpoint is bit-identical across shuffle layouts and engines
+    (the repo's float policy; q_pagerank carries the exact unrolled SQL
+    oracle). Lineage grows linearly in ``iters`` — set
+    ``checkpoint_every`` (e.g. 5) to localCheckpoint the rank relation
+    periodically for long runs, same pattern as connected_components.
+    Nodes with no in-edges (impossible for symmetrized input) would
+    drop out; dangling out-mass is NOT redistributed — symmetrize or
+    pre-filter accordingly."""
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    n = nodes.count()  # scalar literal; bounded driver state (node count)
+    pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    src_deg = edges.join(deg, "src").select("src", "dst", "outdeg")
+    for i in range(iters):
+        pr = (
+            pr.join(src_deg, pr.node == src_deg.src)
+            .select(
+                F.col("dst"),
+                ((F.lit(damping) * F.col("rank")) / F.col("outdeg"))
+                .cast("decimal(38,18)")
+                .alias("contrib"),
+            )
+            .groupBy("dst")
+            .agg(
+                (F.lit(teleport / n) + F.sum("contrib").cast("double")).alias("rank")
+            )
+            .withColumnRenamed("dst", "node")
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
+            pr = pr.localCheckpoint(eager=True)
+    return pr

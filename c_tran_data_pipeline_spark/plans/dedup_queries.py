@@ -453,3 +453,52 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_dedup_canonical",
+    r"""
+    WITH d AS (
+        SELECT doc_id, n_chars,
+               array_to_string(string_split_regex(trim(text), '\s+')[1:2], ' ')
+                   AS block_key
+        FROM documents
+    )
+    SELECT doc_id, block_key,
+           FIRST_VALUE(doc_id) OVER (
+               PARTITION BY block_key ORDER BY n_chars DESC, doc_id
+           ) AS canonical_id,
+           COUNT(*) OVER (PARTITION BY block_key) AS cluster_size,
+           doc_id = FIRST_VALUE(doc_id) OVER (
+               PARTITION BY block_key ORDER BY n_chars DESC, doc_id
+           ) AS is_canonical
+    FROM d
+    """,
+    doc="Canonical-representative selection: docs blocked by their "
+    "2-token prefix (the blocking key is pluggable — same shape for a "
+    "MinHash band or URL host), the longest doc per block (ties: min "
+    "doc_id) elected canonical, and EVERY doc emitted with its "
+    "doc_id→canonical_id mapping + cluster size — the rewrite table a "
+    "curation pipeline joins against to redirect references, vs "
+    "q_prefix_dedup's per-group summary. One shuffle on the block key; "
+    "both windows share it.",
+    tags=("dedup", "curation", "window"),
+)
+def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.functions.text import words
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.concat_ws(" ", F.slice(words("text"), 1, 2)).alias("block_key"),
+    )
+    w = Window.partitionBy("block_key").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wp = Window.partitionBy("block_key")
+    canonical = F.first("doc_id").over(w)
+    return d.select(
+        "doc_id", "block_key",
+        canonical.alias("canonical_id"),
+        F.count(F.lit(1)).over(wp).alias("cluster_size"),
+        (F.col("doc_id") == canonical).alias("is_canonical"),
+    )

@@ -1413,3 +1413,176 @@ def q_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.greatest("a_start", "b_start"))
         ).alias("overlap_us"),
     )
+
+
+@query(
+    "q_constraint_audit",
+    """
+    WITH m AS (
+        SELECT COUNT(*) AS n,
+               COUNT(l_shipdate) AS ship_nn,
+               COUNT(DISTINCT (l_orderkey, l_linenumber)) AS pk_d,
+               SUM(CASE WHEN l_discount BETWEEN 0 AND 0.11 THEN 1 ELSE 0 END) AS disc_ok,
+               SUM(CASE WHEN l_returnflag IN ('A','N','R') THEN 1 ELSE 0 END) AS rf_ok,
+               COUNT(o_orderkey) AS fk_ok,
+               SUM(CASE WHEN l_quantity <= 49 THEN 1 ELSE 0 END) AS qty_ok
+        FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+    ),
+    long AS (
+        SELECT 'lineitem.l_shipdate.completeness' AS check_name, ship_nn / n AS metric FROM m
+        UNION ALL SELECT 'lineitem.(l_orderkey,l_linenumber).uniqueness', pk_d / n FROM m
+        UNION ALL SELECT 'lineitem.l_discount.in_range_0_0.11', disc_ok / n FROM m
+        UNION ALL SELECT 'lineitem.l_returnflag.domain_ANR', rf_ok / n FROM m
+        UNION ALL SELECT 'lineitem.l_orderkey.fk_orders', fk_ok / n FROM m
+        UNION ALL SELECT 'lineitem.l_quantity.le_49', qty_ok / n FROM m
+    )
+    SELECT check_name, ROUND(metric, 6) AS metric,
+           CASE WHEN metric >= 1.0 - 1e-9 THEN 'pass' ELSE 'fail' END AS status
+    FROM long
+    """,
+    doc="Deequ-style declarative data-quality suite, one scan: six "
+    "constraints (completeness, composite-key uniqueness, numeric "
+    "range, categorical domain, referential integrity, an intentionally "
+    "tight quantity bound) computed in a single aggregate over lineitem "
+    "LEFT JOIN orders — count/count_distinct/conditional sums are all "
+    "partial-aggregable, then the 1-row metric vector unpivots via "
+    "stack() into (check_name, metric, status). The reference validates "
+    "row-at-a-time in Python (breadcrumb_validation.py); this is the "
+    "set-based form that audits 100 TB in one pass. The dedicated FK "
+    "operator (q_fk_orphans) returns the orphan rows; here the same "
+    "check is one metric among the suite. On the synthetic fixture two "
+    "checks genuinely fail — the tight quantity bound AND composite-key "
+    "uniqueness (the generator does not enforce the TPC-H lineitem PK; "
+    "sf0.001: 4599 distinct (l_orderkey,l_linenumber) pairs over 6000 "
+    "rows) — exactly what an audit exists to surface (pinned in "
+    "tests/test_olap.py).",
+    tags=("olap", "validation", "agg"),
+)
+def q_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_discount",
+        "l_returnflag", "l_quantity",
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    j = li.join(o, li.l_orderkey == o.o_orderkey, "left")
+    agg = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("l_shipdate").alias("ship_nn"),
+        F.count_distinct("l_orderkey", "l_linenumber").alias("pk_d"),
+        F.sum(
+            F.when(F.col("l_discount").between(0, 0.11), 1).otherwise(0)
+        ).alias("disc_ok"),
+        F.sum(
+            F.when(F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0)
+        ).alias("rf_ok"),
+        F.count("o_orderkey").alias("fk_ok"),
+        F.sum(F.when(F.col("l_quantity") <= 49, 1).otherwise(0)).alias("qty_ok"),
+    )
+    long = agg.selectExpr(
+        """stack(6,
+            'lineitem.l_shipdate.completeness',           ship_nn / n,
+            'lineitem.(l_orderkey,l_linenumber).uniqueness', pk_d / n,
+            'lineitem.l_discount.in_range_0_0.11',        disc_ok / n,
+            'lineitem.l_returnflag.domain_ANR',           rf_ok / n,
+            'lineitem.l_orderkey.fk_orders',              fk_ok / n,
+            'lineitem.l_quantity.le_49',                  qty_ok / n
+        ) AS (check_name, metric)"""
+    )
+    return long.select(
+        "check_name",
+        F.round("metric", 6).alias("metric"),
+        F.when(F.col("metric") >= 1.0 - 1e-9, "pass").otherwise("fail").alias("status"),
+    )
+
+
+@query(
+    "q_interpolate_linear",
+    """
+    WITH g AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type <> 'error' THEN value END AS v,
+               epoch_us(ts) AS tus
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, ts, v, tus,
+               LAST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+               LAST_VALUE(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_t,
+               FIRST_VALUE(v IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+               FIRST_VALUE(CASE WHEN v IS NOT NULL THEN tus END IGNORE NULLS) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+        FROM g
+    )
+    SELECT event_id, user_id, ts, v IS NULL AS is_gap,
+           ROUND(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL AND next_t > prev_t
+                   THEN prev_v + (next_v - prev_v) * ((tus - prev_t) / (next_t - prev_t))
+               WHEN prev_v IS NOT NULL AND next_v IS NOT NULL THEN prev_v
+           END, 6) AS v_interp
+    FROM w
+    """,
+    doc="Per-key linear interpolation of gap values (error events null "
+    "their reading, the classic sensor-dropout shape): two "
+    "IGNORE NULLS window passes carry the nearest non-null neighbor "
+    "value+timestamp from each direction, then the gap value is the "
+    "time-weighted blend — one shuffle on user_id total, no self-join, "
+    "no Python. Tie-guarded (equal neighbor timestamps fall back to "
+    "ffill) and edge gaps stay NULL. Extends q_resample_ffill's "
+    "step-fill to continuous signals. All arithmetic is per-row IEEE "
+    "on already-windowed scalars — deterministic, rounded to 6dp on "
+    "both engines.",
+    tags=("olap", "window", "timeseries"),
+)
+def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_type") != "error", F.col("value")).alias("v"),
+        F.unix_micros("ts").alias("tus"),
+    )
+    order = [F.col("ts"), F.col("event_id")]
+    wprev = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wnext = (
+        Window.partitionBy("user_id").orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    t_nn = F.when(F.col("v").isNotNull(), F.col("tus"))
+    w = e.select(
+        "event_id", "user_id", "ts", "v", "tus",
+        F.last("v", ignorenulls=True).over(wprev).alias("prev_v"),
+        F.last(t_nn, ignorenulls=True).over(wprev).alias("prev_t"),
+        F.first("v", ignorenulls=True).over(wnext).alias("next_v"),
+        F.first(t_nn, ignorenulls=True).over(wnext).alias("next_t"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("prev_v").isNotNull()
+            & F.col("next_v").isNotNull()
+            & (F.col("next_t") > F.col("prev_t")),
+            F.col("prev_v")
+            + (F.col("next_v") - F.col("prev_v"))
+            * ((F.col("tus") - F.col("prev_t")) / (F.col("next_t") - F.col("prev_t"))),
+        )
+        .when(
+            F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+            F.col("prev_v"),
+        )
+    )
+    return w.select(
+        "event_id", "user_id", "ts",
+        F.col("v").isNull().alias("is_gap"),
+        F.round(interp, 6).alias("v_interp"),
+    )

@@ -66,6 +66,12 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_pagerank",
+    "q_dedup_canonical",
+    "q_bloom_prefilter_join",
+    "q_phrase_search",
+    "q_constraint_audit",
+    "q_interpolate_linear",
     "q_bm25_rank_pruned",
     # r01-only evidence (stale 3 rounds, refresh all 44):
     "q_window_hourly",
@@ -113,11 +119,12 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_antijoin_absent",
     "q_enrich_merge",
     # oldest r02 rows, plan-changed-this-round first:
-    "q_hybrid_search",
-    "q_sessionize",
-    "q_length_histogram",
-    "q_text_repetition",
-    "q_pii_scrub",
+    # (the round's registrations grew to 7, so the 50-row gate budget
+    # pushes out the r02-evidence refreshes — q_hybrid_search,
+    # q_sessionize, q_length_histogram, q_text_repetition, q_pii_scrub —
+    # and the LAST r01 name above (q_enrich_merge, list position 51,
+    # r01 row + replay-idempotence pytest). All six lead round 5's
+    # rotation, q_enrich_merge and plan-changed q_hybrid_search first.)
 )
 
 

@@ -168,3 +168,130 @@ def q_dataset_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dataset_fingerprint(docs, cols=["doc_id", "text", "lang"], group="source")
+
+
+@query(
+    "q_bloom_prefilter_join",
+    """
+    SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+           COUNT(*) AS n_items,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28, 8))) AS DOUBLE)
+               AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    doc="operators/bloom.py explicit runtime prefilter: urgent-order keys "
+    "aggregated into a 2^15-bit bloom bitmap (one agg; m/64 int64 words "
+    "of driver state, a build PARAMETER independent of corpus size) that "
+    "re-enters the lineitem scan as a constant-folded map-side predicate "
+    "— the fact shuffle then carries only the ~1/5 sliver + <1% false "
+    "positives, and the exact join removes those. Oracle is the PLAIN "
+    "join: the bloom is result-invariant by construction. Complements "
+    "the optimizer-injected bloom pinned in test_scale.py (that one only "
+    "fires inside join cost heuristics; this form is portable to any "
+    "downstream operator). Revenue summed in exact DECIMAL.",
+    tags=("scale", "join", "bloom"),
+)
+def q_bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.bloom import (
+        build_bloom,
+        might_contain,
+    )
+
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    m_bits = 1 << 15
+    words = build_bloom(urgent.select("o_orderkey"), "o_orderkey", m_bits=m_bits)
+    pref = li.filter(might_contain(words, F.col("l_orderkey"), m_bits))
+    joined = pref.join(urgent, pref.l_orderkey == urgent.o_orderkey)
+    return joined.groupBy(
+        F.year("o_orderdate").alias("order_year")
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(28,8)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
+def _pagerank_iter_sql(prev: str) -> str:
+    """One unrolled PageRank iteration (SQL twin of the loop body in
+    q_pagerank): teleport + damped, degree-normalized neighbor mass,
+    summed in exact DECIMAL so the result is shuffle-order-proof."""
+    return f"""
+    SELECT e.dst AS node,
+           CAST(0.15 AS DOUBLE) / (SELECT n FROM n) +
+           CAST(SUM(CAST((CAST(0.85 AS DOUBLE) * p.rank) / d.outdeg
+                         AS DECIMAL(38,18))) AS DOUBLE) AS rank
+    FROM {prev} p
+    JOIN edges e ON p.node = e.src
+    JOIN deg d ON d.node = p.node
+    GROUP BY e.dst
+    """
+
+
+_PAGERANK_SQL = f"""
+    WITH e0 AS (
+        SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    edges AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    deg AS (SELECT src AS node, COUNT(*) AS outdeg FROM edges GROUP BY src),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM n) AS rank FROM nodes),
+    pr1 AS ({_pagerank_iter_sql("pr0")}),
+    pr2 AS ({_pagerank_iter_sql("pr1")}),
+    pr3 AS ({_pagerank_iter_sql("pr2")})
+    SELECT node, ROUND(rank, 12) AS rank FROM pr3
+"""
+
+
+@query(
+    "q_pagerank",
+    _PAGERANK_SQL,
+    doc="PageRank (3 unrolled iterations, d=0.85) over the undirected "
+    "customer↔supplier trade graph of urgent orders — the iterative-"
+    "algorithm-on-DataFrames shape, with an EXACT SQL oracle: each "
+    "iteration is join(rank, edges)⋈degree → per-dst sum, and the "
+    "neighbor-mass sum is cast to DECIMAL(38,18) per contribution so "
+    "the total is associativity-proof across shuffle orders/engines "
+    "(the repo's float policy applied to an iterative fixpoint; "
+    "teleport and init are per-row IEEE on literals). Node ids are "
+    "namespaced ('c:'/'s:'). Bidirectional edges ⇒ no dangling mass. "
+    "Scale: per iteration one shuffle of |E| contributions + an agg "
+    "keyed by node — the canonical distributed PageRank; at real scale "
+    "the loop would checkpoint each pr_i (lineage growth is linear in "
+    "iterations here and documented, not a correctness issue).",
+    tags=("scale", "graph", "iterative"),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import pagerank
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = e0.union(e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    # Materialize the edge list once: pagerank()'s node-count plus each
+    # of the 3 iterations would otherwise re-derive the orders⋈lineitem
+    # join + double distinct through lineage (measured 3.7 → 3.0 s at
+    # sf0.1). Same truncation pattern as connected_components.
+    edges = edges.localCheckpoint(eager=True)
+    pr = pagerank(edges, iters=3, damping=0.85, teleport=0.15)
+    return pr.select("node", F.round("rank", 12).alias("rank"))

@@ -1166,3 +1166,65 @@ def q_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select("pair", "n_occurrences", "rank")
     )
+
+
+@query(
+    "q_phrase_search",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok,
+               unnest(generate_series(1, len(string_split_regex(trim(text), '\s+'))))
+                   AS pos
+        FROM documents
+    ),
+    ph AS (
+        SELECT tok, pos - 1 AS off FROM toks WHERE doc_id = 0 AND pos <= 3
+    ),
+    hits AS (
+        SELECT t.doc_id, t.pos - ph.off AS start_pos, ph.off
+        FROM toks t JOIN ph ON t.tok = ph.tok
+    ),
+    m AS (
+        SELECT doc_id, start_pos
+        FROM hits GROUP BY doc_id, start_pos
+        HAVING COUNT(DISTINCT off) = 3
+    )
+    SELECT doc_id, COUNT(*) AS n_matches, CAST(MIN(start_pos) AS BIGINT) AS first_pos
+    FROM m GROUP BY doc_id
+    """,
+    doc="Exact phrase search over a positional posting list — the "
+    "inverted-index shape (doc_id, token, position) every search stack "
+    "builds, here fully relational: posting rows equi-join the 3-row "
+    "phrase table on token (broadcast; the phrase side is a "
+    "literal-pruned doc_id=0 scan), each hit votes for an alignment "
+    "start = pos - phrase_offset, and a start with all 3 distinct "
+    "offsets matched IS a phrase occurrence (handles repeated phrase "
+    "tokens and overlapping matches). Per doc: occurrence count + first "
+    "position. Scale: cost is sum of the phrase terms' posting-list "
+    "lengths — the token equi-join prunes the corpus to candidate "
+    "docs; no regex scan of full text at query time, no Python.",
+    tags=("text", "search", "join"),
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(words("text")).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    phrase = (
+        toks.filter(F.col("doc_id") == 0)
+        .filter(F.col("pos") <= 3)
+        .select("tok", (F.col("pos") - 1).alias("off"))
+    )
+    hits = toks.join(F.broadcast(phrase), "tok").select(
+        "doc_id", (F.col("pos") - F.col("off")).alias("start_pos"), "off"
+    )
+    matches = (
+        hits.groupBy("doc_id", "start_pos")
+        .agg(F.count_distinct("off").alias("n_off"))
+        .filter(F.col("n_off") == 3)
+    )
+    return matches.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("start_pos").cast("bigint").alias("first_pos"),
+    )

@@ -309,10 +309,52 @@ def prep_ladder() -> None:
         print(json.dumps(row), flush=True)
 
 
+def pagerank_ladder() -> None:
+    """Iterative-fixpoint scaling (run: ``python scripts/scale_ladder.py
+    --pagerank``): operators/graph.py pagerank over a 16x deterministic
+    edge ladder with a SKEWED (Zipf-ish) degree distribution — each
+    edge i attaches src=h(i) mod sqrt-range (hubby) to dst=i mod n
+    (uniform), symmetrized. The claim under test: per-iteration cost is
+    one |E| contribution shuffle + a |V| agg, so wall-clock grows
+    ~linearly in |E| at fixed iteration count (3, matching q_pagerank),
+    hub skew notwithstanding (AQE handles the hot reducer)."""
+    from c_tran_data_pipeline_spark.operators.graph import pagerank
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("pagerank-ladder")
+    for n_edges in (25_000, 100_000, 400_000):
+        hub_range = int(n_edges ** 0.5)
+        e0 = spark.range(n_edges).select(
+            F.expr(
+                f"cast(conv(substr(md5(cast(id as string)), 1, 8), 16, 10) as bigint)"
+                f" % {hub_range}"
+            ).cast("string").alias("src"),
+            F.expr(f"cast(id % {n_edges // 4} as string)").alias("dst"),
+        ).filter(F.col("src") != F.col("dst")).distinct()
+        edges = e0.union(
+            e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().persist()
+        n_e = edges.count()
+        t0 = time.perf_counter()
+        pr = pagerank(edges, iters=3, damping=0.85, teleport=0.15)
+        n_v = pr.count()
+        mass = pr.agg(F.sum("rank")).collect()[0][0]
+        row = {
+            "edges": n_e,
+            "nodes": n_v,
+            "mass": round(mass, 9),
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        edges.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_ladder()
     elif "--prep" in sys.argv:
         prep_ladder()
+    elif "--pagerank" in sys.argv:
+        pagerank_ladder()
     else:
         main()

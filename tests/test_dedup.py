@@ -274,3 +274,30 @@ def test_minhash_estimate_error_bounded(spark):
     # pair should also be genuinely similar
     top = max(rows, key=lambda r: r["est_jaccard"])
     assert top["exact_jaccard"] >= 0.5
+
+
+def test_dedup_canonical_election_rules(spark):
+    """Longest doc wins its block; ties break to min doc_id; every doc
+    maps to its block's canonical; singletons are their own canonical."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.dedup_queries import q_dedup_canonical
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma", 16),
+            (2, "alpha beta gamma delta epsilon", 30),  # longest in block "alpha beta"
+            (3, "alpha beta x", 12),
+            (4, "zeta eta", 8),                          # singleton block
+            (5, "mu nu one", 9),                         # tie on n_chars with 6 → min id wins
+            (6, "mu nu two", 9),
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        rows = {r.doc_id: r for r in q_dedup_canonical(spark, d).collect()}
+    assert rows[1].canonical_id == 2 and rows[3].canonical_id == 2
+    assert rows[2].is_canonical and rows[2].cluster_size == 3
+    assert rows[4].is_canonical and rows[4].cluster_size == 1
+    assert rows[5].canonical_id == 5 and rows[6].canonical_id == 5  # tie → min doc_id

@@ -116,3 +116,60 @@ def test_cohort_retention_week0_counts_every_user(spark):
     week0 = sum(r.n_users for r in rows if r.week_offset == 0)
     assert week0 == total_users  # everyone appears in their own cohort week
     assert all(r.week_offset >= 0 for r in rows)
+
+
+def test_constraint_audit_statuses(spark):
+    """The suite must exercise both statuses on TPC-H-shaped data: the
+    deliberately tight quantity bound fails (TPC-H l_quantity spans
+    1..50), everything else holds on the clean fixture."""
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_constraint_audit
+
+    rows = {r.check_name: r for r in q_constraint_audit(spark, SF_SMOKE).collect()}
+    assert len(rows) == 6
+    # Genuine failures on this fixture: the tight quantity bound (TPC-H
+    # quantities span 1..50) and composite-key uniqueness — the synthetic
+    # generator does NOT enforce the TPC-H (l_orderkey, l_linenumber) PK
+    # (sf0.001: 4599 distinct pairs over 6000 rows, measured), exactly
+    # the kind of fact an audit suite exists to surface.
+    failing = {"lineitem.l_quantity.le_49", "lineitem.(l_orderkey,l_linenumber).uniqueness"}
+    for name, r in rows.items():
+        if name in failing:
+            assert r.status == "fail" and 0 < r.metric < 1, (name, r)
+        else:
+            assert r.status == "pass" and r.metric == 1.0, (name, r)
+
+
+def test_interpolate_linear_handcrafted_gaps(spark):
+    """Interior gaps blend linearly by time distance; leading/trailing
+    gaps (no neighbor on one side) stay NULL; non-gap rows pass their
+    value through."""
+    import datetime as dt
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_interpolate_linear
+    from c_tran_data_pipeline_spark.sources import readers
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: v=10 at t0, gaps at +10s and +20s, v=40 at +30s
+        (1, 1, t0, "view", 10.0),
+        (2, 1, t0 + dt.timedelta(seconds=10), "error", 99.0),
+        (3, 1, t0 + dt.timedelta(seconds=20), "error", 99.0),
+        (4, 1, t0 + dt.timedelta(seconds=30), "view", 40.0),
+        # user 2: leading + trailing gaps
+        (5, 2, t0, "error", 99.0),
+        (6, 2, t0 + dt.timedelta(seconds=5), "view", 7.0),
+        (7, 2, t0 + dt.timedelta(seconds=9), "error", 99.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(f"{d}/events.parquet")
+        out = {r.event_id: r for r in q_interpolate_linear(spark, d).collect()}
+    assert out[2].v_interp == 20.0 and out[2].is_gap
+    assert out[3].v_interp == 30.0
+    assert out[1].v_interp == 10.0 and not out[1].is_gap
+    assert out[5].v_interp is None  # leading edge: no prior neighbor
+    assert out[7].v_interp is None  # trailing edge: no next neighbor
