@@ -905,14 +905,16 @@ _BM25_ORACLE = r"""
     doc="Full BM25 lexical ranking (k1=1.2, b=0.75 — the Okapi/Lucene "
     "default): idf·tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) summed over "
     "query∩doc terms, top-5 per query doc — the real scoring function "
-    "behind q_hybrid_search's simplified overlap leg. Spark plan: tf "
-    "table from ONE explode+agg feeds all three statistics (doc "
-    "length, document frequency, corpus totals) — df (semi-joined down "
-    "to the query vocabulary first, so the broadcast side is bounded "
-    "by |query terms|, never the O(corpus) full vocabulary) and the "
-    "1-row avgdl scalar re-enter as broadcasts, the candidate join is the "
-    "inverted-index equi-join on the token, and per-(query,cand) "
-    "scores aggregate partial-first. Cost is |queries|·Σdf(query "
+    "behind q_hybrid_search's simplified overlap leg. Spark plan: doc "
+    "length and the 1-row avgdl scalar are PROJECTIONS "
+    "(array_size(words) ≡ Σtf — no explode+shuffle pass); the tf "
+    "table is sliced to the query vocabulary ONCE (left-semi against "
+    "the ≤|query terms| token set) and both the candidate postings and "
+    "the document frequencies derive from that slice, so the df "
+    "broadcast is bounded by the query vocabulary, never the O(corpus) "
+    "full vocabulary; the candidate join is the inverted-index "
+    "equi-join on the token, and per-(query,cand) scores aggregate "
+    "partial-first. Cost is |queries|·Σdf(query "
     "terms) — linear in corpus per query, the q_ann_topk shape on the "
     "lexical axis; at web scale you'd add WAND/max-score df pruning "
     "on top (noted, not needed for exactness). Float policy: each "
@@ -948,11 +950,13 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "entirely once rare terms have established θ. "
     "tests/test_bm25.py pins result equality with the "
     "unpruned form AND that the pruned candidate volume is strictly "
-    "smaller on the fixture. Like the unpruned form, the tf table is "
-    "deliberately NOT persisted across the three passes: measured 3.5 s "
-    "vs 8.6 s persisted at sf0.1 — the InMemoryRelation blocks the "
-    "doc_id<5 pushdown on every query-side branch, same effect as the "
-    "q_bm25_rank note, tripled.",
+    "smaller on the fixture. All four branches recompute the "
+    "query-vocab posting slice rather than persist it (measured "
+    "3.9 s vs 6.1 s persisted at sf0.1 — this fixture's uniform "
+    "vocabulary makes the slice ≈ the full index; see the in-plan "
+    "comment), and persisting the FULL tf table is worse still "
+    "(8.6 s — it blocks the doc_id<5 pushdown on every query-side "
+    "branch).",
     tags=("text", "topk", "retrieval"),
 )
 def q_bm25_rank_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -970,36 +974,58 @@ def _bm25_rank(
 
     if docs is None:
         docs = load_table(spark, sf_dir, "documents")
-    # The tf table IS the inverted index, consumed four times below (doc
-    # lengths, document frequencies, query terms, candidates). It is
-    # deliberately NOT .persist()ed: caching was MEASURED SLOWER here
-    # (2.2 s vs 1.8 s warm at sf0.1) because the InMemoryRelation blocks
-    # the doc_id < 5 pushdown on the query-terms branch, which otherwise
-    # reads 5 docs from parquet instead of scanning the cached corpus
-    # index. At 100 TB the equivalent of the persist is writing the tf
-    # table to storage once per corpus version (partitioned so the
-    # query-side filter prunes), not executor caching.
+    # The tf table IS the inverted index. The FULL table is deliberately
+    # never .persist()ed: that was MEASURED SLOWER (2.2 s vs 1.8 s warm,
+    # unpruned; 8.6 s vs 3.5 s pruned, at sf0.1) because the
+    # InMemoryRelation blocks the doc_id < 5 pushdown on the query-terms
+    # branch. Only the query-vocabulary SLICE (cand, below) is cached,
+    # and only in prune mode where four branches re-consume it.
     toks = (
         docs.select("doc_id", F.explode(words("text")).alias("tok"))
         .groupBy("doc_id", "tok")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    dlen = toks.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    # Document length = Σtf = the token-array size: a PROJECTION over the
+    # base scan, not a re-aggregation of the tf table — this removes two
+    # full explode+shuffle corpus passes (dlen itself and the 1-row
+    # stats scalar derived from it) from every consumer below. Σtf and
+    # array_size(words) are equal by construction (explode emits exactly
+    # the array's elements); docs whose words() is NULL never reach toks,
+    # matched here by the dl >= 1 filter (split never yields an empty
+    # array, so only NULL is excluded).
+    dlen = docs.select(
+        "doc_id", F.array_size(words("text")).alias("dl")
+    ).filter(F.col("dl") >= 1)
     stats = dlen.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total")
     )
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     qt = toks.filter(F.col("doc_id") < 5).select(
         F.col("doc_id").alias("query_id"), "tok"
     )
-    cand = toks.select(F.col("doc_id").alias("cand"), "tok", "tf")
-    # Only the QUERY terms' document frequencies are ever used by the
-    # scoring join, so semi-join dfreq down to qt's distinct tokens
-    # before broadcasting: the broadcast side is then bounded by the
-    # query vocabulary, not the full corpus vocabulary (which is O(n)
-    # and would be shipped to every executor at scale).
+    # Only the QUERY terms' postings are ever joined (every consumer of
+    # the inverted index below is downstream of a join with query
+    # tokens), so slice the tf table to the query vocabulary ONCE and
+    # derive everything term-level — candidates AND document frequencies
+    # — from that slice. df over the slice is identical to df over the
+    # full table for query-vocab tokens (the semi-join only drops other
+    # tokens' rows), and the broadcast side stays bounded by the query
+    # vocabulary, never the O(corpus) full vocabulary.
     q_vocab = qt.select("tok").distinct()
-    dfreq_q = dfreq.join(F.broadcast(q_vocab), "tok", "left_semi")
+    cand = toks.join(F.broadcast(q_vocab), "tok", "left_semi").select(
+        F.col("doc_id").alias("cand"), "tok", "tf"
+    )
+    # The slice is deliberately NOT .persist()ed even though prune mode
+    # consumes it from four branches: measured 6.1 s persisted vs 3.9 s
+    # recomputed at sf0.1 — this fixture's UNIFORM vocabulary (every
+    # token df≈75%) makes the query-vocab slice ≈ the whole tf table, so
+    # cache materialization + memory scans cost more than the codegen'd
+    # recompute. On a Zipfian real corpus the slice is O(Σdf(query
+    # terms)) ≪ corpus and materializing it per request (storage-side,
+    # partitioned by tok so the query-side filter prunes) is the 100 TB
+    # play — the plan shape here already isolates exactly that relation.
+    dfreq_q = cand.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("df")
+    )
     avgdl = F.col("total").cast("double") / F.col("n_docs")
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
     term = F.round(
