@@ -75,6 +75,8 @@ HEADLINE = [
     "q_bloom_prefilter_join",
     "q_phrase_search",
     "q_pagerank",
+    "q_triangle_count",
+    "q_cms_heavy_hitters",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -111,6 +113,8 @@ _POST_R01 = (
     "q_bloom_prefilter_join",
     "q_phrase_search",
     "q_pagerank",
+    "q_triangle_count",
+    "q_cms_heavy_hitters",
 )
 
 

@@ -208,3 +208,147 @@ def pagerank(
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iters:
             pr = pr.localCheckpoint(eager=True)
     return pr
+
+
+def triangles(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """(node, n_triangles) for every node in ≥1 triangle of an UNDIRECTED
+    edge list (unique pairs, no self-loops; orientation of the input
+    pair does not matter).
+
+    Degree-ordered orientation (compact-forward): each edge points from
+    the (degree, id)-smaller endpoint to the larger, so every triangle
+    is generated exactly once as wedge (x→y, x→z) + closing edge (y→z),
+    and — the 100 TB property — the oriented out-degree is O(√m) even
+    at power-law hubs (a hub's edges point INTO it), which bounds the
+    wedge join to Σ outdeg² = O(m^1.5) instead of Σ deg² blowing up on
+    the hottest key. Orientation key = deg·1e9 + node (node ids must be
+    non-negative and < 1e9 — true for every fixture key domain; swap in
+    a struct comparison for wider domains).
+
+    One shuffle for degrees, one self-equi-join on the wedge apex, one
+    semi-join against the closing edge, one explode+agg for the
+    per-node attribution — all key-partitioned, no driver state."""
+    e0 = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    ok = deg.select(
+        "node", (F.col("deg") * F.lit(1000000000) + F.col("node")).alias("okey")
+    )
+    eo = (
+        e0.join(ok.select(F.col("node").alias("a"), F.col("okey").alias("ka")), "a")
+        .join(ok.select(F.col("node").alias("b"), F.col("okey").alias("kb")), "b")
+        .select(
+            F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.greatest("ka", "kb").alias("dkey"),
+        )
+    )
+    wedge = (
+        eo.select(F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dkey").alias("k1"))
+        .join(
+            eo.select(F.col("src").alias("x"), F.col("dst").alias("z"), F.col("dkey").alias("k2")),
+            "x",
+        )
+        .filter(F.col("k1") < F.col("k2"))
+        .select("x", "y", "z")
+    )
+    tri = wedge.join(
+        eo.select(F.col("src").alias("y"), F.col("dst").alias("z")), ["y", "z"], "left_semi"
+    )
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+def khop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """(node, dist): minimum hop distance (≤ max_hops) from the seed set
+    over an UNDIRECTED edge list — level-synchronous BFS as DataFrame
+    ops. Each hop is one equi-join frontier⋈edges + distinct (frontier
+    bounded by |V|, never path-count), and dist = MIN level at which a
+    node appears across the unioned levels, which matches the unrolled
+    SQL oracle exactly. ``seeds`` needs a ``node`` column; seeds not in
+    the graph still report dist 0."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    level = seeds.select("node").distinct()
+    levels = [level.select("node", F.lit(0).alias("dist"))]
+    for h in range(1, max_hops + 1):
+        level = (
+            level.join(sym, level.node == sym.u)
+            .select(F.col("v").alias("node"))
+            .distinct()
+        )
+        levels.append(level.select("node", F.lit(h).alias("dist")))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.unionByName(lv)
+    return out.groupBy("node").agg(F.min("dist").alias("dist"))
+
+
+#: modulus for the portable walk hash — prime, small enough that every
+#: intermediate ((x%P)*31 + s)*31 + y%P stays far below 2^63 in BOTH
+#: engines (DuckDB BIGINT overflow is an ERROR, not a wrap).
+WALK_MOD = 1000003
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    steps: int = 3,
+    src: str = "a",
+    dst: str = "b",
+) -> DataFrame:
+    """(walker, step, node) paths of fixed length from each seed over an
+    UNDIRECTED edge list — DETERMINISTIC pseudo-random walks: step s
+    moves to the neighbor minimizing the portable hash
+    ``(((cur % P)·31 + s)·31 + (nb % P)) % P`` (ties → smaller neighbor
+    id), so the sample is reproducible across engines, partitionings and
+    reruns — the property that makes walk-based dataset curation
+    (node2vec-style corpus sampling, graph train/test splits) auditable.
+    Each step is one equi-join on the current node + one per-walker
+    argmin (row_number window keyed by walker — no global sort).
+    Walkers at isolated seeds emit only their step-0 row (symmetrized
+    edges: any reached node has ≥1 neighbor, so no mid-walk death)."""
+    from pyspark.sql.window import Window
+
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+    )
+    cur = seeds.select(F.col("node").alias("walker")).distinct().select(
+        "walker", F.col("walker").alias("cur")
+    )
+    out = cur.select("walker", F.lit(0).alias("step"), F.col("cur").alias("node"))
+    p = F.lit(WALK_MOD)
+    for s in range(1, steps + 1):
+        nb = cur.join(sym, cur.cur == sym.u).select(
+            "walker",
+            F.col("v").alias("nb"),
+            ((((F.col("cur") % p) * 31 + F.lit(s)) * 31 + F.col("v") % p) % p).alias(
+                "h"
+            ),
+        )
+        w = Window.partitionBy("walker").orderBy(F.col("h").asc(), F.col("nb").asc())
+        cur = (
+            nb.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("walker", F.col("nb").alias("cur"))
+        )
+        out = out.unionByName(
+            cur.select("walker", F.lit(s).alias("step"), F.col("cur").alias("node"))
+        )
+    return out

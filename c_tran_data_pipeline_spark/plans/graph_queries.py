@@ -1,0 +1,213 @@
+"""Graph-analytics queries over the part co-purchase graph — triangle
+counting, BFS reachability, deterministic random-walk sampling.
+
+The graph: parts are nodes; an undirected edge joins two parts that
+appear in the same URGENT order (the customer↔supplier trade graph used
+by q_pagerank is bipartite, hence triangle-free — co-purchase is the
+fixture's natural unipartite graph, ~23k edges at sf0.01). Each query
+carries a full exact SQL oracle: the algorithms are deterministic by
+construction (degree-ordered orientation, min-distance BFS, hash-argmin
+walks), so the driver hash-match proves the iterative/one-shot Spark
+plans equal the unrolled SQL on every round.
+
+Reference parity: the C-Tran reference has no graph operators (its
+breadcrumb pipeline is tabular end-to-end; SURVEY.md §2) — this module
+is north-star surface for curation workloads (dedup-cluster audits,
+walk-based corpus sampling, link-structure quality signals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.operators.graph import (
+    WALK_MOD,
+    khop_distances,
+    random_walks,
+    triangles,
+)
+from c_tran_data_pipeline_spark.plans.registry import query
+from c_tran_data_pipeline_spark.sources.readers import load_table
+
+# Shared oracle CTE: distinct co-purchase pairs (a < b) within urgent
+# orders. The urgent filter keeps the per-order pair blow-up bounded
+# (TPC-H orders have ≤7 lines, so pairs-per-order ≤ 21 — the self-join
+# is linear in lineitem, not quadratic).
+_EDGES_CTE = """
+    e0 AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN orders o
+          ON o.o_orderkey = a.l_orderkey AND o.o_orderpriority = '1-URGENT'
+    )
+"""
+
+
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct (a, b), a < b: parts co-purchased in an urgent order.
+    One shuffle on l_orderkey feeds both the urgent semi-join and the
+    within-order self-join (co-partitioned — Spark reuses the
+    exchange), then one distinct keyed by the pair."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+    x, y = lu.alias("x"), lu.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b"))
+        .distinct()
+    )
+
+
+@query(
+    "q_triangle_count",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY 1
+    ),
+    ok AS (SELECT node, deg * 1000000000 + node AS okey FROM deg),
+    eo AS (
+        SELECT CASE WHEN ka.okey < kb.okey THEN e0.a ELSE e0.b END AS src,
+               CASE WHEN ka.okey < kb.okey THEN e0.b ELSE e0.a END AS dst,
+               greatest(ka.okey, kb.okey) AS dkey
+        FROM e0
+        JOIN ok ka ON ka.node = e0.a
+        JOIN ok kb ON kb.node = e0.b
+    ),
+    wedge AS (
+        SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+        FROM eo e1 JOIN eo e2 ON e1.src = e2.src AND e1.dkey < e2.dkey
+    ),
+    tri AS (
+        SELECT x, y, z FROM wedge
+        WHERE EXISTS (SELECT 1 FROM eo WHERE eo.src = wedge.y AND eo.dst = wedge.z)
+    ),
+    m AS (SELECT unnest([x, y, z]) AS node FROM tri)
+    SELECT node, COUNT(*) AS n_triangles FROM m GROUP BY node
+    """,
+    doc="Per-node triangle counts over the co-purchase graph — the local "
+    "clustering signal behind community/quality scoring. Spark plan is "
+    "compact-forward with DEGREE-ORDERED orientation: every edge points "
+    "(deg,id)-upward, so each triangle is generated once as a wedge at "
+    "its smallest vertex + one closing-edge semi-join, and — the scale "
+    "property — oriented out-degree is O(√m) even at power-law hubs "
+    "(hub edges point INTO the hub), bounding the wedge join at "
+    "O(m^1.5) total instead of Σdeg² exploding on the hottest key. "
+    "Exact oracle: orientation, wedge join and closing semi-join are "
+    "pure integer relational algebra — the SQL twin is the same "
+    "dataflow unrolled, and counts hash-match bit-for-bit.",
+    tags=("graph", "agg"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return triangles(_copurchase_edges(spark, sf_dir))
+
+
+@query(
+    "q_khop_reach",
+    f"""
+    WITH {_EDGES_CTE},
+    seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 50),
+    sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    d1 AS (SELECT DISTINCT sym.v AS node FROM sym JOIN seeds ON sym.u = seeds.node),
+    d2 AS (SELECT DISTINCT sym.v AS node FROM sym JOIN d1 ON sym.u = d1.node),
+    d3 AS (SELECT DISTINCT sym.v AS node FROM sym JOIN d2 ON sym.u = d2.node),
+    lv AS (
+        SELECT node, 0 AS dist FROM seeds
+        UNION ALL SELECT node, 1 FROM d1
+        UNION ALL SELECT node, 2 FROM d2
+        UNION ALL SELECT node, 3 FROM d3
+    )
+    SELECT node, MIN(dist) AS dist FROM lv GROUP BY node
+    """,
+    doc="Minimum hop distance (≤3) from a seed set (parts of size 50) "
+    "over the co-purchase graph — level-synchronous BFS as a DataFrame "
+    "loop: each hop is ONE frontier⋈edges equi-join + distinct, so the "
+    "per-round shuffle is bounded by |V| (node set), never by path "
+    "count; dist = min level across the unioned frontiers, matching "
+    "the unrolled SQL oracle exactly. The k-hop-neighborhood shape "
+    "behind contamination blast-radius checks and GNN neighborhood "
+    "sampling. At scale each frontier would localCheckpoint (the "
+    "pagerank/connected_components lineage pattern, documented there); "
+    "3 unrolled hops keep the lineage trivially shallow.",
+    tags=("graph", "iterative"),
+)
+def q_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return khop_distances(_copurchase_edges(spark, sf_dir), seeds, max_hops=3)
+
+
+def _walk_step_sql(prev: str, step: int) -> str:
+    """One unrolled hash-argmin walk step (SQL twin of the loop body in
+    operators.graph.random_walks — identical literals and tie-break)."""
+    p = WALK_MOD
+    return f"""
+    SELECT walker, cur FROM (
+        SELECT {prev}.walker, sym.v AS cur,
+               ROW_NUMBER() OVER (
+                   PARTITION BY {prev}.walker
+                   ORDER BY ((({prev}.cur % {p}) * 31 + {step}) * 31
+                             + sym.v % {p}) % {p} ASC,
+                            sym.v ASC) AS rn
+        FROM {prev} JOIN sym ON sym.u = {prev}.cur
+    ) WHERE rn = 1
+    """
+
+
+@query(
+    "q_random_walk",
+    f"""
+    WITH {_EDGES_CTE},
+    seeds AS (SELECT DISTINCT p_partkey AS node FROM part WHERE p_size = 1),
+    sym AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT a AS u, b AS v FROM e0
+            UNION ALL SELECT b AS u, a AS v FROM e0)
+    ),
+    s0 AS (SELECT node AS walker, node AS cur FROM seeds),
+    s1 AS ({_walk_step_sql("s0", 1)}),
+    s2 AS ({_walk_step_sql("s1", 2)}),
+    s3 AS ({_walk_step_sql("s2", 3)})
+    SELECT walker, 0 AS step, cur AS node FROM s0
+    UNION ALL SELECT walker, 1, cur FROM s1
+    UNION ALL SELECT walker, 2, cur FROM s2
+    UNION ALL SELECT walker, 3, cur FROM s3
+    """,
+    doc="Fixed-length (3-step) DETERMINISTIC pseudo-random walks from "
+    "seed parts (p_size=1) over the co-purchase graph: each step moves "
+    "to the neighbor minimizing a portable integer hash of (current "
+    "node, step, neighbor) — node2vec-style corpus sampling made "
+    "reproducible across engines, partitionings and reruns (the "
+    "auditability property curation pipelines need; a seeded RNG "
+    "cannot hash-match an oracle, a hash-argmin can). Each step is one "
+    "equi-join on the frontier + a per-walker row_number argmin — no "
+    "global sort, no driver loop state beyond the unrolled step count. "
+    "Walk hash: (((cur%P)·31+s)·31+nb%P)%P, P=1000003 prime — every "
+    "intermediate ≪ 2^63 in both engines (DuckDB overflow errors, so "
+    "mod-first is load-bearing).",
+    tags=("graph", "sample", "iterative"),
+)
+def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 1)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return random_walks(_copurchase_edges(spark, sf_dir), seeds, steps=3)

@@ -66,6 +66,10 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_triangle_count",
+    "q_khop_reach",
+    "q_random_walk",
+    "q_cms_heavy_hitters",
     "q_pagerank",
     "q_dedup_canonical",
     "q_bloom_prefilter_join",
@@ -119,12 +123,15 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_antijoin_absent",
     "q_enrich_merge",
     # oldest r02 rows, plan-changed-this-round first:
-    # (the round's registrations grew to 7, so the 50-row gate budget
-    # pushes out the r02-evidence refreshes — q_hybrid_search,
-    # q_sessionize, q_length_histogram, q_text_repetition, q_pii_scrub —
-    # and the LAST r01 name above (q_enrich_merge, list position 51,
-    # r01 row + replay-idempotence pytest). All six lead round 5's
-    # rotation, q_enrich_merge and plan-changed q_hybrid_search first.)
+    # (the round's registrations grew to 11 — wave 2's six plus wave 3's
+    # graph/sketch quartet — so the 50-row gate budget pushes out the
+    # r02-evidence refreshes (q_hybrid_search, q_sessionize,
+    # q_length_histogram, q_text_repetition, q_pii_scrub) AND the last
+    # five r01 names above (q_breadcrumb_conform, q_distinct_tuples,
+    # q_first_wins_dedup, q_antijoin_absent, q_enrich_merge — all also
+    # pytest/E2E-covered). All ten lead round 5's rotation, the five
+    # r01 stragglers first, then plan-changed q_hybrid_search and
+    # plan-changed-r4 q_bm25_rank.)
 )
 
 
@@ -135,6 +142,7 @@ def all_queries() -> dict[str, QuerySpec]:
         curation_queries,
         decision_queries,
         dedup_queries,
+        graph_queries,
         multimodal_queries,
         olap_queries,
         packing_queries,

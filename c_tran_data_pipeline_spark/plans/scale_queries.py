@@ -295,3 +295,80 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = edges.localCheckpoint(eager=True)
     pr = pagerank(edges, iters=3, damping=0.85, teleport=0.15)
     return pr.select("node", F.round("rank", 12).alias("rank"))
+
+
+def _cms_probe_sql(src: str) -> str:
+    """Per-item (row, bucket) probes — SQL twin of the explode in
+    operators.sketch (same CMS_A/CMS_B/CMS_P literals, same order)."""
+    from c_tran_data_pipeline_spark.operators.sketch import CMS_A, CMS_B, CMS_P
+
+    rows = " UNION ALL ".join(
+        f"SELECT user_id, {i} AS row, "
+        f"((user_id % {CMS_P}) * {CMS_A[i]} + {CMS_B[i]}) % {CMS_P} % 1024 AS bucket "
+        f"FROM {src}"
+        for i in range(4)
+    )
+    return rows
+
+
+@query(
+    "q_cms_heavy_hitters",
+    f"""
+    WITH ev AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+    cells AS ({_cms_probe_sql("ev")}),
+    grid AS (SELECT row, bucket, COUNT(*) AS n FROM cells GROUP BY 1, 2),
+    items AS (SELECT DISTINCT user_id FROM ev),
+    probes AS ({_cms_probe_sql("items")}),
+    est AS (
+        SELECT probes.user_id, MIN(COALESCE(grid.n, 0)) AS est
+        FROM probes
+        LEFT JOIN grid ON grid.row = probes.row AND grid.bucket = probes.bucket
+        GROUP BY 1
+    ),
+    exact AS (SELECT user_id, COUNT(*) AS n_exact FROM ev GROUP BY 1),
+    r AS (
+        SELECT e.user_id, e.est, x.n_exact,
+               ROW_NUMBER() OVER (ORDER BY e.est DESC, e.user_id ASC) AS rank
+        FROM est e JOIN exact x ON e.user_id = x.user_id
+    )
+    SELECT user_id, est, n_exact, rank FROM r WHERE rank <= 20
+    """,
+    doc="Count-min-sketch heavy hitters over events.user_id (d=4, "
+    "w=1024 — at sf0.1 the 1500-user domain EXCEEDS the width, so "
+    "collisions are real and the est ≥ exact over-count property is "
+    "exercised, not vacuous): the grid build is ONE partial-first "
+    "aggregate (each event projects its 4 (row,bucket) cells via a "
+    "codegen'd array+explode; map-side combine collapses to ≤4096 "
+    "counters per partition before a single exchange), the finished "
+    "grid re-enters as a BROADCAST bounded by sketch GEOMETRY (d·w "
+    "rows, independent of data volume — the point of sketching), and "
+    "the top-20 ranks estimates with the exact counts joined alongside "
+    "for the audit. All hashing is portable integer arithmetic "
+    "(mod-first so DuckDB's erroring BIGINT overflow can't trigger), "
+    "so the oracle rebuilds the grid bit-for-bit — a sketch with an "
+    "EXACT cross-engine oracle. operators/sketch.py; "
+    "tests/test_sketch.py pins est ≥ exact and a pure-Python grid "
+    "replay.",
+    tags=("scale", "sketch", "agg"),
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.operators.sketch import build_cms, cms_estimate
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull())
+        .select("user_id")
+    )
+    grid = build_cms(ev, "user_id", width=1024, depth=4)
+    items = ev.distinct()
+    est = cms_estimate(items, grid, "user_id", width=1024, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.orderBy(F.col("est").desc(), F.col("user_id").asc())
+    return (
+        est.join(exact, "user_id")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 20)
+        .select("user_id", "est", "n_exact", "rank")
+    )

@@ -1,0 +1,160 @@
+"""operators/graph.py triangles / khop_distances / random_walks: each
+algorithm against a brute-force pure-Python reference on handcrafted and
+pseudo-random graphs, plus the determinism properties the exact oracles
+rely on (partition-layout invariance, walk reproducibility)."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.operators.graph import (
+    WALK_MOD,
+    khop_distances,
+    random_walks,
+    triangles,
+)
+
+
+def _edges_df(spark, pairs, n_parts=None):
+    df = spark.createDataFrame(list(pairs), "a long, b long")
+    return df.repartition(n_parts) if n_parts else df
+
+
+def _brute_triangles(pairs):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    counts = {}
+    for x, y, z in itertools.combinations(sorted(adj), 3):
+        if y in adj[x] and z in adj[x] and z in adj[y]:
+            for n in (x, y, z):
+                counts[n] = counts.get(n, 0) + 1
+    return counts
+
+
+def test_triangles_k4_plus_tail(spark):
+    # K4 (every node in C(3,2)=3 triangles) + a dangling path that adds none
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    pairs = k4 + [(4, 5), (5, 6)]
+    got = {r["node"]: r["n_triangles"] for r in triangles(_edges_df(spark, pairs)).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_matches_brute_force_random(spark):
+    rng = random.Random(7)
+    nodes = range(30)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(nodes, 2) if rng.random() < 0.2}
+    )
+    want = _brute_triangles(pairs)
+    got = {r["node"]: r["n_triangles"] for r in triangles(_edges_df(spark, pairs)).collect()}
+    assert got == want
+
+
+def test_triangles_partition_invariant(spark):
+    rng = random.Random(11)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(range(25), 2) if rng.random() < 0.25}
+    )
+    a = sorted(map(tuple, triangles(_edges_df(spark, pairs, 2)).collect()))
+    b = sorted(map(tuple, triangles(_edges_df(spark, pairs, 17)).collect()))
+    assert a == b
+
+
+def _brute_bfs(pairs, seeds, max_hops):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        frontier = {v for u in frontier for v in adj.get(u, ())}
+        for v in frontier:
+            dist.setdefault(v, h)
+    return dist
+
+
+def test_khop_chain_and_isolated_seed(spark):
+    # chain 1-2-3-4-5-6, seed {1, 99} (99 isolated): dists 0,1,2,3 then cut
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in khop_distances(_edges_df(spark, pairs), seeds, max_hops=3).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 4: 3, 99: 0}
+
+
+def test_khop_matches_brute_force_random(spark):
+    rng = random.Random(3)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(range(40), 2) if rng.random() < 0.08}
+    )
+    seeds = [0, 1, 2]
+    want = _brute_bfs(pairs, seeds, 3)
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        r["node"]: r["dist"]
+        for r in khop_distances(_edges_df(spark, pairs), sdf, max_hops=3).collect()
+    }
+    assert got == want
+
+
+def _brute_walks(pairs, seeds, steps):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    rows = set()
+    for w in seeds:
+        cur = w
+        rows.add((w, 0, w))
+        for s in range(1, steps + 1):
+            nbs = adj.get(cur)
+            if not nbs:
+                break
+            cur = min(nbs, key=lambda nb: ((((cur % WALK_MOD) * 31 + s) * 31 + nb % WALK_MOD) % WALK_MOD, nb))
+            rows.add((w, s, cur))
+    return rows
+
+
+def test_random_walks_match_python_replay(spark):
+    rng = random.Random(5)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(range(25), 2) if rng.random() < 0.15}
+    )
+    seeds = [0, 3, 7, 24]
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {
+        (r["walker"], r["step"], r["node"])
+        for r in random_walks(_edges_df(spark, pairs), sdf, steps=3).collect()
+    }
+    assert got == _brute_walks(pairs, seeds, 3)
+
+
+def test_random_walks_steps_are_edges_and_deterministic(spark):
+    rng = random.Random(9)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(range(30), 2) if rng.random() < 0.1}
+    )
+    eset = {tuple(sorted(p)) for p in pairs}
+    sdf = spark.createDataFrame([(s,) for s in range(10)], "node long")
+    a = sorted(
+        map(tuple, random_walks(_edges_df(spark, pairs, 3), sdf, steps=3).collect())
+    )
+    b = sorted(
+        map(tuple, random_walks(_edges_df(spark, pairs, 13), sdf, steps=3).collect())
+    )
+    assert a == b  # partition-layout invariant
+    by_walker = {}
+    for walker, step, node in a:
+        by_walker.setdefault(walker, {})[step] = node
+    for walker, path in by_walker.items():
+        assert path[0] == walker
+        for s in range(1, max(path) + 1):
+            assert tuple(sorted((path[s - 1], path[s]))) in eset  # real edges

@@ -337,6 +337,14 @@ _BOUNDED_BROADCAST_NOTES = {
     # heavy-hitter token list at a RELATIVE df threshold — ≤ avg_dl/0.2
     # tokens regardless of corpus size (see q_hybrid_search doc)
     "q_hybrid_search": (r"Filter \((cast\()?df#\d+L?[^<>]* > ", "relative-df heavy hitters"),
+    # count-min counter grid — bounded by sketch GEOMETRY (depth·width
+    # ≤ 4096 rows after the keys=[row, bucket] aggregate), independent
+    # of the event volume feeding it; that data-independence is the
+    # point of sketching (operators/sketch.py)
+    "q_cms_heavy_hitters": (
+        r"Aggregate\(keys=\[row#\d+, bucket#\d+",
+        "sketch-geometry grid (d×w counters)",
+    ),
 }
 
 
