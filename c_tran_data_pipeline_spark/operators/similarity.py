@@ -86,16 +86,25 @@ def cosine_topk(
         "the exact brute-force baseline (one corpus scan PER BATCH, "
         "broadcast query side)",
     )
+    # Norms are computed ONCE per side before the pair join (identical
+    # fold, identical IEEE order — just earlier): the naive cosine(q, c)
+    # inside the join recomputes both norms per PAIR, 3 array folds
+    # where 1 (the dot product) suffices — measured 2.05 → 1.55 s for
+    # the 50-query q_knn_label at sf0.1.
     c = corpus.select(
         F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv")
-    )
-    q = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    ).select("neighbor_id", "__cv", norm(F.col("__cv")).alias("__cn"))
+    q = queries.select(
+        F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv")
+    ).select("query_id", "__qv", norm(F.col("__qv")).alias("__qn"))
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "__cos"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
@@ -132,16 +141,21 @@ def mrl_topk(
     prefix slice needs no re-normalization (cosine is scale-invariant),
     so the shortlist score is exactly reproducible in SQL."""
     m = shortlist * k
+    # norms once per side, not per pair (see cosine_topk)
     c_tr = corpus.select(
         F.col(key).alias("neighbor_id"),
         F.slice(_as_double(F.col(vec)), 1, prefix_dims).alias("__ct"),
-    )
+    ).select("neighbor_id", "__ct", norm(F.col("__ct")).alias("__ctn"))
     q_tr = queries.select(
         F.col(key).alias("query_id"),
         F.slice(_as_double(F.col(vec)), 1, prefix_dims).alias("__qt"),
-    )
+    ).select("query_id", "__qt", norm(F.col("__qt")).alias("__qtn"))
     scored_tr = c_tr.join(F.broadcast(q_tr), F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id", "neighbor_id", cosine(F.col("__qt"), F.col("__ct")).alias("__tcos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("__qt"), F.col("__ct")) / (F.col("__qtn") * F.col("__ctn"))).alias(
+            "__tcos"
+        ),
     )
     w_tr = Window.partitionBy("query_id").orderBy(F.col("__tcos").desc(), F.col("neighbor_id").asc())
     short = (
@@ -149,12 +163,22 @@ def mrl_topk(
         .filter(F.col("__rn") <= m)
         .select("query_id", "neighbor_id")
     )
-    c_full = corpus.select(F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"))
-    q_full = queries.select(F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"))
+    c_full = corpus.select(
+        F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv")
+    ).select("neighbor_id", "__cv", norm(F.col("__cv")).alias("__cn"))
+    q_full = queries.select(
+        F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv")
+    ).select("query_id", "__qv", norm(F.col("__qv")).alias("__qn"))
     rerank = (
         short.join(c_full, "neighbor_id")
         .join(F.broadcast(q_full), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "__cos"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -334,6 +358,12 @@ def ann_lsh_topk(
     candidate lists bound the work, and hot buckets (degenerate vectors)
     can be capped before the join the same way ngram_jaccard_pairs drops
     hot shingles."""
+    # NOTE: this site keeps per-pair cosine() deliberately — the
+    # candidate volume is bounded by the (small) query batch, while the
+    # corpus side is exploded ``tables``× by the banding, so hoisting
+    # norms to the bucketed side COSTS more folds than it saves
+    # (measured 1.53 → 1.77 s at sf0.1, reverted; contrast
+    # embedding_neardup_pairs_lsh, whose candidates are corpus×corpus).
     cb = multi_table_lsh_buckets(corpus, planes, tables, key, vec, dim).select(
         F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"), "table", "bucket"
     )
@@ -573,10 +603,14 @@ def ivf_search(
     becomes a parquet PartitionFilter — the scan physically reads only
     the probed cells' directories instead of relying on runtime DPP."""
     cents, corpus_cells = index
+    # norms once per assignment row / probe row, never per candidate
+    # pair (see cosine_topk)
+    corpus_cells = corpus_cells.withColumn("__cn", norm(F.col("__cv")))
     qv = _as_double(F.col(vec))
     query_probes = queries.select(
         F.col(key).alias("query_id"),
         qv.alias("__qv"),
+        norm(qv).alias("__qn"),
         F.explode(_probe_cells(qv, cents, nprobe)).alias("centroid_id"),
     )
     if static_cell_pruning:
@@ -587,10 +621,14 @@ def ivf_search(
     candidates = (
         corpus_cells.join(query_probes, on="centroid_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .select("query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn")
     )
     scored = candidates.select(
-        "query_id", "neighbor_id", cosine(F.col("__qv"), F.col("__cv")).alias("__cos")
+        "query_id",
+        "neighbor_id",
+        (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+            "__cos"
+        ),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
     return (
@@ -755,11 +793,21 @@ def embedding_neardup_pairs(
         "the O(n²) all-pairs oracle baseline (use "
         "embedding_neardup_pairs_lsh at scale)",
     )
-    a = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1"))
-    b = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2"))
+    a = df.select(F.col(key).alias("d1"), _as_double(F.col(vec)).alias("__v1")).select(
+        "d1", "__v1", norm(F.col("__v1")).alias("__n1")
+    )
+    b = df.select(F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2")).select(
+        "d2", "__v2", norm(F.col("__v2")).alias("__n2")
+    )
     return (
         a.join(b, F.col("d1") < F.col("d2"))
-        .select("d1", "d2", cosine(F.col("__v1"), F.col("__v2")).alias("__cos"))
+        .select(
+            "d1",
+            "d2",
+            (dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias(
+                "__cos"
+            ),
+        )
         .filter(F.col("__cos") >= threshold)
         .select("d1", "d2", F.round("__cos", 4).alias("cosine"))
     )

@@ -339,7 +339,7 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from c_tran_data_pipeline_spark.functions.text import words
-    from c_tran_data_pipeline_spark.operators.similarity import cosine, _as_double
+    from c_tran_data_pipeline_spark.operators.similarity import _as_double, dot, norm
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -371,13 +371,22 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     wt = Window.partitionBy("query_id").orderBy(F.col("n_common").desc(), F.col("cand").asc())
     rt = overlap.select("query_id", "cand", F.row_number().over(wt).alias("rnk_t"))
 
+    # norms hoisted per side, not per pair (see cosine_topk)
     q = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("__qv")
-    )
-    c = emb.select(F.col("vec_id").alias("cand"), _as_double(F.col("embedding")).alias("__cv"))
+    ).withColumn("__qn", norm(F.col("__qv")))
+    c = emb.select(
+        F.col("vec_id").alias("cand"), _as_double(F.col("embedding")).alias("__cv")
+    ).withColumn("__cn", norm(F.col("__cv")))
     ve = (
         c.join(F.broadcast(q), F.col("cand") != F.col("query_id"))
-        .select("query_id", "cand", cosine(F.col("__qv"), F.col("__cv")).alias("cos"))
+        .select(
+            "query_id",
+            "cand",
+            (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias(
+                "cos"
+            ),
+        )
     )
     wv = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand").asc())
     rv = ve.select("query_id", "cand", F.row_number().over(wv).alias("rnk_v"))
@@ -536,17 +545,22 @@ def q_ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    from c_tran_data_pipeline_spark.operators.similarity import _as_double, cosine
+    from c_tran_data_pipeline_spark.operators.similarity import _as_double, dot, norm
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms hoisted per side, not per pair (see cosine_topk)
     ev = emb.filter(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("eval_id"), _as_double(F.col("embedding")).alias("__ev")
-    )
+    ).withColumn("__en", norm(F.col("__ev")))
     train = emb.filter(F.col("vec_id") >= 20).select(
         F.col("vec_id").alias("doc_id"), _as_double(F.col("embedding")).alias("__tv")
-    )
+    ).withColumn("__tn", norm(F.col("__tv")))
     scored = train.join(F.broadcast(ev)).select(
-        "doc_id", "eval_id", cosine(F.col("__ev"), F.col("__tv")).alias("__cos")
+        "doc_id",
+        "eval_id",
+        (dot(F.col("__ev"), F.col("__tv")) / (F.col("__en") * F.col("__tn"))).alias(
+            "__cos"
+        ),
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("__cos").desc(), F.col("eval_id").asc())
     return (
