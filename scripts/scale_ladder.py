@@ -349,6 +349,74 @@ def pagerank_ladder() -> None:
         print(json.dumps(row), flush=True)
 
 
+def graph_ladder() -> None:
+    """Triangle-counting scaling (run: ``python scripts/scale_ladder.py
+    --graph``): operators/graph.py triangles over a 16× deterministic
+    edge ladder with heavy hubs (both endpoints drawn as
+    ⌊n·u^2.5⌋ from md5-uniforms — mass concentrates at low ids, max
+    degree ≈ thousands). Two claims under test: (1) the degree-ordered
+    orientation caps the oriented out-degree far below the raw hub
+    degree (hub edges point INTO the hub), so (2) the wedge-join volume
+    — Σ C(outdeg, 2), the whole cost of the algorithm — stays near-
+    linear in |E| instead of blowing up Σ C(deg, 2) at the hubs."""
+    from c_tran_data_pipeline_spark.operators.graph import triangles
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("graph-ladder")
+
+    def _u(salt: str) -> str:
+        return (
+            f"(cast(conv(substr(md5(concat(id, ':{salt}')), 1, 8), 16, 10) as double)"
+            f" / 4294967295.0)"
+        )
+
+    for m in (50_000, 200_000, 800_000):
+        n = m // 10  # avg degree ~20; hubs far denser via the ^2.5 skew
+        e = (
+            spark.range(m)
+            .select(
+                F.expr(f"cast(floor({n} * pow({_u('a')}, 2.5)) as bigint)").alias("u"),
+                F.expr(f"cast(floor({n} * pow({_u('b')}, 2.5)) as bigint)").alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b"))
+            .distinct()
+            .persist()
+        )
+        n_e = e.count()
+        # raw vs oriented degree stats (replicates triangles()'s
+        # orientation so the hub-bound claim is measured, not asserted)
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        ok = deg.select("node", (F.col("deg") * F.lit(1_000_000_000) + F.col("node")).alias("okey"))
+        eo = (
+            e.join(ok.select(F.col("node").alias("a"), F.col("okey").alias("ka")), "a")
+            .join(ok.select(F.col("node").alias("b"), F.col("okey").alias("kb")), "b")
+            .select(F.when(F.col("ka") < F.col("kb"), F.col("a")).otherwise(F.col("b")).alias("src"))
+        )
+        odeg = eo.groupBy("src").agg(F.count(F.lit(1)).alias("od"))
+        stats = deg.agg(F.max("deg")).collect()[0][0], odeg.agg(
+            F.max("od"), F.sum(F.col("od") * (F.col("od") - 1) / 2)
+        ).collect()[0]
+        t0 = time.perf_counter()
+        tri = triangles(e)
+        total3 = tri.agg(F.sum("n_triangles")).collect()[0][0] or 0
+        row = {
+            "edges": n_e,
+            "max_deg": stats[0],
+            "max_oriented_outdeg": stats[1][0],
+            "wedges": int(stats[1][1]),
+            "triangles": total3 // 3,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        e.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_ladder()
@@ -356,5 +424,7 @@ if __name__ == "__main__":
         prep_ladder()
     elif "--pagerank" in sys.argv:
         pagerank_ladder()
+    elif "--graph" in sys.argv:
+        graph_ladder()
     else:
         main()
