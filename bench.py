@@ -77,6 +77,10 @@ HEADLINE = [
     "q_pagerank",
     "q_triangle_count",
     "q_cms_heavy_hitters",
+    "q_hits",
+    "q_label_prop",
+    "q_skyline_orders",
+    "q_mmr_rerank",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -115,6 +119,10 @@ _POST_R01 = (
     "q_pagerank",
     "q_triangle_count",
     "q_cms_heavy_hitters",
+    "q_hits",
+    "q_label_prop",
+    "q_skyline_orders",
+    "q_mmr_rerank",
 )
 
 

@@ -31,7 +31,11 @@ def audit_plan(plan: str) -> dict:
         "pushed_filters": len(re.findall(r"PushedFilters: \[(?!\])", plan)),
         "scans": len(re.findall(r"FileScan parquet", plan)),
         "sorts": len(re.findall(r"\bSort \[", plan)),
-        "python_udfs": len(re.findall(r"BatchEvalPython|ArrowEvalPython|MapInPandas", plan)),
+        "python_udfs": len(
+            re.findall(
+                r"BatchEvalPython|ArrowEvalPython|MapInPandas|FlatMapGroupsInPandas", plan
+            )
+        ),
         "read_cols": [len(s.split(",")) for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)],
     }
 

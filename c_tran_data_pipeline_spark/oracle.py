@@ -184,6 +184,12 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "tests/test_similarity.py::test_lsh_topk_recall_floor (recall vs exact "
         "cosine_topk over the identical query batch)"
     ),
+    "q_mmr_rerank": (
+        "tests/test_rerank.py::test_mmr_matches_python_replay (greedy id/score "
+        "trace vs a pure-python reference on random vectors) + "
+        "::test_mmr_diversity_property (picks a spread set when near-dup "
+        "candidates outscore diverse ones) + ::test_mmr_partition_invariant"
+    ),
     "q_ann_neardup_lsh": (
         "tests/test_similarity.py::test_neardup_lsh_recall_and_exact_precision "
         "(recall ≥ 0.9 AND precision == 1.0 vs the exact all-pairs baseline) + "

@@ -211,3 +211,141 @@ def q_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p_partkey").alias("node"))
     )
     return random_walks(_copurchase_edges(spark, sf_dir), seeds, steps=3)
+
+
+_TRADE_CTE = """
+    e0 AS (
+        SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+    )
+"""
+
+
+def _hits_iter_sql(prev_hub: str, i: int) -> str:
+    """One unrolled HITS iteration (SQL twin of operators.graph.hits —
+    same DECIMAL casts, same division order)."""
+    return f"""
+    a{i}r AS (
+        SELECT e0.dst AS node, SUM(CAST({prev_hub}.score AS DECIMAL(38,18))) AS raw
+        FROM e0 JOIN {prev_hub} ON {prev_hub}.node = e0.src
+        GROUP BY e0.dst
+    ),
+    a{i} AS (
+        SELECT node, CAST(raw AS DOUBLE)
+               / CAST((SELECT SUM(raw) FROM a{i}r) AS DOUBLE) AS score
+        FROM a{i}r
+    ),
+    h{i}r AS (
+        SELECT e0.src AS node, SUM(CAST(a{i}.score AS DECIMAL(38,18))) AS raw
+        FROM e0 JOIN a{i} ON a{i}.node = e0.dst
+        GROUP BY e0.src
+    ),
+    h{i} AS (
+        SELECT node, CAST(raw AS DOUBLE)
+               / CAST((SELECT SUM(raw) FROM h{i}r) AS DOUBLE) AS score
+        FROM h{i}r
+    )"""
+
+
+@query(
+    "q_hits",
+    f"""
+    WITH {_TRADE_CTE},
+    h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS score FROM e0),
+    {_hits_iter_sql("h0", 1)},
+    {_hits_iter_sql("h1", 2)}
+    SELECT node, 'hub' AS kind, ROUND(score, 12) AS score FROM h2
+    UNION ALL
+    SELECT node, 'authority' AS kind, ROUND(score, 12) AS score FROM a2
+    """,
+    doc="Kleinberg HITS (2 unrolled iterations) over the DIRECTED "
+    "customer→supplier trade graph of urgent orders: hub scores flow "
+    "along edges to authorities and back, L1-normalized each "
+    "half-step. The second iterative-fixpoint-with-exact-oracle shape "
+    "next to q_pagerank, exercising the other classic link-analysis "
+    "recurrence (mutually recursive scores + per-step normalization "
+    "against a 1-row broadcast scalar, rather than PageRank's "
+    "teleport). Float policy: per-edge contributions summed in "
+    "DECIMAL(38,18) (associativity-proof), normalization total is an "
+    "exact DECIMAL scalar, one IEEE division per row — L1 instead of "
+    "the textbook L2 keeps every score rational so the fixpoint "
+    "hash-matches bit-for-bit (identical ranking either way; "
+    "operators/graph.py hits docstring). Per half-step: one |E| "
+    "contribution shuffle + a keyed agg + a scalar broadcast — the "
+    "distributed HITS shape.",
+    tags=("graph", "iterative"),
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import hits
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    e0 = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+        # consumed by all four half-step joins — materialize the
+        # orders⋈lineitem derivation once (q_pagerank pattern)
+        .localCheckpoint(eager=True)
+    )
+    out = hits(e0, iters=2)
+    return out.select("node", "kind", F.round("score", 12).alias("score"))
+
+
+def _lpa_iter_sql(prev: str, i: int) -> str:
+    """One unrolled LPA iteration (SQL twin of
+    operators.graph.label_propagation — same counts, same tie-break)."""
+    return f"""
+    c{i} AS (
+        SELECT sym.u AS node, {prev}.community, COUNT(*) AS n
+        FROM sym JOIN {prev} ON {prev}.node = sym.v
+        GROUP BY sym.u, {prev}.community
+    ),
+    l{i} AS (
+        SELECT node, community FROM (
+            SELECT node, community,
+                   ROW_NUMBER() OVER (PARTITION BY node
+                                      ORDER BY n DESC, community ASC) AS rn
+            FROM c{i}
+        ) WHERE rn = 1
+    )"""
+
+
+@query(
+    "q_label_prop",
+    f"""
+    WITH {_EDGES_CTE},
+    sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    l0 AS (SELECT DISTINCT u AS node, u AS community FROM sym),
+    {_lpa_iter_sql("l0", 1)},
+    {_lpa_iter_sql("l1", 2)}
+    SELECT node, community FROM l2
+    """,
+    doc="Community detection via synchronous majority label propagation "
+    "(Raghavan et al. 2007), 2 unrolled iterations over the undirected "
+    "co-purchase graph: every node starts as its own community, then "
+    "repeatedly adopts its neighbors' most frequent label, ties to the "
+    "smallest — the deterministic variant of LPA, so the result is an "
+    "exact integer fixpoint (no floats, no randomness) and the driver "
+    "hash-match proves the iterative Spark plan equals the unrolled SQL. "
+    "The third iterative-graph shape next to q_pagerank (scored "
+    "diffusion) and q_hits (mutually recursive normalization): here "
+    "state is CATEGORICAL — per-iteration (node, label) exact counts + "
+    "a per-node argmax window, both keyed on node, no global ordering. "
+    "Per iteration: one |2E| hash join+shuffle and one partitioned "
+    "window — linear in edges at any scale; the curation use is "
+    "dedup-cluster / domain-community discovery over link graphs.",
+    tags=("graph", "iterative"),
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import label_propagation
+
+    # consumed by both per-iteration joins — materialize the
+    # orders⋈lineitem derivation once (q_pagerank pattern)
+    edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
+    return label_propagation(edges, iters=2)

@@ -1586,3 +1586,46 @@ def q_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").isNull().alias("is_gap"),
         F.round(interp, 6).alias("v_interp"),
     )
+
+
+@query(
+    "q_skyline_orders",
+    """
+    WITH pts AS (
+        SELECT DISTINCT o_totalprice AS price, o_orderdate AS order_ts
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT price, order_ts FROM pts b
+    WHERE NOT EXISTS (
+        SELECT 1 FROM pts a
+        WHERE a.price >= b.price AND a.order_ts >= b.order_ts
+          AND (a.price > b.price OR a.order_ts > b.order_ts)
+    )
+    """,
+    doc="2-D skyline (Pareto frontier, Börzsönyi et al. ICDE 2001) of "
+    "urgent orders on (totalprice, recency): orders no other order beats "
+    "on both axes — the multi-criteria 'best offers' OLAP shape, and in "
+    "curation the 'Pareto-optimal on quality × freshness' document pick. "
+    "The ORACLE is the definition itself — a quadratic NOT EXISTS "
+    "dominance anti-join (urgent-only keeps the sf0.1 oracle's pair "
+    "count ~25× down); the SPARK plan is the scalable decomposition in "
+    "operators/skyline.py: distinct → grid-prune (per-price-bucket "
+    "max-date aggregate + running max over strictly higher buckets, "
+    "broadcast back as a one-pass dominance filter) → exact (x desc, "
+    "y desc) sort-scan over the pruned candidates, where a row survives "
+    "iff its y exceeds the running max of all preceding y. Two "
+    "different algorithms, one hash — strong cross-engine evidence. No "
+    "arithmetic beyond bucketing: the result is a verbatim row subset, "
+    "so DOUBLE prices hash-match bit-for-bit.",
+    tags=("olap", "skyline", "window"),
+)
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.skyline import skyline_2d
+
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    # fixture price range ≈ [900, 600k] → width 1000 ≈ 600 buckets:
+    # bucket table stays bytes-sized, prune still collapses the sweep
+    sky = skyline_2d(urgent, "o_totalprice", "o_orderdate", bucket_width=1000.0)
+    return sky.select(F.col("x").alias("price"), F.col("y").alias("order_ts"))

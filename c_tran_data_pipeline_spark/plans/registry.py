@@ -66,6 +66,10 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_label_prop",
+    "q_skyline_orders",
+    "q_mmr_rerank",
+    "q_hits",
     "q_triangle_count",
     "q_khop_reach",
     "q_random_walk",
@@ -123,15 +127,16 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_antijoin_absent",
     "q_enrich_merge",
     # oldest r02 rows, plan-changed-this-round first:
-    # (the round's registrations grew to 11 — wave 2's six plus wave 3's
-    # graph/sketch quartet — so the 50-row gate budget pushes out the
-    # r02-evidence refreshes (q_hybrid_search, q_sessionize,
+    # (the round's registrations grew to 15 — wave 2's six plus wave 3/4's
+    # graph/sketch/skyline/rerank batch — so the 50-row gate budget pushes
+    # out the r02-evidence refreshes (q_hybrid_search, q_sessionize,
     # q_length_histogram, q_text_repetition, q_pii_scrub) AND the last
-    # five r01 names above (q_breadcrumb_conform, q_distinct_tuples,
-    # q_first_wins_dedup, q_antijoin_absent, q_enrich_merge — all also
-    # pytest/E2E-covered). All ten lead round 5's rotation, the five
-    # r01 stragglers first, then plan-changed q_hybrid_search and
-    # plan-changed-r4 q_bm25_rank.)
+    # nine r01 names above (q_tfidf_top_terms, q_flagship_hotspot,
+    # q_flagship_hotspot_pm, q_conform_validate, q_breadcrumb_conform,
+    # q_distinct_tuples, q_first_wins_dedup, q_antijoin_absent,
+    # q_enrich_merge — all also pytest/E2E-covered). All fourteen lead
+    # round 5's rotation, the nine r01 stragglers first, then
+    # plan-changed q_hybrid_search and plan-changed-r4 q_bm25_rank.)
 )
 
 

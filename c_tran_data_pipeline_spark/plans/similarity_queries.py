@@ -1037,3 +1037,40 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(
         index, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, static_cell_pruning=True
     )
+
+
+@query(
+    "q_mmr_rerank",
+    None,  # greedy loop is not SQL-expressible — python replay pinned in tests
+    doc="Diversified retrieval: greedy Maximal Marginal Relevance "
+    "(Carbonell & Goldstein 1998) over each query's exact top-15 "
+    "candidates — pick 5 maximizing λ·relevance − (1−λ)·max-cosine to "
+    "the already-picked, so near-duplicate passages don't crowd out "
+    "coverage (the RAG/curation rerank stage). Scale split: candidate "
+    "generation is the corpus-sized, equi-join-shaped part (here the "
+    "exact-topk baseline; the LSH/IVF generators swap in at scale — "
+    "same contract); the rerank is an Arrow-batched applyInPandas over "
+    "per-query BOUNDED groups (N=15 rows → an N×N numpy cosine matrix "
+    "+ k argmax sweeps, microseconds per group, embarrassingly "
+    "parallel across queries). MMR never touches the corpus. "
+    "Deterministic: id-sorted groups, first-wins argmax ties, "
+    "fixed-order float64 — partition-layout invariant "
+    "(tests/test_rerank.py pins the greedy trace against a pure-python "
+    "replay and the diversity property itself).",
+    tags=("similarity", "topk", "rerank", "rows-only"),
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.rerank import mmr_rerank
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cands = cosine_topk(emb, emb.filter(F.col("vec_id") < 20), k=15).select(
+        "query_id", "neighbor_id", F.col("cosine").alias("relevance")
+    )
+    with_vecs = cands.join(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+    )
+    out = mmr_rerank(with_vecs, k=5, lam=0.7)
+    return out.select(
+        "query_id", "neighbor_id", "mmr_rank", F.round("mmr_score", 6).alias("mmr_score")
+    )

@@ -158,3 +158,104 @@ def test_random_walks_steps_are_edges_and_deterministic(spark):
         assert path[0] == walker
         for s in range(1, max(path) + 1):
             assert tuple(sorted((path[s - 1], path[s]))) in eset  # real edges
+
+
+def _brute_hits(edges, iters=2):
+    hubs = sorted({a for a, _ in edges})
+    hub = {h: 1.0 for h in hubs}
+    auth = {}
+    for _ in range(iters):
+        auth = {}
+        for a, b in edges:
+            auth[b] = auth.get(b, 0.0) + hub[a]
+        t = sum(auth.values())
+        auth = {k: v / t for k, v in auth.items()}
+        hub = {}
+        for a, b in edges:
+            hub[a] = hub.get(a, 0.0) + auth[b]
+        t = sum(hub.values())
+        hub = {k: v / t for k, v in hub.items()}
+    return hub, auth
+
+
+def test_hits_matches_python_replay(spark):
+    from c_tran_data_pipeline_spark.operators.graph import hits
+
+    rng = random.Random(21)
+    edges = sorted({(rng.randrange(8), 100 + rng.randrange(12)) for _ in range(40)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {(r["node"], r["kind"]): r["score"] for r in hits(df, iters=2).collect()}
+    hub, auth = _brute_hits(edges)
+    assert set(got) == {(n, "hub") for n in hub} | {(n, "authority") for n in auth}
+    for n, s in hub.items():
+        assert abs(got[(n, "hub")] - s) < 1e-9
+    for n, s in auth.items():
+        assert abs(got[(n, "authority")] - s) < 1e-9
+    # L1 normalization: each side sums to 1
+    assert abs(sum(v for (n, k), v in got.items() if k == "hub") - 1.0) < 1e-9
+
+
+def test_hits_partition_invariant_bitwise(spark):
+    from c_tran_data_pipeline_spark.operators.graph import hits
+
+    rng = random.Random(22)
+    edges = sorted({(rng.randrange(20), 100 + rng.randrange(30)) for _ in range(200)})
+    a = sorted(map(tuple, hits(spark.createDataFrame(edges, "src long, dst long").repartition(2), iters=2).collect()))
+    b = sorted(map(tuple, hits(spark.createDataFrame(edges, "src long, dst long").repartition(23), iters=2).collect()))
+    assert a == b  # DECIMAL contribution sums: bit-equal across layouts
+
+
+def _brute_lpa(edges, iters=2):
+    nbrs = {}
+    for a, b in edges:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    lab = {n: n for n in nbrs}
+    for _ in range(iters):
+        new = {}
+        for n, ns in nbrs.items():
+            cnt = {}
+            for m in ns:
+                cnt[lab[m]] = cnt.get(lab[m], 0) + 1
+            best = max(cnt.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        lab = new
+    return lab
+
+
+def test_label_propagation_matches_python_replay(spark):
+    from c_tran_data_pipeline_spark.operators.graph import label_propagation
+
+    rng = random.Random(31)
+    edges = sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(120)})
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, iters=2).collect()}
+    assert got == _brute_lpa(edges)
+
+
+def test_label_propagation_two_cliques_converge(spark):
+    from c_tran_data_pipeline_spark.operators.graph import label_propagation
+
+    # two 5-cliques joined by one bridge edge: each clique must collapse
+    # to a single community (its min node id) and stay distinct
+    c1 = list(itertools.combinations(range(5), 2))
+    c2 = list(itertools.combinations(range(10, 15), 2))
+    edges = c1 + c2 + [(4, 10)]
+    df = spark.createDataFrame(edges, "a long, b long")
+    got = {r["node"]: r["community"] for r in label_propagation(df, iters=3).collect()}
+    assert got == _brute_lpa(edges, iters=3)
+    assert len({got[n] for n in range(5)}) == 1
+    assert len({got[n] for n in range(10, 15)}) == 1
+    assert got[0] != got[12]
+
+
+def test_label_propagation_partition_invariant(spark):
+    from c_tran_data_pipeline_spark.operators.graph import label_propagation
+
+    rng = random.Random(32)
+    edges = sorted({tuple(sorted(rng.sample(range(60), 2))) for _ in range(200)})
+    a = sorted(map(tuple, label_propagation(
+        spark.createDataFrame(edges, "a long, b long").repartition(2), iters=2).collect()))
+    b = sorted(map(tuple, label_propagation(
+        spark.createDataFrame(edges, "a long, b long").repartition(17), iters=2).collect()))
+    assert a == b

@@ -150,6 +150,10 @@ _ALLOWED_NESTED_LOOP = {
     # composes the int8 + exact topk legs, each a broadcast-constant-
     # query-batch corpus scan (and the int8 leg's 1-row scale Cross)
     "q_retrieval_metrics",
+    # candidate generation composes cosine_topk: broadcast 20-query
+    # batch (!=) over one corpus scan; the MMR stage itself is a keyed
+    # grouped-map, no joins
+    "q_mmr_rerank",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a
@@ -180,6 +184,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_bm25_rank",
     # same scalars, in both the seed/θ pass and the final scoring pass
     "q_bm25_rank_pruned",
+    # 1-row L1 normalization total per HITS half-step (4 scalars total)
+    "q_hits",
 }
 
 
@@ -219,6 +225,9 @@ _ALLOWED_PYTHON = {
     "q_frame_sample",
     # REAL WAV synthesis + decode, both Arrow mapInPandas
     "q_audio_features",
+    # greedy MMR over per-query BOUNDED candidate groups (N=15), Arrow
+    # applyInPandas — the sequential-within-group rerank seam
+    "q_mmr_rerank",
 }
 
 
