@@ -25,7 +25,7 @@ _REPO = str(Path(__file__).resolve().parent.parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
-from pyspark.sql import DataFrame, SparkSession  # noqa: E402
+from pyspark.sql import DataFrame, SparkSession, Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 DIM = 64
@@ -417,6 +417,95 @@ def graph_ladder() -> None:
         print(json.dumps(row), flush=True)
 
 
+def lpa_ladder() -> None:
+    """Label-propagation scaling (run: ``python scripts/scale_ladder.py
+    --lpa``): operators/graph.py label_propagation (2 iterations, the
+    q_label_prop configuration) over the same skewed 16× edge ladder as
+    the pagerank rung. Claim under test: each iteration is one |2E|
+    join+shuffle plus a per-node window — categorical state, so cost is
+    linear in |E| at fixed iterations, hub skew notwithstanding."""
+    from c_tran_data_pipeline_spark.operators.graph import label_propagation
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("lpa-ladder")
+    for n_edges in (25_000, 100_000, 400_000):
+        hub_range = int(n_edges**0.5)
+        e = (
+            spark.range(n_edges)
+            .select(
+                F.expr(
+                    f"cast(conv(substr(md5(cast(id as string)), 1, 8), 16, 10) as bigint)"
+                    f" % {hub_range}"
+                ).alias("a"),
+                (F.col("id") % (n_edges // 4) + hub_range).alias("b"),
+            )
+            .distinct()
+            .persist()
+        )
+        n_e = e.count()
+        t0 = time.perf_counter()
+        lab = label_propagation(e, iters=2)
+        n_v = lab.count()
+        n_comm = lab.select("community").distinct().count()
+        row = {
+            "edges": n_e,
+            "nodes": n_v,
+            "communities": n_comm,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        e.unpersist()
+        print(json.dumps(row), flush=True)
+
+
+def skyline_ladder() -> None:
+    """Skyline scaling (run: ``python scripts/scale_ladder.py
+    --skyline``): operators/skyline.py skyline_2d over a 16× ladder of
+    CORRELATED points (y = x + noise — the realistic price/quality
+    shape; anticorrelated worst-case exactness is pinned in pytest).
+    Claims under test: (1) the grid prune's sweep input grows with the
+    bucket count + frontier, NOT the input (measured as `survivors`),
+    so (2) wall-clock stays near-flat while points grow 16×."""
+    from c_tran_data_pipeline_spark.operators.skyline import skyline_2d
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("skyline-ladder")
+
+    def _u(salt: str) -> str:
+        return (
+            f"(cast(conv(substr(md5(concat(id, ':{salt}')), 1, 8), 16, 10) as double)"
+            f" / 4294967295.0)"
+        )
+
+    for n in (250_000, 1_000_000, 4_000_000):
+        pts = spark.range(n).select(
+            F.expr(f"{_u('x')} * 1000000.0").alias("x"),
+            F.expr(f"{_u('x')} * 1000000.0 + {_u('y')} * 1000.0").alias("y"),
+        ).persist()
+        pts.count()
+        # survivors of the prune stage (rebuilt, as in the pytest pin)
+        b = pts.distinct().withColumn("__b", F.floor(F.col("x") / F.lit(1000.0)))
+        wb = Window.orderBy(F.desc("__b")).rowsBetween(Window.unboundedPreceding, -1)
+        brun = b.groupBy("__b").agg(F.max("y").alias("m")).select(
+            "__b", F.max("m").over(wb).alias("hi")
+        )
+        survivors = (
+            b.join(F.broadcast(brun), "__b")
+            .filter(F.col("hi").isNull() | (F.col("hi") < F.col("y")))
+            .count()
+        )
+        t0 = time.perf_counter()
+        sky = skyline_2d(pts, "x", "y", bucket_width=1000.0)
+        n_sky = sky.count()
+        row = {
+            "points": n,
+            "survivors": survivors,
+            "frontier": n_sky,
+            "sec": round(time.perf_counter() - t0, 2),
+        }
+        pts.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_ladder()
@@ -426,5 +515,9 @@ if __name__ == "__main__":
         pagerank_ladder()
     elif "--graph" in sys.argv:
         graph_ladder()
+    elif "--lpa" in sys.argv:
+        lpa_ladder()
+    elif "--skyline" in sys.argv:
+        skyline_ladder()
     else:
         main()
