@@ -81,6 +81,10 @@ HEADLINE = [
     "q_label_prop",
     "q_skyline_orders",
     "q_mmr_rerank",
+    "q_kcore",
+    "q_event_transitions",
+    "q_sorted_neighborhood",
+    "q_region_trend",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -123,6 +127,10 @@ _POST_R01 = (
     "q_label_prop",
     "q_skyline_orders",
     "q_mmr_rerank",
+    "q_kcore",
+    "q_event_transitions",
+    "q_sorted_neighborhood",
+    "q_region_trend",
 )
 
 

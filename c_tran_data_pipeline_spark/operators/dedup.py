@@ -412,3 +412,63 @@ def fuzzy_pairs(
         )
         .distinct()
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    block_len: int = 4,
+    key_len: int = 32,
+    window: int = 3,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo's
+    merge/purge method): normalize the payload to a sort key
+    (lowercase, alphanumerics only, first ``key_len`` chars), sort
+    within each ``block_len``-char-prefix block, and emit every pair at
+    rank distance ≤ ``window`` as (d1, d2, gap) with d1 the
+    sort-earlier document. The THIRD blocking family next to the
+    inverted-index (shingle/LSH) and pigeonhole (simhash/length-bucket)
+    strategies: SNM catches near-dups that share a long prefix but no
+    rare shingle, at a fixed |docs|·window candidate budget — the
+    classic record-linkage recipe is several passes with different
+    keys, unioned.
+
+    Distributed shape: the textbook method sorts GLOBALLY — a
+    single-partition window at scale. The blocked variant sorts within
+    prefix blocks only (window partitioned by block, fully parallel),
+    which is the standard distributed SNM compromise: pairs straddling
+    a block boundary are the recall price, bounded by window/|block|
+    and recovered by the multi-pass discipline. The neighborhood join
+    is a pure EQUI-join — the left side explodes rank offsets 1..window
+    and matches (block, rank+j) exactly — so there is no range predicate
+    to force a sort-merge-with-filter, and skew lands on block
+    population (known, keyed, AQE-splittable), never on a cross
+    product."""
+    from pyspark.sql.window import Window
+
+    norm = F.substring(
+        F.regexp_replace(
+            F.lower(F.coalesce(F.col(payload), F.lit(""))), "[^a-z0-9]", ""
+        ),
+        1,
+        key_len,
+    )
+    keyed = _spread(df).select(F.col(key), norm.alias("__key")).withColumn(
+        "__blk", F.substring("__key", 1, block_len)
+    )
+    w = Window.partitionBy("__blk").orderBy("__key", key)
+    r = keyed.withColumn("__rn", F.row_number().over(w))
+    left = (
+        r.select("__blk", "__rn", F.col(key).alias("d1"))
+        .withColumn(
+            "__j", F.explode(F.array(*[F.lit(j) for j in range(1, window + 1)]))
+        )
+        .withColumn("__rn2", F.col("__rn") + F.col("__j"))
+    )
+    right = r.select(
+        "__blk", F.col("__rn").alias("__rn2"), F.col(key).alias("d2")
+    )
+    return left.join(right, ["__blk", "__rn2"]).select(
+        "d1", "d2", F.col("__j").cast("long").alias("gap")
+    )

@@ -414,6 +414,52 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     )
 
 
+def kcore(
+    edges: DataFrame, k: int = 12, peels: int = 4, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """(node, deg): the subgraph surviving ``peels`` rounds of k-core
+    peeling of an UNDIRECTED edge list, with each node's degree inside
+    that subgraph. Each round drops every node whose current degree is
+    < k and the edges touching it; the true k-core is the fixpoint
+    (graph unchanged by a further round), reached when a round drops
+    nothing. ``peels`` is FIXED, not converge-detected, so the result
+    is exactly expressible as an unrolled SQL oracle; pick peels ≥ the
+    fixpoint depth for the graph at hand (q_kcore pins 4, past the
+    measured fixpoint at both gate SFs).
+
+    Per round: one degree aggregate (|2E| shuffle keyed on node) + two
+    semi-joins filtering the edge list to surviving endpoints — all
+    equi-joins on node, no global ordering, no driver state. The edge
+    relation is localCheckpoint'ed each round: it is consumed three
+    times per round (degree agg + both semi-joins) and feeds the next
+    round, so the un-checkpointed logical tree triples per round (3^p
+    scans — the q_hits lineage lesson). Degeneracy ordering / exact
+    coreness per node would iterate k upward with the same loop body;
+    the single-k form is the corpus-curation shape (keep the dense
+    collaboration core, drop the sparse fringe)."""
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(peels):
+        keep = (
+            sym.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("__deg"))
+            .filter(F.col("__deg") >= k)
+            .select("u")
+        )
+        sym = (
+            sym.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).select(
+        F.col("u").alias("node"), "deg"
+    )
+
+
 def label_propagation(
     edges: DataFrame, iters: int = 2, src: str = "a", dst: str = "b"
 ) -> DataFrame:

@@ -219,3 +219,56 @@ def q_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return aggd.selectExpr(
         f"stack({len(cols)}, {stack}) AS (column_name, n_nulls, n_distinct)", "__n AS n_rows"
     ).select("column_name", "n_rows", "n_nulls", "n_distinct")
+
+
+@query(
+    "q_event_transitions",
+    """
+    WITH seq AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, next_type, COUNT(*) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           ROUND(CAST(n AS DOUBLE)
+                 / CAST(SUM(n) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 12) AS p
+    FROM pairs
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "streams: lag(event_type) over (user, ts, event_id), count each "
+    "(prev, next) pair, and normalize rows to transition probabilities "
+    "— the behavioral-model shape behind next-event prediction, funnel "
+    "anomaly detection and session-synthesis sampling. One shuffle on "
+    "user_id for the lag, one partial-agg shuffle on the pair, then a "
+    "window over prev_type — and that matrix is bounded by "
+    "|event_types|² regardless of row count, so the final window is "
+    "over a tiny relation however large the input. Probabilities are "
+    "exact-integer ratios (n and the row total are both < 2^53) with "
+    "one IEEE division, rounded to 12 — bit-stable across engines "
+    "(q_hits float policy).",
+    tags=("analytics", "window", "markov"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(F.lag("event_type").over(w).alias("prev_type"),
+                 F.col("event_type").alias("next_type"))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 12).alias("p"),
+    )

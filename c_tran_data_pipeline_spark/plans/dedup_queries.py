@@ -502,3 +502,42 @@ def q_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(wp).alias("cluster_size"),
         (F.col("doc_id") == canonical).alias("is_canonical"),
     )
+
+
+@query(
+    "q_sorted_neighborhood",
+    """
+    WITH k AS (
+        SELECT doc_id,
+               substr(regexp_replace(lower(coalesce(text, '')),
+                                     '[^a-z0-9]', '', 'g'), 1, 32) AS skey
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, substr(skey, 1, 4) AS blk,
+               ROW_NUMBER() OVER (PARTITION BY substr(skey, 1, 4)
+                                  ORDER BY skey, doc_id) AS rn
+        FROM k
+    )
+    SELECT a.doc_id AS d1, b.doc_id AS d2, b.rn - a.rn AS gap
+    FROM r a JOIN r b
+      ON a.blk = b.blk AND b.rn - a.rn BETWEEN 1 AND 3
+    """,
+    doc="Sorted-neighborhood (merge/purge) blocking: normalize text to "
+    "a 32-char alphanumeric sort key, rank within 4-char-prefix blocks, "
+    "pair every document with its ≤3 sort-neighbors. Third blocking "
+    "family beside the shingle inverted index and the simhash "
+    "pigeonhole — catches shared-prefix near-dups at a FIXED "
+    "|docs|·window candidate budget (no shingle-frequency dependence). "
+    "The Spark neighborhood join explodes rank offsets into a pure "
+    "(block, rank+j) equi-join — no range predicate, no cross product; "
+    "the SQL twin writes the same pairs as a BETWEEN self-join. "
+    "Within-block window parallelizes across blocks (the distributed "
+    "SNM compromise; boundary pairs are the documented recall price of "
+    "blocking, recovered multi-pass).",
+    tags=("dedup", "window"),
+)
+def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    return sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))

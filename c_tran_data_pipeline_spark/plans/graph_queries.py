@@ -297,6 +297,52 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("node", "kind", F.round("score", 12).alias("score"))
 
 
+def _kcore_peel_sql(prev: str, i: int, k: int) -> str:
+    """One unrolled k-core peel (SQL twin of the loop body in
+    operators.graph.kcore — same degree threshold, same semi-joins)."""
+    return f"""
+    k{i} AS (
+        SELECT u FROM (SELECT u, COUNT(*) AS deg FROM {prev} GROUP BY u)
+        WHERE deg >= {k}
+    ),
+    s{i} AS (
+        SELECT s.u, s.v FROM {prev} s
+        WHERE s.u IN (SELECT u FROM k{i}) AND s.v IN (SELECT u FROM k{i})
+    )"""
+
+
+@query(
+    "q_kcore",
+    f"""
+    WITH {_EDGES_CTE},
+    s0 AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    {_kcore_peel_sql("s0", 1, 12)},
+    {_kcore_peel_sql("s1", 2, 12)},
+    {_kcore_peel_sql("s2", 3, 12)},
+    {_kcore_peel_sql("s3", 4, 12)}
+    SELECT u AS node, COUNT(*) AS deg FROM s4 GROUP BY u
+    """,
+    doc="12-core of the co-purchase graph: 4 unrolled peel rounds, each "
+    "dropping every node with current degree < 12 plus its edges, then "
+    "the surviving nodes with their in-core degrees. The peel CASCADES "
+    "— removing the fringe lowers its neighbors' degrees below k in "
+    "later rounds (measured fixpoint depth 3 at sf0.001 / 4 at sf0.01, "
+    "so peels=4 IS the true 12-core at both gate SFs) — which is why "
+    "one degree filter is not enough and the oracle must unroll the "
+    "iteration. Per round one |2E| degree shuffle + two node-keyed "
+    "semi-joins; the dense-core-vs-sparse-fringe split behind "
+    "collaboration-graph curation and spam/fringe pruning. Fixed round "
+    "count keeps the SQL twin exact; the operator docstring covers "
+    "converge-to-fixpoint usage.",
+    tags=("graph", "iterative"),
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import kcore
+
+    edges = _copurchase_edges(spark, sf_dir)
+    return kcore(edges, k=12, peels=4)
+
+
 def _lpa_iter_sql(prev: str, i: int) -> str:
     """One unrolled LPA iteration (SQL twin of
     operators.graph.label_propagation — same counts, same tie-break)."""

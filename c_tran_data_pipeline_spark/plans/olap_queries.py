@@ -1629,3 +1629,95 @@ def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bucket table stays bytes-sized, prune still collapses the sweep
     sky = skyline_2d(urgent, "o_totalprice", "o_orderdate", bucket_width=1000.0)
     return sky.select(F.col("x").alias("price"), F.col("y").alias("order_ts"))
+
+
+@query(
+    "q_region_trend",
+    """
+    WITH m AS (
+        SELECT r_name AS region,
+               (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 8))) AS DECIMAL(28, 8)) AS rev
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT region,
+               COUNT(*) AS n_months,
+               SUM(x) AS sx,
+               SUM(x * x) AS sxx,
+               CAST(SUM(rev) AS DECIMAL(38, 8)) AS sy,
+               CAST(SUM(CAST(x AS DECIMAL(4, 0)) * rev) AS DECIMAL(38, 8)) AS sxy
+        FROM m GROUP BY region
+    )
+    SELECT region, n_months,
+           ROUND((CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 12) AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - (CAST(n_months AS DOUBLE) * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n_months AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * CAST(sx AS DOUBLE))
+                 / CAST(n_months AS DOUBLE), 12) AS intercept
+    FROM s
+    """,
+    doc="Per-region OLS revenue trend: aggregate orders to exact "
+    "DECIMAL monthly revenue (month index x = months since 1995-01), "
+    "then fit slope/intercept per region from the classic sufficient "
+    "statistics (n, Σx, Σx², Σy, Σxy) — the trend-detection shape "
+    "behind drift monitors and forecasting features, computed without "
+    "any ML library. Scale shape: one orders⋈customer shuffle (the "
+    "nation→region map is a broadcast), one partial-agg shuffle to "
+    "monthly grain, and the regression itself runs on ≤ |regions|·80 "
+    "rows — sufficient statistics mean NO second pass over the fact "
+    "table (the single-pass property that matters at 100 TB). Float "
+    "policy: every sum is exact DECIMAL (Σxy via a DECIMAL(4,0)·"
+    "DECIMAL(28,8) product — exact, overflow-free), the slope is a "
+    "fixed-shape scalar IEEE expression over those exact sums, rounded "
+    "to 12 — bit-stable across engines and partitionings.",
+    tags=("olap", "agg", "stats"),
+)
+def q_region_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name"))
+    x = (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(nr, c.c_nationkey == nr.n_nationkey)
+        .groupBy(F.col("r_name").alias("region"), x.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+            .cast("decimal(28,8)")
+            .alias("rev")
+        )
+    )
+    s = m.groupBy("region").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum("rev").cast("decimal(38,8)").alias("sy"),
+        F.sum(F.col("x").cast("decimal(4,0)") * F.col("rev"))
+        .cast("decimal(38,8)")
+        .alias("sxy"),
+    )
+    nd = F.col("n_months").cast("double")
+    sxd = F.col("sx").cast("double")
+    sxxd = F.col("sxx").cast("double")
+    syd = F.col("sy").cast("double")
+    sxyd = F.col("sxy").cast("double")
+    slope_raw = (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd)
+    return s.select(
+        "region",
+        "n_months",
+        F.round(slope_raw, 12).alias("slope"),
+        F.round((syd - slope_raw * sxd) / nd, 12).alias("intercept"),
+    )

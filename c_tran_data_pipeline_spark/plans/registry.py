@@ -66,6 +66,10 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_kcore",
+    "q_event_transitions",
+    "q_sorted_neighborhood",
+    "q_region_trend",
     "q_label_prop",
     "q_skyline_orders",
     "q_mmr_rerank",

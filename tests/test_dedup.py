@@ -301,3 +301,71 @@ def test_dedup_canonical_election_rules(spark):
     assert rows[2].is_canonical and rows[2].cluster_size == 3
     assert rows[4].is_canonical and rows[4].cluster_size == 1
     assert rows[5].canonical_id == 5 and rows[6].canonical_id == 5  # tie → min doc_id
+
+
+# --------------------------------------------------------------------------
+# sorted-neighborhood blocking
+# --------------------------------------------------------------------------
+
+
+def _snm_replay(rows, block_len=4, key_len=32, window=3):
+    import re
+
+    keyed = [
+        (re.sub(r"[^a-z0-9]", "", (t or "").lower())[:key_len], did) for did, t in rows
+    ]
+    blocks = {}
+    for k, did in keyed:
+        blocks.setdefault(k[:block_len], []).append((k, did))
+    pairs = set()
+    for items in blocks.values():
+        items.sort()
+        for i in range(len(items)):
+            for j in range(i + 1, min(i + window + 1, len(items))):
+                pairs.add((items[i][1], items[j][1], j - i))
+    return pairs
+
+
+def test_sorted_neighborhood_matches_replay(spark):
+    from c_tran_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rows = [
+        (1, "The quick brown fox jumps"),
+        (2, "The quick brown fox jumped"),   # prefix near-dup of 1
+        (3, "the QUICK-brown fox!! jumps"),  # normalizes EQUAL to 1's key
+        (4, "a completely different text"),
+        (5, "The quiet brown fox"),          # same 4-char block, later key
+        (6, "zzz outlier"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.d1, r.d2, r.gap)
+        for r in sorted_neighborhood_pairs(df).collect()
+    }
+    want = _snm_replay(rows)
+    assert got == want
+    # the prefix near-dups land in the same neighborhood; the outlier pairs with nobody
+    assert any(p[:2] == (1, 2) or p[:2] == (2, 1) for p in got)
+    assert not any(6 in p[:2] for p in got)
+
+
+def test_sorted_neighborhood_replay_random_and_partition_invariant(spark):
+    import random
+
+    from c_tran_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
+
+    rng = random.Random(23)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    want = _snm_replay(rows)
+    got = {(r.d1, r.d2, r.gap) for r in sorted_neighborhood_pairs(df).collect()}
+    got13 = {
+        (r.d1, r.d2, r.gap)
+        for r in sorted_neighborhood_pairs(df.repartition(13)).collect()
+    }
+    assert got == want
+    assert got13 == want

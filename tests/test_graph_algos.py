@@ -259,3 +259,62 @@ def test_label_propagation_partition_invariant(spark):
     b = sorted(map(tuple, label_propagation(
         spark.createDataFrame(edges, "a long, b long").repartition(17), iters=2).collect()))
     assert a == b
+
+
+# --------------------------------------------------------------------------
+# kcore
+# --------------------------------------------------------------------------
+
+
+def _brute_kcore(pairs, k, peels):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    alive = set(adj)
+    for _ in range(peels):
+        drop = {u for u in alive if sum(1 for v in adj[u] if v in alive) < k}
+        alive -= drop
+    return {u: sum(1 for v in adj[u] if v in alive) for u in alive}
+
+
+def test_kcore_cascade_handcrafted(spark):
+    from c_tran_data_pipeline_spark.operators.graph import kcore
+
+    # K4 core {1,2,3,4} + a chain 4-5-6 that peels in CASCADE: 6 falls
+    # round 1 (deg 1 < 2), which drops 5 to deg 1 → falls round 2.
+    pairs = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    got = {r["node"]: r["deg"] for r in kcore(_edges_df(spark, pairs), k=2, peels=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # one peel is NOT enough: node 5 still present after round 1
+    got1 = {r["node"]: r["deg"] for r in kcore(_edges_df(spark, pairs), k=2, peels=1).collect()}
+    assert 5 in got1 and 6 not in got1
+
+
+def test_kcore_matches_brute_force_random(spark):
+    from c_tran_data_pipeline_spark.operators.graph import kcore
+
+    rng = random.Random(13)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(range(40), 2) if rng.random() < 0.15}
+    )
+    for k, peels in ((3, 1), (3, 4), (4, 4)):
+        want = _brute_kcore(pairs, k, peels)
+        got = {
+            r["node"]: r["deg"]
+            for r in kcore(_edges_df(spark, pairs, n_parts=7), k=k, peels=peels).collect()
+        }
+        assert got == want, (k, peels)
+
+
+def test_kcore_fixpoint_stable(spark):
+    from c_tran_data_pipeline_spark.operators.graph import kcore
+
+    # once at fixpoint, extra peels change nothing
+    rng = random.Random(17)
+    pairs = sorted(
+        {tuple(sorted(p)) for p in itertools.combinations(range(25), 2) if rng.random() < 0.3}
+    )
+    a = sorted(map(tuple, kcore(_edges_df(spark, pairs), k=5, peels=8).collect()))
+    b = sorted(map(tuple, kcore(_edges_df(spark, pairs), k=5, peels=12).collect()))
+    assert a == b and len(a) > 0

@@ -173,3 +173,75 @@ def test_interpolate_linear_handcrafted_gaps(spark):
     assert out[1].v_interp == 10.0 and not out[1].is_gap
     assert out[5].v_interp is None  # leading edge: no prior neighbor
     assert out[7].v_interp is None  # trailing edge: no next neighbor
+
+
+def test_region_trend_exact_linear_fit(spark):
+    """q_region_trend on a synthetic warehouse where monthly revenue is
+    EXACTLY linear per region must recover the generating slope and
+    intercept bit-exactly (one order per month; OLS through exact
+    points is the points' own line)."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_region_trend
+
+    truth = {"ALPHA": (100.0, 500.0), "BETA": (-20.0, 1000.0)}
+    orders, custs = [], []
+    for ri, (rname, (slope, icept)) in enumerate(sorted(truth.items())):
+        custs.append((ri + 1, ri))  # c_custkey, c_nationkey
+        for x in range(12):
+            orders.append(
+                (ri * 100 + x, ri + 1, dt.datetime(1995, x + 1, 15), icept + slope * x)
+            )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(custs, "c_custkey long, c_nationkey long").write.parquet(
+            f"{d}/customer.parquet"
+        )
+        spark.createDataFrame(
+            [(0, 0), (1, 1)], "n_nationkey long, n_regionkey long"
+        ).write.parquet(f"{d}/nation.parquet")
+        spark.createDataFrame(
+            [(0, "ALPHA"), (1, "BETA")], "r_regionkey long, r_name string"
+        ).write.parquet(f"{d}/region.parquet")
+        out = {r.region: r for r in q_region_trend(spark, d).collect()}
+    assert set(out) == set(truth)
+    for rname, (slope, icept) in truth.items():
+        assert out[rname].n_months == 12
+        assert out[rname].slope == slope, rname
+        assert out[rname].intercept == icept, rname
+
+
+def test_event_transitions_counts_and_row_stochastic(spark):
+    """q_event_transitions on a handcrafted stream: exact (prev, next)
+    counts, and each prev row of the matrix sums to probability 1."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_event_transitions
+
+    t0 = dt.datetime(2024, 1, 1)
+    seqs = {1: ["A", "B", "A", "B", "A"], 2: ["A", "A", "C"]}
+    rows = [
+        (uid * 100 + i, uid, t0 + dt.timedelta(seconds=i), et, 0.0)
+        for uid, seq in seqs.items()
+        for i, et in enumerate(seq)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = q_event_transitions(spark, d).collect()
+    got = {(r.prev_type, r.next_type): (r.n, r.p) for r in out}
+    assert got == {
+        ("A", "B"): (2, 0.5),
+        ("B", "A"): (2, 1.0),
+        ("A", "A"): (1, 0.25),
+        ("A", "C"): (1, 0.25),
+    }
+    by_prev = {}
+    for (p_, _n), (n, p) in got.items():
+        by_prev[p_] = by_prev.get(p_, 0.0) + p
+    assert all(abs(s - 1.0) < 1e-12 for s in by_prev.values())
