@@ -85,6 +85,18 @@ HEADLINE = [
     "q_event_transitions",
     "q_sorted_neighborhood",
     "q_region_trend",
+    "q_dedup_prefix_filter",
+    "q_benford_audit",
+    "q_seasonal_index",
+    "q_sssp_weighted",
+    "q_corr_matrix",
+    "q_degree_assortativity",
+    "q_assoc_rules",
+    "q_cusum_changepoint",
+    "q_image_ahash_neardup",
+    "q_trimmed_mean",
+    "q_attribution",
+    "q_pca_project",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -131,6 +143,18 @@ _POST_R01 = (
     "q_event_transitions",
     "q_sorted_neighborhood",
     "q_region_trend",
+    "q_dedup_prefix_filter",
+    "q_benford_audit",
+    "q_seasonal_index",
+    "q_sssp_weighted",
+    "q_corr_matrix",
+    "q_degree_assortativity",
+    "q_assoc_rules",
+    "q_cusum_changepoint",
+    "q_image_ahash_neardup",
+    "q_trimmed_mean",
+    "q_attribution",
+    "q_pca_project",
 )
 
 

@@ -472,3 +472,95 @@ def sorted_neighborhood_pairs(
     return left.join(right, ["__blk", "__rn2"]).select(
         "d1", "d2", F.col("__j").cast("long").alias("gap")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    payload: str = "text",
+    key: str = "doc_id",
+    n: int = 3,
+    t_num: int = 4,
+    t_den: int = 5,
+) -> DataFrame:
+    """Exact word-n-gram Jaccard self-join with PREFIX FILTERING
+    (AllPairs / PPJoin, Bayardo et al. WWW'07 / Xiao et al. WWW'08):
+    identical output to ``ngram_jaccard_pairs`` at threshold
+    t = t_num/t_den, but candidate generation joins only each
+    document's PREFIX — its (|d| − ⌈t·|d|⌉ + 1) globally-rarest
+    shingles under a shared (df, shingle) total order — instead of the
+    full inverted index. If J(A,B) ≥ t the two prefixes must share a
+    shingle (pigeonhole on the common order), so the filter is
+    LOSSLESS; candidates additionally pass the length filter
+    t_den·min(|A|,|B|) ≥ t_num·max(|A|,|B|), then exact verification
+    counts the full intersection for surviving pairs only.
+
+    Why it matters at 100 TB: the full inverted-index self-join pays
+    Σ df² over ALL shingles — including the common ones that dominate
+    the frequency mass; prefix filtering pays Σ df² only over each
+    doc's rarest slice, which is where df is smallest, and high-df
+    stop-shingles fall out of every prefix automatically (no
+    max_shingle_df recall trade at all — this is the exact-answer
+    counterpart to that guard). Threshold arithmetic is pure-integer
+    (⌈t·n⌉ = (t_num·n + t_den − 1) DIV t_den; the final test is
+    t_den·inter ≥ t_num·union), so no float threshold can diverge
+    across engines.
+
+    One extra shuffle vs the naive join (global shingle df) + a
+    per-doc window keyed on the doc; verification joins are keyed on
+    (doc, shingle). All equi-joins, no cross product anywhere."""
+    from pyspark.sql.window import Window
+
+    idx = shingle_index(df, payload, key, n)
+    sizes = idx.groupBy(key).agg(F.count(F.lit(1)).alias("n_shingles"))
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy(key).orderBy("__df", "shingle")
+    pre = (
+        idx.join(dfreq, "shingle")
+        .withColumn("__rn", F.row_number().over(w))
+        .join(sizes, key)
+        .filter(
+            F.col("__rn")
+            <= F.col("n_shingles")
+            - F.expr(f"({t_num} * n_shingles + {t_den} - 1) DIV {t_den}")
+            + 1
+        )
+        .select(F.col(key), "shingle", "n_shingles")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, "shingle")
+        .filter(
+            (F.col(f"a.{key}") < F.col(f"b.{key}"))
+            & (
+                F.lit(t_den) * F.least("a.n_shingles", "b.n_shingles")
+                >= F.lit(t_num) * F.greatest("a.n_shingles", "b.n_shingles")
+            )
+        )
+        .select(F.col(f"a.{key}").alias("d1"), F.col(f"b.{key}").alias("d2"))
+        .distinct()
+    )
+    ia = idx.select(F.col(key).alias("d1"), "shingle")
+    ib = idx.select(F.col(key).alias("d2"), "shingle")
+    inter = (
+        cand.join(ia, "d1")
+        .join(ib, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col(key).alias("d1"), F.col("n_shingles").alias("n1"))
+    sb = sizes.select(F.col(key).alias("d2"), F.col("n_shingles").alias("n2"))
+    return (
+        inter.join(sa, "d1")
+        .join(sb, "d2")
+        .filter(
+            F.lit(t_den) * F.col("n_common")
+            >= F.lit(t_num) * (F.col("n1") + F.col("n2") - F.col("n_common"))
+        )
+        .select(
+            "d1",
+            "d2",
+            F.round(
+                F.col("n_common") / (F.col("n1") + F.col("n2") - F.col("n_common")), 6
+            ).alias("jaccard"),
+        )
+    )

@@ -414,6 +414,46 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     )
 
 
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 3,
+    src: str = "u",
+    dst: str = "v",
+    weight: str = "w",
+) -> DataFrame:
+    """(node, dist): minimum path WEIGHT from the seed set reachable in
+    ≤ ``rounds`` relaxation rounds — Bellman-Ford with a fixed round
+    count over a DIRECTED weighted edge list (symmetrize for
+    undirected). Round i+1: dist(v) = min(dist(v), min over edges
+    (u,v) of dist(u)+w) — one frontier⋈edges equi-join + a per-node
+    min aggregate, the khop_distances shape with weights. With integer
+    weights every distance is an exact integer, so the fixed-round
+    result matches an unrolled SQL oracle bit-for-bit (the q_khop /
+    q_kcore discipline: bounded rounds = SQL-expressible; run more
+    rounds for longer-diameter reachability — |V|−1 rounds is the full
+    SSSP fixpoint). Per-round state is (node, dist) — O(V) rows; at
+    scale, localCheckpoint periodically (pagerank pattern). Negative
+    weights are accepted by the recurrence but the bounded-round
+    result is then only the ≤-rounds-hop optimum, as for any
+    Bellman-Ford prefix."""
+    dist = seeds.select("node").distinct().select("node", F.lit(0).alias("dist"))
+    e = edges.select(
+        F.col(src).alias("__u"), F.col(dst).alias("__v"), F.col(weight).alias("__w")
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(e, dist.node == e.__u)
+            .select(F.col("__v").alias("node"), (F.col("dist") + F.col("__w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    return dist
+
+
 def kcore(
     edges: DataFrame, k: int = 12, peels: int = 4, src: str = "a", dst: str = "b"
 ) -> DataFrame:

@@ -605,3 +605,122 @@ def resize_pngs(assets: DataFrame, out_w: int, out_h: int) -> DataFrame:
         [T.StructField("asset_id", T.LongType()), T.StructField("payload", T.BinaryType())]
     )
     return assets.select("asset_id", "payload").mapInPandas(batches, schema)
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("ahash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_ahash(assets: DataFrame, codec: str = "fake", grid: int = 8) -> DataFrame:
+    """Average-hash (aHash) perceptual fingerprint per image: decode →
+    nearest-neighbor downsample of frame 0 to ``grid×grid`` (numpy
+    index arithmetic, no interpolation libs) → threshold each cell at
+    the grid mean → ``grid²``-bit fingerprint packed row-major,
+    MSB-first, wrapped to a signed 64-bit (grid=8). The classic cheap
+    perceptual hash: re-encoded/resized variants of one image land
+    within a few bits, unrelated images ~32 bits apart — the
+    image-side analog of text simhash, and the fingerprint that makes
+    image dedup a HASH problem instead of a pixel-distance problem.
+    Arrow-batched mapInPandas like every media op here (payloads never
+    transit the driver); undecodable payloads yield NULL hashes for
+    the downstream audit filter."""
+    if grid * grid > 64:
+        raise ValueError("image_ahash: grid² must fit a 64-bit hash")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            out = {k: [] for k in ("asset_id", "ahash", "width", "height")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                dec = _decode_image_bytes(payload, codec)
+                if dec is None or dec[0] < 1 or dec[1] < 1:
+                    out["ahash"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
+                w, h, _n, px = dec
+                a = np.frombuffer(px[: w * h], dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                g = a[np.ix_(ys, xs)].astype(np.float64)
+                bits = (g > g.mean()).astype(np.uint8).reshape(-1)
+                hv = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if hv >= 1 << 63:  # wrap to signed 64-bit for LongType
+                    hv -= 1 << 64
+                out["ahash"].append(hv)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, AHASH_SCHEMA)
+
+
+def ahash_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "ahash",
+    max_ham: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """(a1, a2, hamming): image pairs whose perceptual hashes differ in
+    ≤ ``max_ham`` bits — pigeonhole-blocked like simhash_neardup_pairs:
+    the 64-bit hash splits into ``bands`` equal slices, and any pair
+    within ``max_ham`` ≤ bands−1 bits must agree EXACTLY on ≥1 slice,
+    so candidates come from ``bands`` equi-joins on (band, slice_value)
+    — never an all-pairs scan — and the exact popcount(xor) filter
+    keeps precision 1.0. Slices use shiftrightunsigned (hashes are
+    sign-wrapped). Same hot-key caveat as every banding scheme: a
+    degenerate slice value (e.g. all-black thumbnails → band 0) is a
+    skew key; cap or pre-filter degenerate hashes upstream."""
+    if max_ham > bands - 1:
+        raise ValueError(
+            f"ahash_neardup_pairs: pigeonhole needs max_ham <= bands-1 "
+            f"(got max_ham={max_ham}, bands={bands})"
+        )
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    sliced = h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "h", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    a, b = sliced.alias("a"), sliced.alias("b")
+    cand = (
+        a.join(b, ["band", "slice"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("a1"),
+            F.col("b.id").alias("a2"),
+            F.col("a.h").alias("h1"),
+            F.col("b.h").alias("h2"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
+        .filter(F.col("hamming") <= max_ham)
+        .select("a1", "a2", "hamming")
+    )

@@ -230,6 +230,19 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "sf0.01 output rows — frame md5s + byte lengths — equal the committed "
         "golden file) + test_frame_sampling (stride/index semantics)"
     ),
+    "q_image_ahash_neardup": (
+        "tests/test_multimodal.py::test_image_ahash_matches_numpy_replay "
+        "(hash bits vs an independent numpy replay) + "
+        "::test_ahash_pairs_lossless_vs_bruteforce (banded pairs == brute-force "
+        "all-pairs at hamming<=3) + ::test_ahash_single_pixel_neardup "
+        "(perturbed sampled pixel stays within the hamming budget)"
+    ),
+    "q_pca_project": (
+        "tests/test_pca.py::test_projection_matches_numpy_replay (projections vs "
+        "a full-matrix numpy PCA, atol 1e-8) + ::test_partition_invariant "
+        "(repartition(7) projections within 1e-8) + "
+        "::test_components_orthonormal_and_variance_ordered"
+    ),
     "q_multimodal_features": (
         "tests/test_multimodal.py::test_registered_query_matches_golden (ALL 500 "
         "sf0.01 output rows equal the committed golden file) + "

@@ -272,3 +272,148 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.sum("n").over(tot).cast("double"), 12).alias("p"),
     )
+
+
+@query(
+    "q_trimmed_mean",
+    """
+    WITH r AS (
+        SELECT event_type, value, event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type,
+           COUNT(*) AS n_kept,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(28, 8))) AS DOUBLE) / COUNT(*), 12)
+               AS trimmed_mean
+    FROM r
+    WHERE rn > n // 10 AND rn <= n - n // 10
+    GROUP BY event_type
+    """,
+    doc="10% two-sided trimmed mean of event value per type — the "
+    "robust-location estimator that shrugs off the heavy tails and "
+    "sensor glitches a plain AVG absorbs (companion to q_mad_outliers' "
+    "robust-scale estimator). One shuffle on event_type serves the "
+    "rank window, the count window and the final aggregate; trim "
+    "bounds are integer arithmetic (n DIV 10 — no float percentile "
+    "boundary to disagree on), ranks tie-break on event_id for "
+    "determinism, and the kept values sum in exact DECIMAL (float "
+    "policy). At scale the window is per-group (parallel across "
+    "types); for a single giant group the same trim is expressible as "
+    "two approx-quantile passes — this exact form is the oracle-able "
+    "twin.",
+    tags=("analytics", "window", "stats"),
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select("event_type", "value", "event_id")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = r.filter(
+        (F.col("rn") > F.expr("n DIV 10")) & (F.col("rn") <= F.col("n") - F.expr("n DIV 10"))
+    )
+    return kept.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,8)")).cast("double")
+            / F.count(F.lit(1)),
+            12,
+        ).alias("trimmed_mean"),
+    )
+
+
+@query(
+    "q_attribution",
+    """
+    WITH touches AS (
+        SELECT user_id, ts, event_id, event_type FROM events
+        WHERE event_type IN ('view', 'click')
+    ),
+    purchases AS (
+        SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+        SELECT p.event_id AS pid, p.user_id, t.event_id AS tid,
+               t.event_type AS ttype, t.ts
+        FROM purchases p
+        JOIN touches t
+          ON t.user_id = p.user_id
+         AND t.ts <= p.ts
+         AND t.ts >= p.ts - INTERVAL 7 DAY
+    ),
+    r AS (
+        SELECT pid, user_id, tid, ttype,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts ASC, tid ASC) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY pid ORDER BY ts DESC, tid DESC) AS rl,
+               COUNT(*) OVER (PARTITION BY pid) AS n_touches
+        FROM j
+    )
+    SELECT pid AS purchase_id, user_id, n_touches,
+           MAX(CASE WHEN rf = 1 THEN tid END) AS first_touch_id,
+           MAX(CASE WHEN rf = 1 THEN ttype END) AS first_touch_type,
+           MAX(CASE WHEN rl = 1 THEN tid END) AS last_touch_id,
+           MAX(CASE WHEN rl = 1 THEN ttype END) AS last_touch_type
+    FROM r GROUP BY pid, user_id, n_touches
+    """,
+    doc="Marketing-style touch attribution: for every purchase, the "
+    "FIRST and LAST view/click by the same user in the preceding 7 "
+    "days, plus the touch count — the first-touch/last-touch pair "
+    "every attribution model starts from (multi-touch weights are a "
+    "projection over the same joined relation). The candidate join is "
+    "user-keyed with a time-band predicate (the q_range_join_follows "
+    "shape: equi-join on user_id carries the shuffle, the 7-day band "
+    "is a post-filter bounded by events-per-user), then two rank "
+    "windows per purchase pick the endpoints deterministically "
+    "(event_id tie-break). Purchases with no touch in window drop out "
+    "(inner semantics — the unattributed set is the anti-join, "
+    "q_antijoin_absent shape).",
+    tags=("analytics", "window", "join"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    touches = e.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("tid"),
+        F.col("event_type").alias("ttype"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts"), F.col("event_id").alias("pid")
+    )
+    j = purchases.join(
+        touches,
+        (F.col("t_user") == F.col("user_id"))
+        & (F.col("t_ts") <= F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY")),
+    )
+    wf = Window.partitionBy("pid").orderBy(F.col("t_ts").asc(), F.col("tid").asc())
+    wl = Window.partitionBy("pid").orderBy(F.col("t_ts").desc(), F.col("tid").desc())
+    wn = Window.partitionBy("pid")
+    r = j.select(
+        "pid",
+        "user_id",
+        "tid",
+        "ttype",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+        F.count(F.lit(1)).over(wn).alias("n_touches"),
+    )
+    return r.groupBy(
+        F.col("pid").alias("purchase_id"), "user_id", "n_touches"
+    ).agg(
+        F.max(F.when(F.col("rf") == 1, F.col("tid"))).alias("first_touch_id"),
+        F.max(F.when(F.col("rf") == 1, F.col("ttype"))).alias("first_touch_type"),
+        F.max(F.when(F.col("rl") == 1, F.col("tid"))).alias("last_touch_id"),
+        F.max(F.when(F.col("rl") == 1, F.col("ttype"))).alias("last_touch_type"),
+    )

@@ -541,3 +541,57 @@ def q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.dedup import sorted_neighborhood_pairs
 
     return sorted_neighborhood_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_prefix_filter",
+    f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    dfreq AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY 1),
+    pre AS (
+        SELECT doc_id, shingle, n FROM (
+            SELECT sh.doc_id, sh.shingle, sizes.n,
+                   ROW_NUMBER() OVER (PARTITION BY sh.doc_id
+                                      ORDER BY dfreq.df, sh.shingle) AS rn
+            FROM sh JOIN dfreq USING (shingle) JOIN sizes USING (doc_id)
+        ) WHERE rn <= n - ((4 * n + 4) // 5) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+        FROM pre a JOIN pre b USING (shingle)
+        WHERE a.doc_id < b.doc_id
+          AND 5 * least(a.n, b.n) >= 4 * greatest(a.n, b.n)
+    ),
+    inter AS (
+        SELECT c.d1, c.d2, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.d1
+        JOIN sh b ON b.doc_id = c.d2 AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    )
+    SELECT d1, d2,
+           ROUND(n_common * 1.0 / (s1.n + s2.n - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes s1 ON d1 = s1.doc_id
+    JOIN sizes s2 ON d2 = s2.doc_id
+    WHERE 5 * n_common >= 4 * (s1.n + s2.n - n_common)
+    """,
+    doc="Exact Jaccard-0.8 near-dup pairs via PREFIX FILTERING "
+    "(AllPairs/PPJoin): join only each document's (n − ⌈0.8n⌉ + 1) "
+    "globally-RAREST shingles — if J(A,B) ≥ 0.8 the prefixes must "
+    "intersect under the shared (df, shingle) order, so the filter is "
+    "lossless — then length-filter and verify candidates exactly. The "
+    "scalable exact counterpart to q_dedup_ngram_jaccard's full "
+    "inverted-index join: the self-join cost concentrates where df is "
+    "SMALLEST, and stop-shingles drop out of every prefix "
+    "automatically instead of via the recall-trading max_shingle_df "
+    "guard. All thresholds are integer arithmetic (⌈0.8n⌉ = "
+    "(4n+4) DIV 5; final test 5·inter ≥ 4·union) — no float threshold "
+    "to diverge across engines.",
+    tags=("dedup", "join"),
+)
+def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    return prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))

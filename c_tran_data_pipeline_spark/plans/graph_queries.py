@@ -395,3 +395,180 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # orders⋈lineitem derivation once (q_pagerank pattern)
     edges = _copurchase_edges(spark, sf_dir).localCheckpoint(eager=True)
     return label_propagation(edges, iters=2)
+
+
+_WEDGES_CTE = """
+    ew0 AS (
+        SELECT DISTINCT a.l_partkey AS a, b.l_partkey AS b, a.l_orderkey AS ok
+        FROM lineitem a
+        JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        JOIN orders o
+          ON o.o_orderkey = a.l_orderkey AND o.o_orderpriority = '1-URGENT'
+    ),
+    ew AS (SELECT a, b, COUNT(*) AS w FROM ew0 GROUP BY a, b)
+"""
+
+
+def _sssp_round_sql(prev: str, i: int) -> str:
+    """One unrolled Bellman-Ford relaxation (SQL twin of the loop body
+    in operators.graph.sssp_bounded — same min, same sum)."""
+    return f"""
+    r{i} AS (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT symw.v AS node, {prev}.dist + symw.w
+            FROM {prev} JOIN symw ON symw.u = {prev}.node
+        ) GROUP BY node
+    )"""
+
+
+@query(
+    "q_sssp_weighted",
+    f"""
+    WITH {_WEDGES_CTE},
+    symw AS (
+        SELECT a AS u, b AS v, w FROM ew
+        UNION ALL SELECT b AS u, a AS v, w FROM ew
+    ),
+    r0 AS (
+        SELECT DISTINCT p_partkey AS node, 0 AS dist
+        FROM part WHERE p_size = 50
+    ),
+    {_sssp_round_sql("r0", 1)},
+    {_sssp_round_sql("r1", 2)},
+    {_sssp_round_sql("r2", 3)}
+    SELECT node, dist FROM r3
+    """,
+    doc="Weighted single-source-set shortest paths (3 unrolled "
+    "Bellman-Ford relaxation rounds) over the co-purchase graph, edge "
+    "weight = co-purchase multiplicity (# urgent orders containing the "
+    "pair): min cumulative weight from the p_size=50 seed set — the "
+    "weighted counterpart to q_khop_reach's hop-count BFS (same seeds, "
+    "so the two results exhibit the hop-vs-weight divergence). Each "
+    "round is one frontier⋈edges equi-join + a per-node MIN — state is "
+    "O(V) (node, dist) rows, never path-enumerating; integer weights "
+    "keep every distance exact, which is what lets a fixed-round "
+    "Bellman-Ford prefix hash-match an unrolled SQL oracle. Full SSSP "
+    "= |V|−1 rounds with periodic localCheckpoint (pagerank pattern); "
+    "bounded rounds is also the honest production form for blast-"
+    "radius / influence-cost queries at 100 TB.",
+    tags=("graph", "iterative"),
+)
+def q_sssp_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import sssp_bounded
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    lu = li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+    x, y = lu.alias("x"), lu.alias("y")
+    ew = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .select(
+            F.col("x.l_partkey").alias("a"),
+            F.col("y.l_partkey").alias("b"),
+            F.col("x.l_orderkey").alias("ok"),
+        )
+        .distinct()
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    symw = ew.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), "w"
+    ).unionByName(ew.select(F.col("b").alias("u"), F.col("a").alias("v"), "w"))
+    # consumed by all three relaxation joins — materialize once
+    symw = symw.localCheckpoint(eager=True)
+    seeds = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 50)
+        .select(F.col("p_partkey").alias("node"))
+    )
+    return sssp_bounded(symw, seeds, rounds=3)
+
+
+@query(
+    "q_degree_assortativity",
+    f"""
+    WITH {_EDGES_CTE},
+    deg AS (
+        SELECT node, COUNT(*) AS deg
+        FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+        GROUP BY 1
+    ),
+    sym AS (SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0),
+    j AS (
+        SELECT da.deg AS du, db.deg AS dv
+        FROM sym JOIN deg da ON da.node = sym.u JOIN deg db ON db.node = sym.v
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(du) AS DOUBLE) AS s1, CAST(SUM(dv) AS DOUBLE) AS s2,
+               CAST(SUM(du * du) AS DOUBLE) AS s11,
+               CAST(SUM(dv * dv) AS DOUBLE) AS s22,
+               CAST(SUM(du * dv) AS DOUBLE) AS s12
+        FROM j
+    )
+    SELECT n AS n_directed_edges,
+           ROUND((CAST(n AS DOUBLE) * s12 - s1 * s2)
+                 / sqrt((CAST(n AS DOUBLE) * s11 - s1 * s1)
+                        * (CAST(n AS DOUBLE) * s22 - s2 * s2)), 12) AS assortativity
+    FROM s
+    """,
+    doc="Degree assortativity (Newman 2002) of the co-purchase graph: "
+    "Pearson correlation between endpoint degrees over all directed "
+    "edge instances — positive means hubs link hubs (social-network "
+    "shape), negative means hubs link the fringe (web/biology shape); "
+    "the one-number structural fingerprint used to sanity-check link "
+    "graphs before walk sampling or dedup clustering. All sufficient "
+    "statistics are exact INTEGER sums (degrees are ints — no decimal "
+    "casts needed at fixture scale; swap to DECIMAL(38,0) sums beyond "
+    "2^53 edge-degree mass), one degree agg + two node-keyed joins + "
+    "one global 1-row aggregate; the correlation is a fixed-shape "
+    "scalar expression rounded to 12 (q_corr_matrix policy).",
+    tags=("graph", "agg", "stats"),
+)
+def q_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e0 = _copurchase_edges(spark, sf_dir)
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionByName(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    sym = e0.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+        e0.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    j = (
+        sym.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select("du", "dv")
+    )
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("du").cast("double").alias("s1"),
+        F.sum("dv").cast("double").alias("s2"),
+        F.sum(F.col("du") * F.col("du")).cast("double").alias("s11"),
+        F.sum(F.col("dv") * F.col("dv")).cast("double").alias("s22"),
+        F.sum(F.col("du") * F.col("dv")).cast("double").alias("s12"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.col("n").alias("n_directed_edges"),
+        F.round(
+            (nd * F.col("s12") - F.col("s1") * F.col("s2"))
+            / F.sqrt(
+                (nd * F.col("s11") - F.col("s1") * F.col("s1"))
+                * (nd * F.col("s22") - F.col("s2") * F.col("s2"))
+            ),
+            12,
+        ).alias("assortativity"),
+    )

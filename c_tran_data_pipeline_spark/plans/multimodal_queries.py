@@ -190,3 +190,52 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
     return extract_audio_features(assets)
+
+
+@query(
+    "q_image_ahash_neardup",
+    None,  # UDF decode seam — rows-only driver check; exactness in pytest
+    doc="Perceptual image dedup end to end: synthesize fake-codec "
+    "thumbnails (clusters of 8 consecutive docs share a seed → planted "
+    "duplicates), fingerprint each with the 64-bit average-hash "
+    "(operators/multimodal.py image_ahash, Arrow mapInPandas), then "
+    "find hamming≤3 pairs via 4×16-bit pigeonhole banding "
+    "(ahash_neardup_pairs) — the image-side twin of q_dedup_simhash_"
+    "pairs: candidates from band equi-joins, exact popcount(xor) "
+    "verification, precision 1.0 by construction. pytest pins the "
+    "hash against a numpy replay, lossless pairing vs a brute-force "
+    "all-pairs baseline, and near-dup (small-hamming) recovery for "
+    "single-pixel perturbations.",
+    tags=("multimodal", "dedup"),
+)
+def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from c_tran_data_pipeline_spark.operators.multimodal import _pack_header
+
+        def img(seed: int) -> bytes:
+            # MT19937 noise keyed by the cluster seed: clusters are
+            # byte-identical inside, genuinely independent across — the
+            # fake codec's linear ramp would alias across seeds (a
+            # uniform +k shift preserves every mean-threshold bit)
+            body = np.random.RandomState(seed).randint(0, 256, 32 * 32, dtype=np.int64)
+            return _pack_header(32, 32, 1) + body.astype(np.uint8).tobytes()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [img(int(i) // 8) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    return ahash_neardup_pairs(image_ahash(assets))

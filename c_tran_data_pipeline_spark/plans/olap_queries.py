@@ -1721,3 +1721,449 @@ def q_region_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope_raw, 12).alias("slope"),
         F.round((syd - slope_raw * sxd) / nd, 12).alias("intercept"),
     )
+
+
+@query(
+    "q_benford_audit",
+    """
+    WITH d AS (
+        SELECT substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                      1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    c AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / CAST(total AS DOUBLE), 12) AS observed_p,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 12) AS benford_p,
+           ROUND((CAST(n AS DOUBLE)
+                  - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 * (CAST(n AS DOUBLE)
+                    - CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE)))
+                 / (CAST(total AS DOUBLE) * log10(1.0 + 1.0 / CAST(digit AS DOUBLE))),
+                 12) AS chi2_term
+    FROM c, t
+    """,
+    doc="Benford's-law first-digit audit over order amounts: observed "
+    "leading-digit frequencies vs log10(1+1/d), with per-digit "
+    "chi-square contributions — the forensic data-quality screen for "
+    "fabricated or systematically-rounded monetary data. Digit "
+    "extraction avoids float formatting entirely: amounts become exact "
+    "integer CENTS (round(x·100) → BIGINT) and the digit is the first "
+    "character of the INTEGER's string — integer-to-string is "
+    "identical across engines, double-to-string is not. One scan + a "
+    "9-row aggregate; the expected-p and chi-square terms are "
+    "fixed-shape scalar expressions over the 1-row total (broadcast), "
+    "rounded to 12. The chi-square statistic is the sum of chi2_term — "
+    "left per-digit so the audit shows WHICH digit deviates.",
+    tags=("olap", "quality", "agg"),
+)
+def q_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1
+    )
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    nd = F.col("n").cast("double")
+    td = F.col("total").cast("double")
+    p = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(nd / td, 12).alias("observed_p"),
+        F.round(p, 12).alias("benford_p"),
+        F.round((nd - td * p) * (nd - td * p) / (td * p), 12).alias("chi2_term"),
+    )
+
+
+@query(
+    "q_seasonal_index",
+    """
+    WITH m AS (
+        SELECT r_name AS region, month(o_orderdate) AS moy,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 8))) AS DECIMAL(38, 8)) AS rev
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT region, CAST(SUM(rev) AS DECIMAL(38, 8)) AS tot, COUNT(*) AS nm
+        FROM m GROUP BY region
+    )
+    SELECT region, moy, CAST(rev AS DOUBLE) AS revenue,
+           ROUND(CAST(rev AS DOUBLE) * CAST(nm AS DOUBLE) / CAST(tot AS DOUBLE), 12)
+               AS seasonal_index
+    FROM m JOIN a USING (region)
+    """,
+    doc="Month-of-year seasonal index of order revenue per region: "
+    "revenue at monthly grain divided by the region's mean month — "
+    "index > 1 is a seasonal peak. The multiplicative-decomposition "
+    "companion to q_region_trend (trend) and q_dow_profile (weekly "
+    "cycle): together they form the classic trend/seasonality split, "
+    "all from ONE pass over the fact table into a ≤ |regions|·12-row "
+    "relation. Sums are exact DECIMAL; the index is rev·nm/tot as a "
+    "fixed-shape double expression rounded to 12 (Spark computes the "
+    "region totals as a window over the monthly grain — same exact "
+    "decimal sums, one shuffle).",
+    tags=("olap", "agg", "stats"),
+)
+def q_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name"))
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(nr, c.c_nationkey == nr.n_nationkey)
+        .groupBy(F.col("r_name").alias("region"), F.month("o_orderdate").alias("moy"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+            .cast("decimal(38,8)")
+            .alias("rev")
+        )
+    )
+    w = Window.partitionBy("region")
+    return m.select(
+        "region",
+        "moy",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double")
+            * F.count(F.lit(1)).over(w).cast("double")
+            / F.sum("rev").over(w).cast("decimal(38,8)").cast("double"),
+            12,
+        ).alias("seasonal_index"),
+    )
+
+
+
+
+@query(
+    "q_corr_matrix",
+    """
+    WITH v AS (
+        SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS e,
+               CAST(round(l_discount * 100) AS BIGINT) AS d,
+               CAST(round(l_tax * 100) AS BIGINT) AS t
+        FROM lineitem
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(q AS DECIMAL(38,0))) AS DOUBLE) AS s_q,
+               CAST(SUM(CAST(e AS DECIMAL(38,0))) AS DOUBLE) AS s_e,
+               CAST(SUM(CAST(d AS DECIMAL(38,0))) AS DOUBLE) AS s_d,
+               CAST(SUM(CAST(t AS DECIMAL(38,0))) AS DOUBLE) AS s_t,
+               CAST(SUM(CAST(q * q AS DECIMAL(38,0))) AS DOUBLE) AS s_qq,
+               CAST(SUM(CAST(q * e AS DECIMAL(38,0))) AS DOUBLE) AS s_qe,
+               CAST(SUM(CAST(q * d AS DECIMAL(38,0))) AS DOUBLE) AS s_qd,
+               CAST(SUM(CAST(q * t AS DECIMAL(38,0))) AS DOUBLE) AS s_qt,
+               CAST(SUM(CAST(e * e AS DECIMAL(38,0))) AS DOUBLE) AS s_ee,
+               CAST(SUM(CAST(e * d AS DECIMAL(38,0))) AS DOUBLE) AS s_ed,
+               CAST(SUM(CAST(e * t AS DECIMAL(38,0))) AS DOUBLE) AS s_et,
+               CAST(SUM(CAST(d * d AS DECIMAL(38,0))) AS DOUBLE) AS s_dd,
+               CAST(SUM(CAST(d * t AS DECIMAL(38,0))) AS DOUBLE) AS s_dt,
+               CAST(SUM(CAST(t * t AS DECIMAL(38,0))) AS DOUBLE) AS s_tt
+        FROM v
+    )
+    SELECT 'l_quantity' AS var_x, 'l_extendedprice' AS var_y,
+           ROUND((CAST(n AS DOUBLE) * s_qe - s_q * s_e)
+                 / sqrt((CAST(n AS DOUBLE) * s_qq - s_q * s_q)
+                        * (CAST(n AS DOUBLE) * s_ee - s_e * s_e)), 12) AS corr
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_discount',
+           ROUND((CAST(n AS DOUBLE) * s_qd - s_q * s_d)
+                 / sqrt((CAST(n AS DOUBLE) * s_qq - s_q * s_q)
+                        * (CAST(n AS DOUBLE) * s_dd - s_d * s_d)), 12)
+    FROM s
+    UNION ALL
+    SELECT 'l_quantity', 'l_tax',
+           ROUND((CAST(n AS DOUBLE) * s_qt - s_q * s_t)
+                 / sqrt((CAST(n AS DOUBLE) * s_qq - s_q * s_q)
+                        * (CAST(n AS DOUBLE) * s_tt - s_t * s_t)), 12)
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_discount',
+           ROUND((CAST(n AS DOUBLE) * s_ed - s_e * s_d)
+                 / sqrt((CAST(n AS DOUBLE) * s_ee - s_e * s_e)
+                        * (CAST(n AS DOUBLE) * s_dd - s_d * s_d)), 12)
+    FROM s
+    UNION ALL
+    SELECT 'l_extendedprice', 'l_tax',
+           ROUND((CAST(n AS DOUBLE) * s_et - s_e * s_t)
+                 / sqrt((CAST(n AS DOUBLE) * s_ee - s_e * s_e)
+                        * (CAST(n AS DOUBLE) * s_tt - s_t * s_t)), 12)
+    FROM s
+    UNION ALL
+    SELECT 'l_discount', 'l_tax',
+           ROUND((CAST(n AS DOUBLE) * s_dt - s_d * s_t)
+                 / sqrt((CAST(n AS DOUBLE) * s_dd - s_d * s_d)
+                        * (CAST(n AS DOUBLE) * s_tt - s_t * s_t)), 12)
+    FROM s
+    """,
+    doc="Pairwise Pearson correlation matrix over lineitem's four "
+    "numeric measures from sufficient statistics in ONE scan — the "
+    "feature-redundancy screen run before training-data "
+    "featurization. Exactness trick: Pearson is SCALE-INVARIANT, so "
+    "each 2-decimal measure is integerized to ×100 BIGINTs first — "
+    "per-row products then stay comfortably inside int64 (max ~1e14), "
+    "and only the cross-row SUMs go through exact DECIMAL(38,0) "
+    "(DuckDB refuses DECIMAL(18)×DECIMAL(18) without a widening cast; "
+    "integers sidestep engine decimal-width rules entirely). The six "
+    "upper-triangle correlations are fixed-shape scalar IEEE "
+    "expressions over the localCheckpoint'ed 1-row stats relation "
+    "(no per-pair rescan), rounded to 12 — the q_region_trend "
+    "single-pass policy.",
+    tags=("olap", "agg", "stats"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cols = {
+        "q": "l_quantity",
+        "e": "l_extendedprice",
+        "d": "l_discount",
+        "t": "l_tax",
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        *[
+            F.round(F.col(c) * 100).cast("long").alias(k)
+            for k, c in cols.items()
+        ]
+    )
+    keys = list(cols)
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for k in keys:
+        aggs.append(F.sum(F.col(k).cast("decimal(38,0)")).cast("double").alias(f"s_{k}"))
+    for i, a in enumerate(keys):
+        for b in keys[i:]:
+            aggs.append(
+                F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+                .cast("double")
+                .alias(f"s_{a}{b}")
+            )
+    s = li.agg(*aggs).localCheckpoint(eager=True)
+    nd = F.col("n").cast("double")
+    parts = []
+    for i, a in enumerate(keys):
+        for b in keys[i + 1 :]:
+            num = nd * F.col(f"s_{a}{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+            den = F.sqrt(
+                (nd * F.col(f"s_{a}{a}") - F.col(f"s_{a}") * F.col(f"s_{a}"))
+                * (nd * F.col(f"s_{b}{b}") - F.col(f"s_{b}") * F.col(f"s_{b}"))
+            )
+            parts.append(
+                s.select(
+                    F.lit(cols[a]).alias("var_x"),
+                    F.lit(cols[b]).alias("var_y"),
+                    F.round(num / den, 12).alias("corr"),
+                )
+            )
+    out = parts[0]
+    for p_ in parts[1:]:
+        out = out.unionByName(p_)
+    return out
+
+
+@query(
+    "q_assoc_rules",
+    """
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey AS ok, l_partkey AS item
+        FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        WHERE o_orderpriority = '1-URGENT'
+    ),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n FROM baskets),
+    supp AS (SELECT item, COUNT(*) AS s FROM baskets GROUP BY 1),
+    pairs AS (
+        SELECT a.item AS x, b.item AS y, COUNT(*) AS sxy
+        FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+        SELECT x AS antecedent, y AS consequent, sxy FROM pairs
+        UNION ALL
+        SELECT y, x, sxy FROM pairs
+    )
+    SELECT antecedent, consequent, sxy AS pair_support,
+           ROUND(CAST(sxy AS DOUBLE) / CAST(sa.s AS DOUBLE), 12) AS confidence,
+           ROUND(CAST(nb.n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                 / (CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)), 12) AS lift
+    FROM rules
+    JOIN supp sa ON sa.item = antecedent
+    JOIN supp sb ON sb.item = consequent, nb
+    """,
+    doc="Association rules over urgent-order baskets (a-priori level 2): "
+    "pair support from the within-basket self-join (bounded — TPC-H "
+    "baskets have ≤7 items, so pairs-per-basket ≤ 21 and the join is "
+    "linear in lineitem), minimum support 2, then confidence = "
+    "supp(a,b)/supp(a) and lift = N·supp(a,b)/(supp(a)·supp(b)) for "
+    "both rule directions — the market-basket shape behind "
+    "recommendation candidates and co-occurrence quality signals. "
+    "Item supports join back on the item key (shuffle keyed, no "
+    "broadcast of the corpus-sized support table needed: the rules "
+    "side is already minsup-pruned); the basket count re-enters as a "
+    "1-row broadcast scalar. All ratios are exact-integer divisions "
+    "rounded to 12 (q_event_transitions policy). Deeper itemsets "
+    "iterate the same join-against-frequent-prefixes shape.",
+    tags=("olap", "agg", "join", "assoc"),
+)
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    baskets = (
+        li.join(urgent, li.l_orderkey == urgent.o_orderkey, "left_semi")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    nb = baskets.agg(F.countDistinct("ok").alias("n"))
+    supp = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("s"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("x"), F.col("b.item").alias("y"))
+        .agg(F.count(F.lit(1)).alias("sxy"))
+        .filter(F.col("sxy") >= 2)
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "sxy"
+    ).unionByName(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "sxy"
+        )
+    )
+    sa = supp.select(F.col("item").alias("antecedent"), F.col("s").alias("s_a"))
+    sb = supp.select(F.col("item").alias("consequent"), F.col("s").alias("s_b"))
+    return (
+        rules.join(sa, "antecedent")
+        .join(sb, "consequent")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("sxy").alias("pair_support"),
+            F.round(F.col("sxy").cast("double") / F.col("s_a").cast("double"), 12).alias(
+                "confidence"
+            ),
+            F.round(
+                F.col("n").cast("double")
+                * F.col("sxy").cast("double")
+                / (F.col("s_a").cast("double") * F.col("s_b").cast("double")),
+                12,
+            ).alias("lift"),
+        )
+    )
+
+
+@query(
+    "q_cusum_changepoint",
+    """
+    WITH m AS (
+        SELECT r_name AS region,
+               (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 8))) AS DECIMAL(28, 8)) AS rev
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ),
+    a AS (
+        SELECT region, CAST(SUM(rev) AS DECIMAL(38, 8)) AS tot, COUNT(*) AS nm
+        FROM m GROUP BY region
+    ),
+    dev AS (
+        SELECT m.region, m.x, a.nm,
+               (CAST(a.nm AS DECIMAL(10, 0)) * m.rev - a.tot) AS d
+        FROM m JOIN a USING (region)
+    ),
+    cs AS (
+        SELECT region, x, nm,
+               CAST(SUM(d) OVER (PARTITION BY region ORDER BY x
+                                 ROWS UNBOUNDED PRECEDING) AS DECIMAL(38, 8)) AS c
+        FROM dev
+    )
+    SELECT region, x AS changepoint_x, nm AS n_months,
+           ROUND(CAST(c AS DOUBLE) / CAST(nm AS DOUBLE), 12) AS cusum_peak
+    FROM (
+        SELECT region, x, nm, c,
+               ROW_NUMBER() OVER (PARTITION BY region
+                                  ORDER BY abs(c) DESC, x ASC) AS rn
+        FROM cs
+    ) WHERE rn = 1
+    """,
+    doc="CUSUM changepoint detection on monthly revenue per region: "
+    "cumulative sum of deviations from the regional mean, peak "
+    "|CUSUM| month = the most likely single shift point (Page 1954 — "
+    "the classic drift detector behind pipeline-health monitors). "
+    "Exactness: the mean is never materialized — deviations are "
+    "SCALED by the month count (nm·rev − tot, exact DECIMAL products "
+    "of an integer and exact sums), so the running window sum stays "
+    "rational and the argmax is taken on exact values; the single "
+    "division (peak/nm) happens once per region at the very end, "
+    "rounded to 12. Scale shape: one fact-table pass to monthly "
+    "grain (the q_region_trend plan), then windows over ≤ "
+    "|regions|·80 rows — the detector itself is free at any input "
+    "size.",
+    tags=("olap", "window", "stats"),
+)
+def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name"))
+    x = (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(nr, c.c_nationkey == nr.n_nationkey)
+        .groupBy(F.col("r_name").alias("region"), x.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+            .cast("decimal(28,8)")
+            .alias("rev")
+        )
+    )
+    wr = Window.partitionBy("region")
+    dev = m.select(
+        "region",
+        "x",
+        F.count(F.lit(1)).over(wr).alias("nm"),
+        (
+            F.count(F.lit(1)).over(wr).cast("decimal(10,0)") * F.col("rev")
+            - F.sum("rev").over(wr).cast("decimal(38,8)")
+        ).alias("d"),
+    )
+    wc = Window.partitionBy("region").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cs = dev.select(
+        "region", "x", "nm", F.sum("d").over(wc).cast("decimal(38,8)").alias("c")
+    )
+    pick = Window.partitionBy("region").orderBy(F.abs(F.col("c")).desc(), F.col("x").asc())
+    return (
+        cs.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "region",
+            F.col("x").alias("changepoint_x"),
+            F.col("nm").alias("n_months"),
+            F.round(F.col("c").cast("double") / F.col("nm").cast("double"), 12).alias(
+                "cusum_peak"
+            ),
+        )
+    )

@@ -66,6 +66,18 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_trimmed_mean",
+    "q_attribution",
+    "q_pca_project",
+    "q_assoc_rules",
+    "q_cusum_changepoint",
+    "q_image_ahash_neardup",
+    "q_sssp_weighted",
+    "q_corr_matrix",
+    "q_degree_assortativity",
+    "q_dedup_prefix_filter",
+    "q_benford_audit",
+    "q_seasonal_index",
     "q_kcore",
     "q_event_transitions",
     "q_sorted_neighborhood",

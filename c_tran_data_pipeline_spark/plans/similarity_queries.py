@@ -1074,3 +1074,26 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", "mmr_rank", F.round("mmr_score", 6).alias("mmr_score")
     )
+
+
+@query(
+    "q_pca_project",
+    None,  # IEEE partial-sum reductions — rows-only; exactness in pytest
+    doc="Distributed PCA: one Arrow-batched pass computes per-partition "
+    "(count, Σx, ΣxxT) partials merged by a keyed aggregate — only "
+    "d(d+1)+1 doubles (~4 KB at d=64) reach the driver at ANY corpus "
+    "size (bounded-driver-state class: PQ codebooks, IVF centroids) — "
+    "then the 64×64 eigh runs driver-side and the top-2 components "
+    "re-enter as a broadcast for the numpy projection pass. The "
+    "whitening/corpus-map primitive for embedding curation. Rows-only "
+    "by an honest float argument (partial Gram sums are "
+    "partition-order IEEE reductions → tolerance-stable, not "
+    "hash-stable); pytest pins projections against a full-matrix "
+    "numpy replay, partition invariance within tolerance, component "
+    "orthonormality and variance ordering.",
+    tags=("similarity", "stats"),
+)
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.pca import pca_project
+
+    return pca_project(load_table(spark, sf_dir, "embeddings"))

@@ -506,6 +506,110 @@ def skyline_ladder() -> None:
         print(json.dumps(row), flush=True)
 
 
+def ppjoin_ladder() -> None:
+    """Prefix-filter join scaling (run: ``python scripts/scale_ladder.py
+    --ppjoin``): operators/dedup.py prefix_filter_jaccard_pairs vs the
+    full inverted-index join (ngram_jaccard_pairs) over a 16× ZIPFIAN
+    doc ladder — the fixture vocabulary is uniform, which hides the
+    point: on real (skewed) text the full join pays Σ df² where df is
+    LARGEST, the prefix join only where df is smallest. Claims under
+    test: (1) prefix candidate volume ≪ full-index pair volume, with
+    the gap WIDENING as the corpus grows (hot-token df² grows
+    quadratically, rare-token prefix df² near-linearly); (2) identical
+    result pairs (the filter is lossless); (3) wall-clock follows the
+    candidate volume."""
+    from c_tran_data_pipeline_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_jaccard_pairs,
+        shingle_index,
+    )
+    from c_tran_data_pipeline_spark.session import get_spark
+
+    spark = get_spark("ppjoin-ladder")
+    V, S = 200, 1.1
+    w = [1.0 / (r + 1) ** S for r in range(V)]
+    tot = sum(w)
+    acc, cum = 0.0, []
+    for x in w:
+        acc += x
+        cum.append(acc / tot)
+    cum_lit = "array(" + ",".join(repr(c) for c in cum) + ")"
+
+    def zipf_docs(n: int) -> DataFrame:
+        base = spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.expr(
+                f"concat_ws(' ', transform(sequence(1, 10 + cast(cast(conv("
+                f"substr(md5(concat('L', id)), 1, 8), 16, 10) as bigint) % 31 as int)), "
+                f"j -> concat('w', cardinality(filter({cum_lit}, t -> t < "
+                f"(cast(conv(substr(md5(concat(id, '#', j)), 1, 8), 16, 10) as double)"
+                f" / 4294967295.0))))))"
+            ).alias("text"),
+        )
+        dups = base.filter(F.col("doc_id") % 25 == 0).select(
+            (F.col("doc_id") + n).alias("doc_id"),
+            F.concat_ws(" ", F.col("text"), F.lit("w0")).alias("text"),
+        )
+        return base.unionAll(dups)
+
+    for n in (2_000, 8_000, 32_000):
+        docs = zipf_docs(n).persist()
+        docs.count()
+        idx = shingle_index(docs)
+        full_pairs = (
+            idx.alias("a")
+            .join(idx.alias("b"), "shingle")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        t0 = time.perf_counter()
+        full = {
+            (r.d1, r.d2)
+            for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+        }
+        sec_full = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        pf = {
+            (r.d1, r.d2)
+            for r in prefix_filter_jaccard_pairs(docs).collect()
+        }
+        sec_prefix = round(time.perf_counter() - t0, 2)
+        # candidate volume of the prefix stage, rebuilt standalone
+        sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+        dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        wnd = Window.partitionBy("doc_id").orderBy("df", "shingle")
+        pre = (
+            idx.join(dfreq, "shingle")
+            .withColumn("rn", F.row_number().over(wnd))
+            .join(sizes, "doc_id")
+            .filter(F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) DIV 5") + 1)
+        )
+        cands = (
+            pre.alias("a")
+            .join(pre.alias("b"), "shingle")
+            .filter(
+                (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (5 * F.least("a.n", "b.n") >= 4 * F.greatest("a.n", "b.n"))
+            )
+            .select("a.doc_id", "b.doc_id")
+            .distinct()
+            .count()
+        )
+        assert pf == full, f"prefix filter lost pairs at n={n}"
+        row = {
+            "docs": n + n // 25 + 1,
+            "full_index_pairs": full_pairs,
+            "prefix_candidates": cands,
+            "result_pairs": len(pf),
+            "sec_full": sec_full,
+            "sec_prefix": sec_prefix,
+        }
+        docs.unpersist()
+        print(json.dumps(row), flush=True)
+
+
 if __name__ == "__main__":
     if "--ann" in sys.argv:
         ann_ladder()
@@ -517,6 +621,8 @@ if __name__ == "__main__":
         graph_ladder()
     elif "--lpa" in sys.argv:
         lpa_ladder()
+    elif "--ppjoin" in sys.argv:
+        ppjoin_ladder()
     elif "--skyline" in sys.argv:
         skyline_ladder()
     else:

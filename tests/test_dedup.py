@@ -369,3 +369,100 @@ def test_sorted_neighborhood_replay_random_and_partition_invariant(spark):
     }
     assert got == want
     assert got13 == want
+
+
+# --------------------------------------------------------------------------
+# prefix-filtered (AllPairs/PPJoin) exact Jaccard join
+# --------------------------------------------------------------------------
+
+
+def _zipf_corpus(n_docs=60, seed=31):
+    """Zipfian synthetic corpus (the fixture vocabulary is uniform —
+    useless for demonstrating rarity-based pruning)."""
+    import random
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(50)]
+    weights = [1.0 / (i + 1) for i in range(50)]
+    docs = []
+    for i in range(n_docs):
+        words = rng.choices(vocab, weights=weights, k=rng.randint(6, 14))
+        docs.append((i, " ".join(words)))
+    # plant exact/near duplicates so the threshold has positives
+    docs.append((1000, docs[0][1]))
+    docs.append((1001, docs[3][1] + " extra"))
+    return docs
+
+
+def _brute_jaccard_pairs(rows, n=3, t_num=4, t_den=5):
+    def sh(text):
+        w = text.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    sets = {did: sh(t) for did, t in rows}
+    out = set()
+    ids = sorted(sets)
+    for i, d1 in enumerate(ids):
+        for d2 in ids[i + 1 :]:
+            a, b = sets[d1], sets[d2]
+            if not a or not b:
+                continue
+            inter = len(a & b)
+            union = len(a) + len(b) - inter
+            if t_den * inter >= t_num * union:
+                out.add((d1, d2, round(inter / union, 6)))
+    return out
+
+
+def test_prefix_filter_matches_brute_force(spark):
+    from c_tran_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
+
+    rows = _zipf_corpus()
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.d1, r.d2, r.jaccard) for r in prefix_filter_jaccard_pairs(df).collect()}
+    assert got == _brute_jaccard_pairs(rows)
+    assert got, "corpus must contain planted positives"
+
+
+def test_prefix_filter_prunes_candidates(spark):
+    """The point of the prefix: the candidate join must touch far fewer
+    pairs than the full inverted-index self-join on Zipfian data."""
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.operators.dedup import shingle_index
+
+    rows = _zipf_corpus(n_docs=80, seed=37)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = shingle_index(df)
+    full_pairs = (
+        idx.alias("a")
+        .join(idx.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # rebuild the operator's candidate stage standalone
+    from pyspark.sql.window import Window
+
+    sizes = idx.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
+    pre = (
+        idx.join(dfreq, "shingle")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "doc_id")
+        .filter(F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) DIV 5") + 1)
+    )
+    cand = (
+        pre.alias("a")
+        .join(pre.alias("b"), "shingle")
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least("a.n", "b.n") >= 4 * F.greatest("a.n", "b.n"))
+        )
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    assert cand < full_pairs / 3, (cand, full_pairs)

@@ -318,3 +318,89 @@ def test_kcore_fixpoint_stable(spark):
     a = sorted(map(tuple, kcore(_edges_df(spark, pairs), k=5, peels=8).collect()))
     b = sorted(map(tuple, kcore(_edges_df(spark, pairs), k=5, peels=12).collect()))
     assert a == b and len(a) > 0
+
+
+# --------------------------------------------------------------------------
+# bounded Bellman-Ford SSSP
+# --------------------------------------------------------------------------
+
+
+def _brute_sssp(wedges, seeds, rounds):
+    # wedges: directed (u, v, w)
+    dist = {s: 0 for s in seeds}
+    for _ in range(rounds):
+        nxt = dict(dist)
+        for u, v, w in wedges:
+            if u in dist and dist[u] + w < nxt.get(v, float("inf")):
+                nxt[v] = dist[u] + w
+        dist = nxt
+    return dist
+
+
+def test_sssp_weighted_vs_hops_divergence(spark):
+    from c_tran_data_pipeline_spark.operators.graph import sssp_bounded
+
+    # 1→2→3 costs 1+1=2; direct 1→3 costs 5: weighted picks the 2-hop path
+    wedges = [(1, 2, 1), (2, 3, 1), (1, 3, 5)]
+    df = spark.createDataFrame(wedges, "u long, v long, w long")
+    seeds = spark.createDataFrame([(1,)], "node long")
+    got = {r.node: r.dist for r in sssp_bounded(df, seeds, rounds=3).collect()}
+    assert got == {1: 0, 2: 1, 3: 2}
+    got1 = {r.node: r.dist for r in sssp_bounded(df, seeds, rounds=1).collect()}
+    assert got1[3] == 5  # one round can't relax through node 2 yet
+
+
+def test_sssp_matches_brute_force_random(spark):
+    import random
+
+    from c_tran_data_pipeline_spark.operators.graph import sssp_bounded
+
+    rng = random.Random(41)
+    wedges = []
+    for u in range(30):
+        for v in range(30):
+            if u != v and rng.random() < 0.1:
+                wedges.append((u, v, rng.randint(1, 9)))
+    seeds_l = [0, 7]
+    df = spark.createDataFrame(wedges, "u long, v long, w long").repartition(5)
+    seeds = spark.createDataFrame([(s,) for s in seeds_l], "node long")
+    for rounds in (1, 3):
+        want = _brute_sssp(wedges, seeds_l, rounds)
+        got = {r.node: r.dist for r in sssp_bounded(df, seeds, rounds=rounds).collect()}
+        assert got == want, rounds
+
+
+def test_degree_assortativity_known_sign(spark):
+    """Star graph: hub degree n, leaves degree 1 → every edge joins the
+    extremes → strongly NEGATIVE assortativity; replay the exact value
+    with numpy corrcoef."""
+    import tempfile
+
+    import numpy as np
+
+    # build via the registered query's building blocks on a synthetic warehouse
+    from c_tran_data_pipeline_spark.plans.graph_queries import q_degree_assortativity
+
+    # orders/lineitem fixture: one urgent order per star edge (hub part 0, leaf i)
+    orders, lis = [], []
+    for i in range(1, 9):
+        orders.append((i, 1, "O", 1.0, None, "1-URGENT"))
+        lis.append((i, 0))
+        lis.append((i, i))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(lis, "l_orderkey long, l_partkey long").write.parquet(
+            f"{d}/lineitem.parquet"
+        )
+        row = q_degree_assortativity(spark, d).collect()[0]
+    # sym directed pairs: (8,1) ×8 and (1,8) ×8
+    du = np.array([8] * 8 + [1] * 8, dtype=float)
+    dv = np.array([1] * 8 + [8] * 8, dtype=float)
+    want = float(np.corrcoef(du, dv)[0, 1])
+    assert row.n_directed_edges == 16
+    assert abs(row.assortativity - round(want, 12)) < 1e-9
+    assert row.assortativity < -0.99

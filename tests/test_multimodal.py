@@ -371,3 +371,89 @@ def test_png_decode_roundtrip_property():
         assert _decode_png_bytes(payload) == (w, h, ch, pixels)
 
     check()
+
+
+# --------------------------------------------------------------------------
+# perceptual hash (aHash) + banded near-dup pairing
+# --------------------------------------------------------------------------
+
+
+def _ahash_replay(payload, grid=8):
+    import struct as _struct
+
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _FAKE_MAGIC,
+        _HEADER_FMT,
+        _HEADER_SIZE,
+    )
+
+    assert payload[:4] == _FAKE_MAGIC
+    _, w, h, _n = _struct.unpack(_HEADER_FMT, payload[:_HEADER_SIZE])
+    a = np.frombuffer(payload[_HEADER_SIZE : _HEADER_SIZE + w * h], dtype=np.uint8).reshape(h, w)
+    g = a[np.ix_((np.arange(grid) * h) // grid, (np.arange(grid) * w) // grid)].astype(float)
+    hv = 0
+    for bit in (g > g.mean()).reshape(-1):
+        hv = (hv << 1) | int(bit)
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def test_image_ahash_matches_numpy_replay(spark):
+    from c_tran_data_pipeline_spark.operators.multimodal import image_ahash, make_fake_image
+
+    rows = [(i, make_fake_image(16 + i % 5, 12 + i % 3, 1, seed=i)) for i in range(12)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: (r.ahash, r.width, r.height) for r in image_ahash(df).collect()}
+    for aid, payload in rows:
+        assert got[aid][0] == _ahash_replay(payload), aid
+    assert got[0][1:] == (16, 12)
+
+
+def test_ahash_pairs_lossless_vs_bruteforce(spark):
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_ahash,
+        make_fake_image,
+    )
+
+    # clusters of identical images + singletons
+    rows = [(i, make_fake_image(24, 24, 1, seed=i // 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = image_ahash(df)
+    got = {(r.a1, r.a2, r.hamming) for r in ahash_neardup_pairs(hashes).collect()}
+    hv = {r.asset_id: r.ahash for r in hashes.collect()}
+    want = set()
+    ids = sorted(hv)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            ham = bin((hv[x] ^ hv[y]) & ((1 << 64) - 1)).count("1")
+            if ham <= 3:
+                want.add((x, y, ham))
+    assert got == want
+    assert any(h == 0 for _, _, h in got), "planted identical clusters must pair"
+
+
+def test_ahash_single_pixel_neardup(spark):
+    import struct as _struct
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _HEADER_SIZE,
+        ahash_neardup_pairs,
+        image_ahash,
+        make_fake_image,
+    )
+
+    base = make_fake_image(32, 32, 1, seed=5)
+    # flip a pixel the 8x8 grid actually samples: (row 8, col 8) -> linear 8*32+8
+    idx = _HEADER_SIZE + 8 * 32 + 8
+    body = bytearray(base)
+    body[idx] = 255 if body[idx] < 128 else 0
+    rows = [(1, base), (2, bytes(body)), (3, make_fake_image(32, 32, 1, seed=99))]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = image_ahash(df)
+    ham = bin((_ahash_replay(base) ^ _ahash_replay(bytes(body))) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 3, f"perturbation moved {ham} bits; adjust seed"
+    got = {(r.a1, r.a2): r.hamming for r in ahash_neardup_pairs(hashes).collect()}
+    assert got.get((1, 2)) == ham
+    assert (1, 3) not in got and (2, 3) not in got

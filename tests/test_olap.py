@@ -245,3 +245,210 @@ def test_event_transitions_counts_and_row_stochastic(spark):
     for (p_, _n), (n, p) in got.items():
         by_prev[p_] = by_prev.get(p_, 0.0) + p
     assert all(abs(s - 1.0) < 1e-12 for s in by_prev.values())
+
+
+def test_benford_digit_extraction_and_uniform_probs(spark):
+    """Digit extraction must be exact on awkward doubles (cents path, no
+    float formatting), and a handcrafted one-per-digit table yields
+    uniform observed_p with the right Benford expectations."""
+    import datetime as dt
+    import math
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_benford_audit
+
+    prices = [0.01, 29.99, 3.50, 400.00, 55.5, 6999.99, 7.07, 80.80, 9.99]
+    rows = [
+        (i, 1, "O", p, dt.datetime(1995, 1, 1), "1-URGENT") for i, p in enumerate(prices)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        out = {r.digit: r for r in q_benford_audit(spark, d).collect()}
+    assert set(out) == {str(i) for i in range(1, 10)}
+    for dg, r in out.items():
+        assert r.n == 1
+        assert r.observed_p == round(1 / 9, 12)
+        assert r.benford_p == round(math.log10(1 + 1 / int(dg)), 12)
+        exp = 9 * math.log10(1 + 1 / int(dg))
+        assert abs(r.chi2_term - (1 - exp) ** 2 / exp) < 1e-9
+
+
+def test_seasonal_index_handcrafted(spark):
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_seasonal_index
+
+    # one region, two months: revenue 100 and 300 → mean 200 → 0.5 / 1.5
+    orders = [
+        (1, 1, dt.datetime(1995, 1, 10), 60.0),
+        (2, 1, dt.datetime(1995, 1, 20), 40.0),
+        (3, 1, dt.datetime(1995, 2, 5), 300.0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long").write.parquet(
+            f"{d}/customer.parquet"
+        )
+        spark.createDataFrame([(0, 0)], "n_nationkey long, n_regionkey long").write.parquet(
+            f"{d}/nation.parquet"
+        )
+        spark.createDataFrame([(0, "ALPHA")], "r_regionkey long, r_name string").write.parquet(
+            f"{d}/region.parquet"
+        )
+        out = {r.moy: r for r in q_seasonal_index(spark, d).collect()}
+    assert out[1].revenue == 100.0 and out[1].seasonal_index == 0.5
+    assert out[2].revenue == 300.0 and out[2].seasonal_index == 1.5
+
+
+def test_corr_matrix_known_correlations(spark):
+    """Synthetic lineitem with engineered relationships: e = 2q (corr
+    +1), d = 9 − q (corr −1 with q, −1 with e), t independent-ish —
+    replay all six with numpy corrcoef."""
+    import tempfile
+
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_corr_matrix
+
+    q = [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]
+    e = [2 * x for x in q]
+    d = [9 - x for x in q]
+    t = [0.02, 0.07, 0.01, 0.05, 0.08, 0.03, 0.06, 0.04]
+    rows = list(zip(q, e, d, t))
+    with tempfile.TemporaryDirectory() as dd:
+        spark.createDataFrame(
+            rows, "l_quantity double, l_extendedprice double, l_discount double, l_tax double"
+        ).write.parquet(f"{dd}/lineitem.parquet")
+        out = {(r.var_x, r.var_y): r.corr for r in q_corr_matrix(spark, dd).collect()}
+    arrs = {"l_quantity": q, "l_extendedprice": e, "l_discount": d, "l_tax": t}
+    assert len(out) == 6
+    for (vx, vy), got in out.items():
+        want = float(np.corrcoef(np.array(arrs[vx]), np.array(arrs[vy]))[0, 1])
+        assert abs(got - round(want, 12)) < 1e-9, (vx, vy)
+    assert out[("l_quantity", "l_extendedprice")] == 1.0
+    assert out[("l_quantity", "l_discount")] == -1.0
+
+
+def test_assoc_rules_handcrafted(spark):
+    """5 urgent baskets: {A,B}×3, {A,C}, {B,C} → only A↔B survives
+    minsup 2; confidence and lift from first principles."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_assoc_rules
+
+    A, B, C = 101, 102, 103
+    baskets = [[A, B], [A, B], [A, B], [A, C], [B, C]]
+    orders, lis = [], []
+    for ok, items in enumerate(baskets, start=1):
+        orders.append((ok, 1, "O", 1.0, None, "1-URGENT"))
+        for it in items:
+            lis.append((ok, it))
+    orders.append((99, 1, "O", 1.0, None, "3-MEDIUM"))  # non-urgent: ignored
+    lis.append((99, A))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(lis, "l_orderkey long, l_partkey long").write.parquet(
+            f"{d}/lineitem.parquet"
+        )
+        out = {(r.antecedent, r.consequent): r for r in q_assoc_rules(spark, d).collect()}
+    assert set(out) == {(A, B), (B, A)}
+    # supp(A)=4, supp(B)=4, pair=3, N=5
+    assert out[(A, B)].pair_support == 3
+    assert out[(A, B)].confidence == 0.75
+    assert out[(A, B)].lift == round(5 * 3 / (4 * 4), 12)
+    assert out[(B, A)].confidence == 0.75
+
+
+def test_cusum_changepoint_level_shift(spark):
+    """Revenue 100/month for 6 months then 200/month: peak |CUSUM| at
+    the last pre-shift month, scaled peak = −300."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_cusum_changepoint
+
+    orders = [
+        (m, 1, dt.datetime(1995, m + 1, 10), 100.0 if m < 6 else 200.0)
+        for m in range(12)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long").write.parquet(
+            f"{d}/customer.parquet"
+        )
+        spark.createDataFrame([(0, 0)], "n_nationkey long, n_regionkey long").write.parquet(
+            f"{d}/nation.parquet"
+        )
+        spark.createDataFrame([(0, "ALPHA")], "r_regionkey long, r_name string").write.parquet(
+            f"{d}/region.parquet"
+        )
+        row = q_cusum_changepoint(spark, d).collect()[0]
+    assert row.region == "ALPHA"
+    assert row.changepoint_x == 5
+    assert row.n_months == 12
+    assert row.cusum_peak == -300.0
+
+
+def test_trimmed_mean_drops_tails(spark):
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_trimmed_mean
+
+    t0 = dt.datetime(2024, 1, 1)
+    # 20 values: two absurd outliers each side; 10% trim keeps ranks 3..18
+    vals = [-1e9, -1e9] + list(range(3, 19)) + [1e9, 1e9]
+    rows = [(i, 1, t0, "view", float(v)) for i, v in enumerate(vals)]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = {r.event_type: r for r in q_trimmed_mean(spark, d).collect()}
+    assert out["view"].n_kept == 16
+    assert out["view"].trimmed_mean == 10.5
+
+
+def test_attribution_first_last_and_window(spark):
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_attribution
+
+    t0 = dt.datetime(2024, 3, 1)
+
+    def ev(eid, uid, dh, et):
+        return (eid, uid, t0 + dt.timedelta(hours=dh), et, 0.0)
+
+    rows = [
+        ev(1, 1, 0, "view"),
+        ev(2, 1, 1, "click"),
+        ev(3, 1, 2, "purchase"),      # first=1(view) last=2(click) n=2
+        ev(4, 2, 0, "purchase"),      # no touches → absent
+        ev(5, 3, -24 * 8, "view"),    # 8 days before → outside 7-day window
+        ev(6, 3, 0, "purchase"),      # → absent
+        ev(7, 4, 0, "error"),         # non-touch type never attributes
+        ev(8, 4, 1, "purchase"),      # → absent
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = {r.purchase_id: r for r in q_attribution(spark, d).collect()}
+    assert set(out) == {3}
+    r = out[3]
+    assert (r.first_touch_id, r.first_touch_type) == (1, "view")
+    assert (r.last_touch_id, r.last_touch_type) == (2, "click")
+    assert r.n_touches == 2

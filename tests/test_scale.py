@@ -164,6 +164,10 @@ _ALLOWED_NESTED_LOOP = {
 # NestedLoopJoin in the plan must be a BuildRight Cross), so a real
 # all-pairs join sneaking into these queries still fails the test.
 _ALLOWED_SCALAR_BROADCAST = {
+    # 1-row basket-count scalar N for the lift denominator
+    "q_assoc_rules",
+    # 1-row digit-total scalar for observed_p / chi-square terms
+    "q_benford_audit",
     "q_ann_neardup_lsh",
     "q_boilerplate_scrub",
     "q_lm_score",
@@ -228,6 +232,12 @@ _ALLOWED_PYTHON = {
     # greedy MMR over per-query BOUNDED candidate groups (N=15), Arrow
     # applyInPandas — the sequential-within-group rerank seam
     "q_mmr_rerank",
+    # fake-codec synthesis + aHash fingerprint, both Arrow mapInPandas;
+    # the pairing stage itself is pure relational (band equi-joins)
+    "q_image_ahash_neardup",
+    # per-partition Gram partials + the projection pass, both Arrow
+    # mapInPandas (numpy matmuls; only d(d+1)+1 doubles hit the driver)
+    "q_pca_project",
 }
 
 
