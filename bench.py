@@ -97,6 +97,9 @@ HEADLINE = [
     "q_trimmed_mean",
     "q_attribution",
     "q_pca_project",
+    "q_zipf_fit",
+    "q_autocorr_daily",
+    "q_theilsen_trend",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -155,6 +158,9 @@ _POST_R01 = (
     "q_trimmed_mean",
     "q_attribution",
     "q_pca_project",
+    "q_zipf_fit",
+    "q_autocorr_daily",
+    "q_theilsen_trend",
 )
 
 
@@ -219,15 +225,23 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "r01_comparable_total": round(sum(timings.get(n, 0.0) for n in r01_set), 3),
-        "queries": timings,
         "sf": sf,
     }
     # Full per-query breakdown goes to a sidecar file: the driver's record
-    # keeps only a tail window of stdout, and round 3's line (queries +
-    # queries_min, ~4 KB) overflowed it and recorded `parsed: null`. The
-    # printed line stays at the r01/r02 size that parsed (medians only).
+    # keeps only a ~2000-char tail window of stdout. Round 3's line
+    # (queries + queries_min, ~4 KB) overflowed it and recorded
+    # `parsed: null`; by 76 headline queries even a medians-only dict
+    # is 2.2 KB, so the printed line carries NO per-query dict at all —
+    # per-query medians/mins/raw runs live in BENCH_DETAIL.json.
     detail = dict(summary)
-    detail.update({"queries_min": timings_min, "runs": raw_runs, "failed": failed})
+    detail.update(
+        {
+            "queries": timings,
+            "queries_min": timings_min,
+            "runs": raw_runs,
+            "failed": failed,
+        }
+    )
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     print(json.dumps(summary))

@@ -417,3 +417,287 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rl") == 1, F.col("tid"))).alias("last_touch_id"),
         F.max(F.when(F.col("rl") == 1, F.col("ttype"))).alias("last_touch_type"),
     )
+
+
+@query(
+    "q_autocorr_daily",
+    """
+    WITH hc AS (
+        SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    j AS (
+        SELECT a.event_type, a.c AS x, b.c AS y
+        FROM hc a
+        JOIN hc b
+          ON b.event_type = a.event_type
+         AND b.h = a.h + INTERVAL 24 HOUR
+    ),
+    s AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM j GROUP BY event_type
+    )
+    SELECT event_type, n AS n_hour_pairs,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                        * (CAST(n AS DOUBLE) * syy - sy * sy)), 12) AS autocorr_24h
+    FROM s
+    """,
+    doc="Daily periodicity probe: Pearson autocorrelation of hourly "
+    "event counts at lag 24h, per event type — high values mean the "
+    "stream has a daily rhythm (organic traffic), near-zero means "
+    "arrivals are memoryless (the fixture's synthetic uniform stream — "
+    "the anomaly this probe flags on real pipelines where a flat "
+    "profile would mean instrumentation loss). The lag join is an "
+    "EQUI-join on (event_type, hour+24h) — hours are discrete, so no "
+    "range predicate, no window over the full series; counts are "
+    "exact integers, the sufficient statistics are exact-integer sums "
+    "cast once to DOUBLE (q_degree_assortativity policy), one IEEE "
+    "expression per type rounded to 12. Scale: everything after the "
+    "first groupBy runs on the |types|·|hours| grain.",
+    tags=("analytics", "stats", "join"),
+)
+def q_autocorr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    hc = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    a, b = hc.alias("a"), hc.alias("b")
+    j = a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.h") == F.col("a.h") + F.expr("INTERVAL 24 HOURS")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.c").alias("x"),
+        F.col("b.c").alias("y"),
+    )
+    s = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").alias("n_hour_pairs"),
+        F.round(
+            (nd * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / F.sqrt(
+                (nd * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (nd * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            12,
+        ).alias("autocorr_24h"),
+    )
+
+
+@query(
+    "q_user_entropy",
+    """
+    WITH c AS (
+        SELECT user_id, event_type, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT user_id,
+               CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) * c)
+                    AS BIGINT) AS sw,
+               CAST(SUM(c) AS BIGINT) AS n,
+               COUNT(*) AS n_types
+        FROM c GROUP BY 1
+    )
+    SELECT user_id, n AS n_events, n_types,
+           ROUND(ln(CAST(n AS DOUBLE))
+                 - (CAST(sw AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE), 12)
+               AS entropy
+    FROM w
+    """,
+    doc="Per-user Shannon entropy of the event-type mix — the behavioral-"
+    "diversity score (bots and scrapers concentrate on one event type → "
+    "entropy ≈ 0; organic users spread → entropy near ln(n_types)); the "
+    "per-ACCOUNT sibling of q_char_entropy's per-document score, and a "
+    "standard feature for traffic-quality filtering before a behavioral "
+    "corpus is admitted to training. Exactness is the q_corr_matrix "
+    "integerization: H = ln(n) − (Σ c·ln c)/n, where each c·ln c term is "
+    "round(ln(c)·1e6)·c — an exact BIGINT product summed exactly — so "
+    "the only IEEE math is one fixed-shape final expression, rounded to "
+    "12. Plan: two partial-first aggregations sharing the user_id "
+    "partitioning (the (user,type) grain then the user grain — AQE "
+    "reuses the exchange); no window, no join, no data movement beyond "
+    "the one keyed shuffle. At 100 TB the (user,type) grain is the "
+    "bound, not event volume.",
+    tags=("analytics", "stats", "quality"),
+)
+def q_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    c = e.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    w = c.groupBy("user_id").agg(
+        F.sum(
+            F.round(F.log(F.col("c").cast("double")) * 1000000).cast("bigint")
+            * F.col("c")
+        )
+        .cast("bigint")
+        .alias("sw"),
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_types"),
+    )
+    return w.select(
+        "user_id",
+        F.col("n").alias("n_events"),
+        "n_types",
+        F.round(
+            F.log(F.col("n").cast("double"))
+            - (F.col("sw").cast("double") / F.lit(1000000.0)) / F.col("n").cast("double"),
+            12,
+        ).alias("entropy"),
+    )
+
+
+@query(
+    "q_session_ngrams",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, ts, event_id, event_type,
+               CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+        FROM flagged
+    ),
+    tri AS (
+        SELECT event_type || '>' || LEAD(event_type, 1) OVER w2
+                          || '>' || LEAD(event_type, 2) OVER w2 AS trigram
+        FROM numbered
+        WINDOW w2 AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+    ),
+    cnt AS (SELECT trigram, COUNT(*) AS n FROM tri WHERE trigram IS NOT NULL GROUP BY 1)
+    SELECT trigram, n, rank FROM (
+        SELECT trigram, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, trigram) AS rank
+        FROM cnt
+    ) WHERE rank <= 10
+    """,
+    doc="Top-10 within-session event-type trigrams — the path-mining "
+    "pass behind 'what do users do right before purchasing' and the "
+    "sequence-vocabulary input to behavioral-cloning corpora (the "
+    "event-stream sibling of q_bigram_pmi's text collocations). "
+    "Sessionization is the exact q_sessionize dataflow (lag + gap>30min "
+    "flag + running-sum ids); trigrams come from two LEADs inside the "
+    "(user, session) window — the session boundary truncates n-grams "
+    "for free because LEAD returns NULL past the partition edge and "
+    "concat of NULL is NULL in both engines. ONE hash exchange on "
+    "user_id serves the session windows AND the trigram window (the "
+    "(user, session) key is a refinement of user — no second shuffle), "
+    "then the count agg is partial-first on the trigram key. The final "
+    "top-10 window runs on the |distinct trigrams| grain (≤ |types|³ "
+    "rows — 125 here), deterministic via the (n DESC, trigram) "
+    "tie-break.",
+    tags=("analytics", "window", "sessionize", "topk"),
+)
+def q_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 30 * 60 * 1_000_000
+    flagged = e.withColumn(
+        "new_session",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    w2 = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = numbered.select(
+        F.concat(
+            F.col("event_type"),
+            F.lit(">"),
+            F.lead("event_type", 1).over(w2),
+            F.lit(">"),
+            F.lead("event_type", 2).over(w2),
+        ).alias("trigram")
+    ).filter(F.col("trigram").isNotNull())
+    cnt = tri.groupBy("trigram").agg(F.count(F.lit(1)).alias("n"))
+    ranked = cnt.select(
+        "trigram",
+        "n",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("trigram"))).alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 10)
+
+
+@query(
+    "q_chi2_independence",
+    """
+    WITH o AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS rt FROM o GROUP BY 1),
+    ct AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS ct FROM o GROUP BY 1),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o)
+    SELECT o.event_type AS event_type, o.dow AS dow, o.n_obs AS n_obs,
+           ROUND(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 12)
+               AS expected,
+           ROUND((CAST(n_obs AS DOUBLE)
+                  - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(n_obs AS DOUBLE)
+                    - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                 / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 12)
+               AS chi2_term
+    FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+    """,
+    doc="Chi-square independence audit of event_type × day-of-week — the "
+    "contingency test behind 'is traffic mix shifting by weekday' drift "
+    "checks and label-balance audits (per-cell terms stay exposed so "
+    "the report shows WHICH cell deviates, the q_benford_audit policy; "
+    "the statistic is their sum). Exactness: observed/row/column/grand "
+    "totals are exact integers; expected = rt·ct/N and the chi² term "
+    "are fixed-shape IEEE expressions written identically in both "
+    "engines (rt·ct ≤ N² ≈ 1e14 at sf1 — exact in a double's 53-bit "
+    "mantissa), rounded to 12. Plan: one partial-first agg to the "
+    "(type, dow) grain — 35 cells — then row/column margins are aggs "
+    "OF THE CELL TABLE (never a second fact scan) and re-enter with "
+    "the 1-row total as broadcast joins. Spark dayofweek(=1 Sunday) vs "
+    "DuckDB dayofweek(=0 Sunday) reconciled by +1 on the oracle side.",
+    tags=("analytics", "stats", "quality"),
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    rt = o.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("rt"))
+    ct = o.groupBy("dow").agg(F.sum("n_obs").cast("bigint").alias("ct"))
+    tot = o.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    exp_ = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    dev = F.col("n_obs").cast("double") - exp_
+    return (
+        o.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            "dow",
+            "n_obs",
+            F.round(exp_, 12).alias("expected"),
+            F.round(dev * dev / exp_, 12).alias("chi2_term"),
+        )
+    )

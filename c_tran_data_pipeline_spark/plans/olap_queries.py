@@ -2167,3 +2167,373 @@ def q_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_theilsen_trend",
+    """
+    WITH m AS (
+        SELECT r_name AS region,
+               (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(28, 8))) AS DECIMAL(28, 8)) AS rev
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.region,
+               ROUND(CAST(b.rev - a.rev AS DOUBLE) / CAST(b.x - a.x AS DOUBLE), 9)
+                   AS slope,
+               a.x AS x1, b.x AS x2
+        FROM m a JOIN m b ON b.region = a.region AND b.x > a.x
+    ),
+    r AS (
+        SELECT region, slope,
+               ROW_NUMBER() OVER (PARTITION BY region
+                                  ORDER BY slope, x1, x2) AS rn,
+               COUNT(*) OVER (PARTITION BY region) AS np
+        FROM pairs
+    )
+    SELECT region, np AS n_pairs, slope AS ts_slope
+    FROM r WHERE rn = (np + 1) // 2
+    """,
+    doc="Theil-Sen robust trend per region: the (lower) MEDIAN of all "
+    "pairwise month-to-month revenue slopes — a 29%-breakdown-point "
+    "estimator that one crazy month cannot move, the robust companion "
+    "to q_region_trend's OLS (compare the two to spot outlier-driven "
+    "trends). The quadratic pair join is taken ONLY on the monthly "
+    "grain (≤ 80 months → ≤ 3,160 pairs per region — bounded by the "
+    "calendar, not the data), which is what makes an O(k²) estimator "
+    "safe at 100 TB: the fact table is touched once (the "
+    "q_region_trend aggregate). Each slope is a single fixed-shape "
+    "IEEE division rounded to 9 BEFORE ranking (so the median "
+    "selection orders identical values identically in both engines); "
+    "the lower median is an integer rank pick ((n+1) DIV 2, ties "
+    "broken by the generating month pair) — no averaging, stays "
+    "exact.",
+    tags=("olap", "window", "stats"),
+)
+def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name"))
+    x = (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+    m = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(nr, c.c_nationkey == nr.n_nationkey)
+        .groupBy(F.col("r_name").alias("region"), x.alias("x"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(28,8)"))
+            .cast("decimal(28,8)")
+            .alias("rev")
+        )
+    )
+    a, b = m.alias("a"), m.alias("b")
+    pairs = a.join(
+        b, (F.col("b.region") == F.col("a.region")) & (F.col("b.x") > F.col("a.x"))
+    ).select(
+        F.col("a.region").alias("region"),
+        F.round(
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double"),
+            9,
+        ).alias("slope"),
+        F.col("a.x").alias("x1"),
+        F.col("b.x").alias("x2"),
+    )
+    wr = Window.partitionBy("region").orderBy("slope", "x1", "x2")
+    wn = Window.partitionBy("region")
+    ranked = pairs.select(
+        "region",
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    return ranked.filter(F.col("rn") == F.expr("(np + 1) DIV 2")).select(
+        "region", F.col("np").alias("n_pairs"), F.col("slope").alias("ts_slope")
+    )
+
+
+@query(
+    "q_rfm_segments",
+    """
+    WITH agg AS (
+        SELECT o_custkey,
+               date_diff('day', CAST(MAX(o_orderdate) AS DATE), DATE '2001-09-01')
+                   AS recency_days,
+               COUNT(*) AS frequency,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS monetary_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT o_custkey AS custkey, recency_days, frequency, monetary_cents,
+           6 - NTILE(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f_score,
+           NTILE(5) OVER (ORDER BY monetary_cents, o_custkey) AS m_score
+    FROM agg
+    """,
+    doc="RFM customer segmentation: recency (days from last order to the "
+    "corpus horizon), frequency (order count), monetary (exact lifetime "
+    "cents) each quintile-scored 1-5 by NTILE — the classic "
+    "value-segmentation grid (r=5,f=5,m=5 is the 'champions' cell) and "
+    "the behavioral analog of q_quality_deciles' per-document scoring. "
+    "Money is integer cents (round(×100) → BIGINT, the q_benford_audit "
+    "recipe) so sums are exact; recency is integer days; NTILE is ANSI "
+    "(first n mod k buckets one larger) with a custkey tie-break, so "
+    "both engines bucket identically. Plan: one partial-first agg to "
+    "the |customers| grain, then three rank windows over THAT table — "
+    "the global-order windows are single-partition, which is fine on "
+    "the aggregated grain here; at 100 TB the quintile boundaries come "
+    "from one 4-cutpoint quantile pass broadcast back (doc'd, same "
+    "results), never a global sort of the fact table.",
+    tags=("olap", "window", "segment"),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    agg = o.groupBy("o_custkey").agg(
+        F.datediff(F.lit("2001-09-01").cast("date"), F.max("o_orderdate").cast("date")).alias(
+            "recency_days"
+        ),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("monetary_cents"),
+    )
+    return agg.select(
+        F.col("o_custkey").alias("custkey"),
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))).alias("r_score"),
+        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
+        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_score"),
+    )
+
+
+@query(
+    "q_ks_test",
+    """
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS g2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    pv AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
+           FROM s GROUP BY v),
+    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
+    cum AS (
+        SELECT v,
+               CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+        FROM pv
+    ),
+    d AS (
+        SELECT cum.v, abs(f1 * n2 - f2 * n1) AS dn FROM cum CROSS JOIN tot
+    ),
+    m AS (SELECT MAX(dn) AS dmax FROM d)
+    SELECT n1, n2,
+           ROUND(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 12)
+               AS ks_d,
+           (SELECT MIN(v) FROM d WHERE d.dn = m.dmax) AS ks_at_cents
+    FROM tot CROSS JOIN m
+    """,
+    doc="Two-sample Kolmogorov-Smirnov test: D = max |ECDF₁ − ECDF₂| "
+    "between BUILDING and MACHINERY customers' order values — the "
+    "distribution-shift gate run before mixing corpora or declaring an "
+    "A/B cohort comparable (the two-sample sibling of q_psi_drift's "
+    "binned divergence: KS needs no bin choice). EXACT throughout: "
+    "prices are integer cents, both ECDFs are integer running counts "
+    "over the per-VALUE count table, and the sup-gap is maximized in "
+    "scaled-integer form |f1·n2 − f2·n1| (cross-multiplied to avoid "
+    "any float comparison; ≤ n² ≈ 1e12 — int64-safe) — the single "
+    "IEEE division by n1·n2 happens once, after the argmax, rounded "
+    "12. ks_at_cents reports WHERE the distributions diverge most "
+    "(min such value — deterministic). Plan: fact scan → per-value "
+    "partial agg, cumulative windows on the |distinct values| grain, "
+    "1-row scalar totals re-entering as broadcast cross joins. At "
+    "100 TB the ECDF windows run on the value-histogram table (pre-"
+    "aggregated, bounded by |distinct prices|), not the fact table.",
+    tags=("olap", "stats", "window"),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(F.broadcast(c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+               o.o_custkey == F.col("c_custkey"))
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g1"),
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("g2"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("c1"), F.sum("g2").cast("bigint").alias("c2")
+    )
+    tot = pv.agg(
+        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
+    )
+    wv = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        "v",
+        F.sum("c1").over(wv).cast("bigint").alias("f1"),
+        F.sum("c2").over(wv).cast("bigint").alias("f2"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).select(
+        "v", "n1", "n2", F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dn")
+    )
+    m = d.agg(F.max("dn").alias("dmax"))
+    at = (
+        d.join(F.broadcast(m), d.dn == F.col("dmax"))
+        .agg(F.min("v").alias("ks_at_cents"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(at))
+        .select(
+            "n1",
+            "n2",
+            F.round(
+                F.col("dmax").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
+                12,
+            ).alias("ks_d"),
+            "ks_at_cents",
+        )
+    )
+
+
+@query(
+    "q_large_orders",
+    """
+    WITH big AS (
+        SELECT l_orderkey,
+               CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+        FROM lineitem GROUP BY 1
+        HAVING CAST(SUM(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) > 180
+    )
+    SELECT c_custkey AS custkey, c_name, o_orderkey AS orderkey, o_orderdate,
+           CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents, total_qty
+    FROM big
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+    doc="TPC-H Q18 shape (large-volume orders): customers whose order "
+    "aggregates more than 180 units across its lines — the "
+    "HAVING-on-grouped-fact → join-back-to-dims pattern (the IN "
+    "(SELECT … GROUP BY … HAVING) subquery decorrelated by hand, as "
+    "Catalyst would). Plan: lineitem partial-aggregates to the order "
+    "grain FIRST (map-side combine does most of the work — ≤7 lines "
+    "per order), the surviving ~1% of orders join orders on the "
+    "SAME l_orderkey==o_orderkey key (one shuffle lineage), and the "
+    "customer dim attaches by broadcast. Quantities are integral "
+    "doubles → round→BIGINT makes the sum and threshold exact; money "
+    "reports as exact cents. The selective HAVING is the scale lever: "
+    "everything after the first agg is ~1% of orders.",
+    tags=("olap", "agg", "join", "subquery"),
+)
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.round("l_quantity").cast("bigint")).cast("bigint").alias("total_qty"))
+        .filter(F.col("total_qty") > 180)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            "c_name",
+            F.col("o_orderkey").alias("orderkey"),
+            "o_orderdate",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+            "total_qty",
+        )
+    )
+
+
+@query(
+    "q_top_supplier_share",
+    """
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1996-04-01'
+        GROUP BY 1
+    ),
+    t AS (SELECT MAX(rev_cents) AS max_rev,
+                 CAST(SUM(rev_cents) AS BIGINT) AS total_rev FROM rev)
+    SELECT s_suppkey AS suppkey, s_name, rev_cents,
+           ROUND(CAST(rev_cents AS DOUBLE) / CAST(total_rev AS DOUBLE), 12) AS rev_share
+    FROM rev JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN t
+    WHERE rev_cents = max_rev
+    """,
+    doc="TPC-H Q15 shape (top supplier): the supplier(s) with maximum "
+    "quarterly revenue, plus their share of the quarter's total — the "
+    "argmax-against-a-scalar-aggregate pattern (Q15's CREATE VIEW + "
+    "max subquery, decorrelated to one grouped pass whose 1-row "
+    "max/total re-enters as a broadcast scalar; ties all surface, as "
+    "in the spec). Revenue is exact integer cents (round(price·(1−disc)"
+    "·100) → BIGINT per line — identical IEEE product both engines — "
+    "then exact integer sums), so the argmax equality predicate "
+    "compares integers, never floats; the share is the single IEEE "
+    "division, rounded 12. Plan: ship-date predicate pushes to the "
+    "parquet scan, one partial-first agg on l_suppkey, broadcast "
+    "scalar, broadcast supplier dim. The fact table is scanned once.",
+    tags=("olap", "agg", "topk", "subquery"),
+)
+def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    t = rev.agg(
+        F.max("rev_cents").alias("max_rev"), F.sum("rev_cents").cast("bigint").alias("total_rev")
+    )
+    return (
+        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .crossJoin(F.broadcast(t))
+        .filter(F.col("rev_cents") == F.col("max_rev"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            "s_name",
+            "rev_cents",
+            F.round(
+                F.col("rev_cents").cast("double") / F.col("total_rev").cast("double"), 12
+            ).alias("rev_share"),
+        )
+    )

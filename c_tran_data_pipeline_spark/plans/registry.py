@@ -66,6 +66,9 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_zipf_fit",
+    "q_autocorr_daily",
+    "q_theilsen_trend",
     "q_trimmed_mean",
     "q_attribution",
     "q_pca_project",

@@ -1254,3 +1254,150 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("start_pos").cast("bigint").alias("first_pos"),
     )
+
+
+@query(
+    "q_zipf_fit",
+    r"""
+    WITH tok AS (
+        SELECT unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ),
+    cnt AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC) AS r FROM cnt
+    ),
+    pts AS (
+        SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+               CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+        FROM ranked WHERE r <= 100
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+               CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+               CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+               CAST(SUM(CAST(y * y AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+               CAST(SUM(CAST(x * y AS DECIMAL(38,0))) AS DOUBLE) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_ranks,
+           ROUND(-((CAST(n AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n AS DOUBLE) * sxx - sx * sx)), 12) AS s_hat,
+           ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                  * (CAST(n AS DOUBLE) * sxy - sx * sy))
+                 / ((CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * (CAST(n AS DOUBLE) * syy - sy * sy)), 12) AS r2
+    FROM s
+    """,
+    doc="Zipf-law exponent fit over the corpus vocabulary: log-log OLS "
+    "of the top-100 token frequencies vs rank — ŝ (the negated slope) "
+    "is the one-number heavy-tail fingerprint that separates natural "
+    "text (ŝ≈1) from templated/synthetic corpora, and r² says whether "
+    "a power law fits at all (the fixture's UNIFORM vocabulary scores "
+    "a near-zero ŝ — exactly the anomaly this probe exists to flag). "
+    "Exactness: ln(rank)/ln(count) are integerized to micro-units "
+    "(round(ln·1e6) → BIGINT — the q_corr_matrix integerization, "
+    "which keeps every cross-product inside int64 and every sum in "
+    "exact DECIMAL(38,0)); the slope/r² are fixed-shape IEEE "
+    "expressions rounded to 12. One token-count shuffle + a 100-row "
+    "tail; the global rank window runs on the |vocab| count table, "
+    "and at web scale the same fit reads the top-K of the existing "
+    "q_vocab_topk output instead of re-ranking.",
+    tags=("text", "stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("tok")
+    )
+    cnt = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    ranked = cnt.select(
+        "c", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("tok"))).alias("r")
+    ).filter(F.col("r") <= 100)
+    pts = ranked.select(
+        F.round(F.log(F.col("r").cast("double")) * 1000000).cast("bigint").alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000000).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("x")).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("syy"),
+        F.sum((F.col("x") * F.col("y")).cast("decimal(38,0)")).cast("double").alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    num = nd * F.col("sxy") - F.col("sx") * F.col("sy")
+    denx = nd * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = nd * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_ranks"),
+        F.round(-(num / denx), 12).alias("s_hat"),
+        F.round(num * num / (denx * deny), 12).alias("r2"),
+    )
+
+
+@query(
+    "q_repeated_ngrams",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+    ),
+    ix AS (
+        SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 6, 1))) AS i FROM t
+    ),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram FROM ix),
+    cnt AS (
+        SELECT gram, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+        FROM g GROUP BY gram HAVING COUNT(*) >= 2
+    )
+    SELECT gram, n, n_docs, rank FROM (
+        SELECT gram, n, n_docs,
+               ROW_NUMBER() OVER (ORDER BY n DESC, gram) AS rank
+        FROM cnt
+    ) WHERE rank <= 20
+    """,
+    doc="Most-duplicated 8-gram spans across the corpus (count + distinct "
+    "docs, top-20): the repeated-substring census behind exact-substring "
+    "training-data dedup (Lee et al.'s 'Deduplicating Training Data "
+    "Makes Language Models Better' — their suffix-array pass finds "
+    "verbatim repeats ≥ k tokens; fixed-k sliding shingles are the "
+    "relational formulation: any repeat ≥ 8 tokens contains a repeated "
+    "8-gram, so this surfaces the same spans, boilerplate headers and "
+    "license blocks first). Spark plan: the shingle set is a pure "
+    "PROJECTION (transform over sequence + slice + concat_ws — array "
+    "expressions, whole-stage codegen, no UDF, no join), then ONE "
+    "partial-first count agg keyed by the gram — text never shuffles, "
+    "only (gram-hash-sized key, doc_id) pairs move, and the n ≥ 2 "
+    "HAVING prunes the unique-gram long tail before the top-k window "
+    "(which runs on the surviving duplicates only). The same dataflow "
+    "with doc_id+position kept is the removal pass's span index.",
+    tags=("text", "dedup", "topk"),
+)
+def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 7, 0)),"
+                " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 8)))"
+            )
+        ).alias("gram"),
+    )
+    cnt = (
+        g.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n") >= 2)
+    )
+    ranked = cnt.select(
+        "gram",
+        "n",
+        "n_docs",
+        F.row_number().over(Window.orderBy(F.desc("n"), F.asc("gram"))).alias("rank"),
+    )
+    return ranked.filter(F.col("rank") <= 20)

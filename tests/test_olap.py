@@ -452,3 +452,33 @@ def test_attribution_first_last_and_window(spark):
     assert (r.first_touch_id, r.first_touch_type) == (1, "view")
     assert (r.last_touch_id, r.last_touch_type) == (2, "click")
     assert r.n_touches == 2
+
+
+def test_theilsen_ignores_outlier_month(spark):
+    """Linear revenue +100/month with one absurd outlier month: OLS
+    would be dragged; the Theil-Sen median slope stays exactly 100."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_theilsen_trend
+
+    orders = []
+    for m in range(12):
+        rev = 1_000_000.0 if m == 6 else 1000.0 + 100.0 * m
+        orders.append((m, 1, dt.datetime(1995, m + 1, 10), rev))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders, "o_orderkey long, o_custkey long, o_orderdate timestamp, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long").write.parquet(
+            f"{d}/customer.parquet"
+        )
+        spark.createDataFrame([(0, 0)], "n_nationkey long, n_regionkey long").write.parquet(
+            f"{d}/nation.parquet"
+        )
+        spark.createDataFrame([(0, "ALPHA")], "r_regionkey long, r_name string").write.parquet(
+            f"{d}/region.parquet"
+        )
+        row = q_theilsen_trend(spark, d).collect()[0]
+    assert row.n_pairs == 66
+    assert row.ts_slope == 100.0

@@ -175,3 +175,64 @@ def test_referential_check_and_summary_strict_null_semantics(spark):
 
     row = referential_summary(fact, dim, "fk", "pk", "fact.fk->dim.pk").collect()[0]
     assert (row["fk"], row["n_fact"], row["n_orphans"]) == ("fact.fk->dim.pk", 4, 2)
+
+
+def test_autocorr_daily_periodic_vs_noise(spark):
+    """A perfectly 24h-periodic hourly profile scores exactly 1.0; a
+    pseudo-random profile scores well below."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_autocorr_daily
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for t in range(96):  # 4 days of hours
+        periodic = 5 if (t % 24) < 12 else 1
+        noisy = (t * 37) % 7 + 1
+        for _ in range(periodic):
+            eid += 1
+            rows.append((eid, 1, t0 + dt.timedelta(hours=t, minutes=5), "p", 0.0))
+        for _ in range(noisy):
+            eid += 1
+            rows.append((eid, 2, t0 + dt.timedelta(hours=t, minutes=7), "r", 0.0))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = {r.event_type: r for r in q_autocorr_daily(spark, d).collect()}
+    assert out["p"].n_hour_pairs == 72
+    assert out["p"].autocorr_24h == 1.0
+    assert abs(out["r"].autocorr_24h) < 0.9
+
+
+def test_zipf_fit_recovers_planted_exponent(spark):
+    """Documents with token counts planted as round(2000/k) (a Zipf
+    s=1 law, ranks 1..30): the fitted s_hat lands near 1 with r²≈1,
+    and the output equals a numpy replay of the same integerized fit."""
+    import math
+    import tempfile
+
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.plans.text_queries import q_zipf_fit
+
+    counts = {f"tok{k:02d}": round(2000 / k) for k in range(1, 31)}
+    rows = [(k, " ".join([w] * c)) for k, (w, c) in enumerate(counts.items())]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(rows, "doc_id long, text string").write.parquet(
+            f"{d}/documents.parquet"
+        )
+        row = q_zipf_fit(spark, d).collect()[0]
+    assert row.n_ranks == 30
+    ranked = sorted(counts.values(), reverse=True)
+    x = np.array([round(math.log(r) * 1e6) for r in range(1, 31)], dtype=float)
+    y = np.array([round(math.log(c) * 1e6) for c in ranked], dtype=float)
+    n = 30.0
+    num = n * (x * y).sum() - x.sum() * y.sum()
+    denx = n * (x * x).sum() - x.sum() ** 2
+    deny = n * (y * y).sum() - y.sum() ** 2
+    assert row.s_hat == round(-(num / denx), 12)
+    assert row.r2 == round(num * num / (denx * deny), 12)
+    assert 0.9 < row.s_hat < 1.1
+    assert row.r2 > 0.99
