@@ -100,6 +100,15 @@ HEADLINE = [
     "q_zipf_fit",
     "q_autocorr_daily",
     "q_theilsen_trend",
+    "q_user_entropy",
+    "q_session_ngrams",
+    "q_chi2_independence",
+    "q_rfm_segments",
+    "q_ks_test",
+    "q_large_orders",
+    "q_top_supplier_share",
+    "q_clustering_coeff",
+    "q_repeated_ngrams",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -161,6 +170,15 @@ _POST_R01 = (
     "q_zipf_fit",
     "q_autocorr_daily",
     "q_theilsen_trend",
+    "q_user_entropy",
+    "q_session_ngrams",
+    "q_chi2_independence",
+    "q_rfm_segments",
+    "q_ks_test",
+    "q_large_orders",
+    "q_top_supplier_share",
+    "q_clustering_coeff",
+    "q_repeated_ngrams",
 )
 
 

@@ -650,10 +650,14 @@ def q_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n_obs
         FROM events GROUP BY 1, 2
     ),
-    rt AS (SELECT event_type, CAST(SUM(n_obs) AS BIGINT) AS rt FROM o GROUP BY 1),
-    ct AS (SELECT dow, CAST(SUM(n_obs) AS BIGINT) AS ct FROM o GROUP BY 1),
-    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM o)
-    SELECT o.event_type AS event_type, o.dow AS dow, o.n_obs AS n_obs,
+    m AS (
+        SELECT event_type, dow, n_obs,
+               CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+               CAST(SUM(n_obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+               CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+        FROM o
+    )
+    SELECT event_type, dow, n_obs,
            ROUND(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE), 12)
                AS expected,
            ROUND((CAST(n_obs AS DOUBLE)
@@ -662,7 +666,7 @@ def q_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
                     - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
                  / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 12)
                AS chi2_term
-    FROM o JOIN rt USING (event_type) JOIN ct USING (dow) CROSS JOIN tot
+    FROM m
     """,
     doc="Chi-square independence audit of event_type × day-of-week — the "
     "contingency test behind 'is traffic mix shifting by weekday' drift "
@@ -672,11 +676,12 @@ def q_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "totals are exact integers; expected = rt·ct/N and the chi² term "
     "are fixed-shape IEEE expressions written identically in both "
     "engines (rt·ct ≤ N² ≈ 1e14 at sf1 — exact in a double's 53-bit "
-    "mantissa), rounded to 12. Plan: one partial-first agg to the "
-    "(type, dow) grain — 35 cells — then row/column margins are aggs "
-    "OF THE CELL TABLE (never a second fact scan) and re-enter with "
-    "the 1-row total as broadcast joins. Spark dayofweek(=1 Sunday) vs "
-    "DuckDB dayofweek(=0 Sunday) reconciled by +1 on the oracle side.",
+    "mantissa), rounded to 12. Plan: ONE fact scan partial-aggregates "
+    "to the (type, dow) grain — 35 cells — and the row/column/grand "
+    "margins are WINDOW sums over that cell table (re-aggregating each "
+    "margin from events would re-scan the fact table 4×; the windows "
+    "run on 35 rows). Spark dayofweek(=1 Sunday) vs DuckDB "
+    "dayofweek(=0 Sunday) reconciled by +1 on the oracle side.",
     tags=("analytics", "stats", "quality"),
 )
 def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -684,20 +689,20 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = e.groupBy(
         "event_type", F.dayofweek("ts").alias("dow")
     ).agg(F.count(F.lit(1)).alias("n_obs"))
-    rt = o.groupBy("event_type").agg(F.sum("n_obs").cast("bigint").alias("rt"))
-    ct = o.groupBy("dow").agg(F.sum("n_obs").cast("bigint").alias("ct"))
-    tot = o.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    m = o.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("event_type")).cast("bigint").alias("rt"),
+        F.sum("n_obs").over(Window.partitionBy("dow")).cast("bigint").alias("ct"),
+        F.sum("n_obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
     exp_ = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
     dev = F.col("n_obs").cast("double") - exp_
-    return (
-        o.join(F.broadcast(rt), "event_type")
-        .join(F.broadcast(ct), "dow")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "event_type",
-            "dow",
-            "n_obs",
-            F.round(exp_, 12).alias("expected"),
-            F.round(dev * dev / exp_, 12).alias("chi2_term"),
-        )
+    return m.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.round(exp_, 12).alias("expected"),
+        F.round(dev * dev / exp_, 12).alias("chi2_term"),
     )

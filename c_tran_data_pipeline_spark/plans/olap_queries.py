@@ -2330,22 +2330,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     pv AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1, CAST(SUM(g2) AS BIGINT) AS c2
            FROM s GROUP BY v),
-    tot AS (SELECT CAST(SUM(c1) AS BIGINT) AS n1, CAST(SUM(c2) AS BIGINT) AS n2 FROM pv),
     cum AS (
         SELECT v,
                CAST(SUM(c1) OVER (ORDER BY v) AS BIGINT) AS f1,
-               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2
+               CAST(SUM(c2) OVER (ORDER BY v) AS BIGINT) AS f2,
+               CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(c2) OVER () AS BIGINT) AS n2
         FROM pv
     ),
     d AS (
-        SELECT cum.v, abs(f1 * n2 - f2 * n1) AS dn FROM cum CROSS JOIN tot
-    ),
-    m AS (SELECT MAX(dn) AS dmax FROM d)
-    SELECT n1, n2,
-           ROUND(CAST(dmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)), 12)
-               AS ks_d,
-           (SELECT MIN(v) FROM d WHERE d.dn = m.dmax) AS ks_at_cents
-    FROM tot CROSS JOIN m
+        SELECT v, n1, n2, abs(f1 * n2 - f2 * n1) AS dn,
+               MAX(abs(f1 * n2 - f2 * n1)) OVER () AS dmax
+        FROM cum
+    )
+    SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+           ROUND(CAST(MAX(dmax) AS DOUBLE)
+                 / (CAST(MAX(n1) AS DOUBLE) * CAST(MAX(n2) AS DOUBLE)), 12) AS ks_d,
+           MIN(v) AS ks_at_cents
+    FROM d WHERE dn = dmax
     """,
     doc="Two-sample Kolmogorov-Smirnov test: D = max |ECDF₁ − ECDF₂| "
     "between BUILDING and MACHINERY customers' order values — the "
@@ -2358,11 +2360,13 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     "any float comparison; ≤ n² ≈ 1e12 — int64-safe) — the single "
     "IEEE division by n1·n2 happens once, after the argmax, rounded "
     "12. ks_at_cents reports WHERE the distributions diverge most "
-    "(min such value — deterministic). Plan: fact scan → per-value "
-    "partial agg, cumulative windows on the |distinct values| grain, "
-    "1-row scalar totals re-entering as broadcast cross joins. At "
-    "100 TB the ECDF windows run on the value-histogram table (pre-"
-    "aggregated, bounded by |distinct prices|), not the fact table.",
+    "(min such value — deterministic). Plan: ONE fact scan → per-value "
+    "partial agg, then EVERYTHING (cumulative ECDFs, group totals, the "
+    "max gap) is window functions over the |distinct values| grain — "
+    "totals as separate re-aggregations would re-scan the fact table; "
+    "as empty-frame windows they reuse the histogram already in hand. "
+    "At 100 TB the windowed table is the pre-aggregated value "
+    "histogram (bounded by |distinct prices|), never the fact table.",
     tags=("olap", "stats", "window"),
 )
 def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2382,36 +2386,28 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = s.groupBy("v").agg(
         F.sum("g1").cast("bigint").alias("c1"), F.sum("g2").cast("bigint").alias("c2")
     )
-    tot = pv.agg(
-        F.sum("c1").cast("bigint").alias("n1"), F.sum("c2").cast("bigint").alias("n2")
-    )
     wv = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
     cum = pv.select(
         "v",
         F.sum("c1").over(wv).cast("bigint").alias("f1"),
         F.sum("c2").over(wv).cast("bigint").alias("f2"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        F.sum("c2").over(wall).cast("bigint").alias("n2"),
     )
-    d = cum.crossJoin(F.broadcast(tot)).select(
-        "v", "n1", "n2", F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1")).alias("dn")
+    dn = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    d = cum.select(
+        "v", "n1", "n2", dn.alias("dn"), F.max(dn).over(wall).alias("dmax")
     )
-    m = d.agg(F.max("dn").alias("dmax"))
-    at = (
-        d.join(F.broadcast(m), d.dn == F.col("dmax"))
-        .agg(F.min("v").alias("ks_at_cents"))
-    )
-    return (
-        tot.crossJoin(F.broadcast(m))
-        .crossJoin(F.broadcast(at))
-        .select(
-            "n1",
-            "n2",
-            F.round(
-                F.col("dmax").cast("double")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double")),
-                12,
-            ).alias("ks_d"),
-            "ks_at_cents",
-        )
+    return d.filter(F.col("dn") == F.col("dmax")).agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.round(
+            F.max("dmax").cast("double")
+            / (F.max("n1").cast("double") * F.max("n2").cast("double")),
+            12,
+        ).alias("ks_d"),
+        F.min("v").alias("ks_at_cents"),
     )
 
 
@@ -2481,25 +2477,30 @@ def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
           AND l_shipdate < TIMESTAMP '1996-04-01'
         GROUP BY 1
     ),
-    t AS (SELECT MAX(rev_cents) AS max_rev,
-                 CAST(SUM(rev_cents) AS BIGINT) AS total_rev FROM rev)
+    t AS (
+        SELECT l_suppkey, rev_cents,
+               MAX(rev_cents) OVER () AS max_rev,
+               CAST(SUM(rev_cents) OVER () AS BIGINT) AS total_rev
+        FROM rev
+    )
     SELECT s_suppkey AS suppkey, s_name, rev_cents,
            ROUND(CAST(rev_cents AS DOUBLE) / CAST(total_rev AS DOUBLE), 12) AS rev_share
-    FROM rev JOIN supplier ON s_suppkey = l_suppkey CROSS JOIN t
+    FROM t JOIN supplier ON s_suppkey = l_suppkey
     WHERE rev_cents = max_rev
     """,
     doc="TPC-H Q15 shape (top supplier): the supplier(s) with maximum "
     "quarterly revenue, plus their share of the quarter's total — the "
     "argmax-against-a-scalar-aggregate pattern (Q15's CREATE VIEW + "
-    "max subquery, decorrelated to one grouped pass whose 1-row "
-    "max/total re-enters as a broadcast scalar; ties all surface, as "
-    "in the spec). Revenue is exact integer cents (round(price·(1−disc)"
-    "·100) → BIGINT per line — identical IEEE product both engines — "
-    "then exact integer sums), so the argmax equality predicate "
-    "compares integers, never floats; the share is the single IEEE "
-    "division, rounded 12. Plan: ship-date predicate pushes to the "
-    "parquet scan, one partial-first agg on l_suppkey, broadcast "
-    "scalar, broadcast supplier dim. The fact table is scanned once.",
+    "max subquery, decorrelated to one grouped pass whose max/total "
+    "come from empty-frame WINDOWS over the per-supplier grain — a "
+    "separate scalar re-aggregation would scan the fact table twice; "
+    "ties all surface, as in the spec). Revenue is exact integer cents "
+    "(round(price·(1−disc)·100) → BIGINT per line — identical IEEE "
+    "product both engines — then exact integer sums), so the argmax "
+    "equality predicate compares integers, never floats; the share is "
+    "the single IEEE division, rounded 12. Plan: ship-date predicate "
+    "pushes to the parquet scan, ONE partial-first agg on l_suppkey, "
+    "windows on the |suppliers| grain, broadcast supplier dim.",
     tags=("olap", "agg", "topk", "subquery"),
 )
 def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2521,12 +2522,17 @@ def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    t = rev.agg(
-        F.max("rev_cents").alias("max_rev"), F.sum("rev_cents").cast("bigint").alias("total_rev")
+    from pyspark.sql.window import Window
+
+    wall = Window.partitionBy()
+    t = rev.select(
+        "l_suppkey",
+        "rev_cents",
+        F.max("rev_cents").over(wall).alias("max_rev"),
+        F.sum("rev_cents").over(wall).cast("bigint").alias("total_rev"),
     )
     return (
-        rev.join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
-        .crossJoin(F.broadcast(t))
+        t.join(F.broadcast(s), t.l_suppkey == s.s_suppkey)
         .filter(F.col("rev_cents") == F.col("max_rev"))
         .select(
             F.col("s_suppkey").alias("suppkey"),

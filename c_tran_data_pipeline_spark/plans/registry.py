@@ -66,6 +66,15 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_user_entropy",
+    "q_session_ngrams",
+    "q_chi2_independence",
+    "q_rfm_segments",
+    "q_ks_test",
+    "q_large_orders",
+    "q_top_supplier_share",
+    "q_clustering_coeff",
+    "q_repeated_ngrams",
     "q_zipf_fit",
     "q_autocorr_daily",
     "q_theilsen_trend",

@@ -1382,10 +1382,15 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     g = d.select(
         "doc_id",
+        # size < 8 must yield array() explicitly: sequence(1, 0) is
+        # DESCENDING [1, 0] in Spark, and slice(_, 0, _) then errors —
+        # short documents would crash the whole scan without the guard.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(split(trim(text), '\\\\s+')) - 7, 0)),"
+                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 8 THEN"
+                " transform(sequence(1, size(split(trim(text), '\\\\s+')) - 7),"
                 " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 8)))"
+                " ELSE array() END"
             )
         ).alias("gram"),
     )

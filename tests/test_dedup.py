@@ -466,3 +466,32 @@ def test_prefix_filter_prunes_candidates(spark):
         .count()
     )
     assert cand < full_pairs / 3, (cand, full_pairs)
+
+
+def test_repeated_ngrams_finds_planted_span(spark):
+    """A 10-token license block planted in 3 docs surfaces every one of
+    its three 8-gram shingles with n=3; unique text never appears; a
+    7-token doc emits nothing."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.text_queries import q_repeated_ngrams
+
+    block = "licensed under the apache license version two zero one one"  # 11 tokens
+    docs = [
+        (1, block + " alpha beta", "en", "s1", 0),
+        (2, "gamma " + block, "en", "s2", 0),
+        (3, block, "en", "s3", 0),
+        (4, "seven little tokens do not make eight", "en", "s4", 0),  # 7 tokens
+        (5, "entirely unique text with no duplicate span here at all", "en", "s5", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = q_repeated_ngrams(spark, d).collect()
+    got = {r.gram: (r.n, r.n_docs) for r in out}
+    toks = block.split()
+    for i in range(len(toks) - 7):  # all 4 in-block 8-grams repeat 3x
+        assert got[" ".join(toks[i : i + 8])] == (3, 3)
+    assert all(g.count(" ") == 7 for g in got)  # every gram is exactly 8 tokens
+    assert not any("unique" in g for g in got)

@@ -404,3 +404,41 @@ def test_degree_assortativity_known_sign(spark):
     assert row.n_directed_edges == 16
     assert abs(row.assortativity - round(want, 12)) < 1e-9
     assert row.assortativity < -0.99
+
+
+def test_clustering_coeff_triangle_plus_tail(spark):
+    """Co-purchase graph planted as K3 (parts 1,2,3 in one urgent order)
+    plus a pendant edge 3-4: triangle corners 1 and 2 score 1.0, the
+    apex 3 scores 2*1/(3*2) = 1/3, and the degree-1 pendant 4 drops."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.graph_queries import q_clustering_coeff
+
+    t = dt.datetime(1995, 1, 1)
+
+    def line(ok, part):
+        return (ok, part, 1, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", t)
+
+    li = [line(1, 1), line(1, 2), line(1, 3), line(2, 3), line(2, 4)]
+    orders = [(1, 1, "O", 1.0, t, "1-URGENT"), (2, 1, "O", 1.0, t, "1-URGENT")]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        out = {
+            r.node: (r.degree, r.n_triangles, r.clustering_coeff)
+            for r in q_clustering_coeff(spark, d).collect()
+        }
+    assert out[1] == (2, 1, 1.0)
+    assert out[2] == (2, 1, 1.0)
+    assert out[3] == (3, 1, round(1.0 / 3.0, 12))
+    assert 4 not in out  # degree-1: coefficient undefined, excluded

@@ -482,3 +482,138 @@ def test_theilsen_ignores_outlier_month(spark):
         row = q_theilsen_trend(spark, d).collect()[0]
     assert row.n_pairs == 66
     assert row.ts_slope == 100.0
+
+
+def test_rfm_segments_quintiles(spark):
+    """10 customers, one order each, metrics arranged so quintiles are
+    unambiguous: recency/frequency/monetary scores come out as planted."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_rfm_segments
+
+    rows = []
+    okey = 0
+    for cust in range(1, 11):
+        # customer k: k orders (frequency ladder), each 100*k dollars,
+        # last order k days before the horizon (recency ladder)
+        for j in range(cust):
+            okey += 1
+            rows.append(
+                (okey, cust, "O", 100.0 * cust,
+                 dt.datetime(2001, 9, 1) - dt.timedelta(days=cust + j), "1-URGENT")
+            )
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        out = {r.custkey: r for r in q_rfm_segments(spark, d).collect()}
+    # customer 1: most recent, least frequent, least monetary
+    assert (out[1].r_score, out[1].f_score, out[1].m_score) == (5, 1, 1)
+    # customer 10: oldest, most frequent, most monetary
+    assert (out[10].r_score, out[10].f_score, out[10].m_score) == (1, 5, 5)
+    assert out[10].monetary_cents == 10 * 100000  # 10 orders x $1000 in cents
+    # every quintile has exactly 2 of the 10 customers
+    from collections import Counter
+    assert Counter(r.f_score for r in out.values()) == {1: 2, 2: 2, 3: 2, 4: 2, 5: 2}
+
+
+def test_ks_test_hand_computed(spark):
+    """Group1 = {1,2,3,4}, group2 = {3,4,5,6} (dollars): the ECDF gap is
+    maximized at v=2 (cents 200) with |F1-F2| = 2/4 - 0/4 = 0.5."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_ks_test
+
+    orders, custs = [], []
+    for i, v in enumerate([1.0, 2.0, 3.0, 4.0]):
+        custs.append((100 + i, f"b{i}", 0, 0.0, "BUILDING"))
+        orders.append((i, 100 + i, "O", v, dt.datetime(1995, 1, 1), "x"))
+    for i, v in enumerate([3.0, 4.0, 5.0, 6.0]):
+        custs.append((200 + i, f"m{i}", 0, 0.0, "MACHINERY"))
+        orders.append((10 + i, 200 + i, "O", v, dt.datetime(1995, 1, 1), "x"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            custs,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.parquet(f"{d}/customer.parquet")
+        row = q_ks_test(spark, d).collect()[0]
+    assert (row.n1, row.n2) == (4, 4)
+    assert row.ks_d == 0.5
+    assert row.ks_at_cents == 200
+
+
+def test_large_orders_threshold_and_cents(spark):
+    """Only the order whose lines sum past 180 units survives, with the
+    exact cents and customer attached."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_large_orders
+
+    li = [(1, 1, 1, 1, 100.0, 0.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1)),
+          (1, 2, 1, 2, 90.0, 0.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1)),
+          (2, 3, 1, 1, 180.0, 0.0, 0.0, 0.0, "N", "O", dt.datetime(1995, 1, 1))]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(1, 7, "O", 1234.56, dt.datetime(1995, 2, 1), "x"),
+             (2, 7, "O", 99.99, dt.datetime(1995, 2, 1), "x")],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(7, "Customer#7", 0, 0.0, "BUILDING")],
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.parquet(f"{d}/customer.parquet")
+        rows = q_large_orders(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.orderkey, r.custkey, r.total_qty, r.price_cents) == (1, 7, 190, 123456)
+
+
+def test_top_supplier_share_ties_and_window(spark):
+    """Two suppliers tie at max quarterly revenue; both surface, each
+    with share 0.4 of the quarter (a third supplier takes 0.2); revenue
+    outside Q1-1996 is invisible."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_top_supplier_share
+
+    def line(ok, supp, price, when):
+        return (ok, 1, supp, 1, 1.0, price, 0.0, 0.0, "N", "O", when)
+
+    q1 = dt.datetime(1996, 2, 15)
+    li = [line(1, 1, 200.0, q1), line(2, 2, 200.0, q1), line(3, 3, 100.0, q1),
+          line(4, 3, 999.0, dt.datetime(1997, 1, 1))]  # out of window
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+            "l_quantity double, l_extendedprice double, l_discount double, l_tax double, "
+            "l_returnflag string, l_linestatus string, l_shipdate timestamp",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(1, "S1", 0, 0.0), (2, "S2", 0, 0.0), (3, "S3", 0, 0.0)],
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ).write.parquet(f"{d}/supplier.parquet")
+        rows = sorted(q_top_supplier_share(spark, d).collect(), key=lambda r: r.suppkey)
+    assert [r.suppkey for r in rows] == [1, 2]
+    assert all(r.rev_cents == 20000 for r in rows)
+    assert all(r.rev_share == 0.4 for r in rows)

@@ -236,3 +236,97 @@ def test_zipf_fit_recovers_planted_exponent(spark):
     assert row.r2 == round(num * num / (denx * deny), 12)
     assert 0.9 < row.s_hat < 1.1
     assert row.r2 > 0.99
+
+
+def test_user_entropy_uniform_vs_concentrated(spark):
+    """A user spread uniformly over 4 types scores exactly the
+    integerized ln(4); a single-type user scores exactly 0."""
+    import datetime as dt
+    import math
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_user_entropy
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for ty in ["a", "b", "c", "d"]:
+        for _ in range(5):
+            eid += 1
+            rows.append((eid, 1, t0, ty, 0.0))
+    for _ in range(8):
+        eid += 1
+        rows.append((eid, 2, t0, "a", 0.0))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = {r.user_id: r for r in q_user_entropy(spark, d).collect()}
+    # replay the integerized formula: H = ln(n) - (sum round(ln c * 1e6)*c / 1e6)/n
+    sw = round(math.log(5) * 1e6) * 5 * 4
+    expected = round(math.log(20) - (sw / 1e6) / 20, 12)
+    assert out[1].n_types == 4 and out[1].n_events == 20
+    assert out[1].entropy == expected
+    assert abs(out[1].entropy - math.log(4)) < 1e-6
+    assert out[2].entropy == round(math.log(8) - (round(math.log(8) * 1e6) * 8 / 1e6) / 8, 12)
+    assert abs(out[2].entropy) < 1e-6
+
+
+def test_session_ngrams_respects_session_boundary(spark):
+    """view>click>purchase repeated in one session dominates; a trigram
+    spanning a 31-minute gap is never emitted."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_session_ngrams
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+
+    def ev(user, minute, ty):
+        nonlocal eid
+        eid += 1
+        rows.append((eid, user, t0 + dt.timedelta(minutes=minute), ty, 0.0))
+
+    # session 1: v c p v c p  -> trigrams vcp, cpv, pvc, vcp
+    for i, ty in enumerate(["view", "click", "purchase", "view", "click", "purchase"]):
+        ev(1, i, ty)
+    # 31-min gap, then: error error -> too short for any trigram, but
+    # spanning the gap WOULD have formed purchase>error>error
+    ev(1, 36, "error")
+    ev(1, 37, "error")
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = q_session_ngrams(spark, d).collect()
+    got = {r.trigram: (r.n, r.rank) for r in out}
+    assert got["view>click>purchase"] == (2, 1)
+    assert "purchase>error>error" not in got
+    assert "click>purchase>error" not in got
+    assert len(out) == 3  # vcp, cpv, pvc
+
+
+def test_chi2_independence_uniform_is_zero(spark):
+    """A perfectly balanced type x weekday grid has expected == observed
+    and every chi2 term exactly 0; doubling one cell makes its term the
+    planted (o-e)^2/e."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_chi2_independence
+
+    t0 = dt.datetime(2024, 1, 1)  # a Monday
+    rows, eid = [], 0
+    for day in range(7):
+        for ty in ["a", "b"]:
+            for _ in range(3):
+                eid += 1
+                rows.append((eid, 1, t0 + dt.timedelta(days=day), ty, 0.0))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        out = q_chi2_independence(spark, d).collect()
+    assert len(out) == 14
+    assert all(r.chi2_term == 0.0 for r in out)
+    assert all(r.expected == 3.0 for r in out)
