@@ -610,8 +610,108 @@ def ppjoin_ladder() -> None:
         print(json.dumps(row), flush=True)
 
 
+def ivfpq_sf_ladder() -> None:
+    """Persisted-index search at sf-fixture scale (run: ``python
+    scripts/scale_ladder.py --ivfpq-sf``): measures the REGISTERED
+    q_ann_ivfpq_search / q_ann_ivf_search dataflows (shared committed
+    index, literal probed-cell PartitionFilters, fixed production
+    recipe nlist=16/nprobe=4) against the real sf0.1 embeddings
+    fixture and sf1/sf10-sized corpora derived from it (each vector
+    replicated 10x/100x with deterministic per-replica hash noise, so
+    the distribution and cell occupancy scale honestly; the 20-query
+    batch stays fixed — replicas get vec_id >= 1e6, out of the
+    vec_id < 20 query predicate). Records per-rung: cold build time,
+    3 warm search timings per flavor, and the ADC candidate volume
+    (sum of probed cell sizes over the query batch). With nlist FIXED
+    at the registered recipe, candidates grow ~linearly in the corpus
+    (cells fatten) — the --ann ladder is the nlist-scaled counterpart
+    that holds per-cell occupancy flat; this rung-set shows what the
+    fixed recipe costs at 10x/100x the fixture, which is the honest
+    version of the 'flat-ish per query' claim."""
+    import shutil
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.operators.similarity import _as_double, _probe_cells
+    from c_tran_data_pipeline_spark.plans import similarity_queries as sq
+    from c_tran_data_pipeline_spark.session import get_spark
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    spark = get_spark("ivfpq-sf-ladder")
+    base = "/root/testdata/sf0.1"
+    root = Path("/tmp/spark_graft_sf_ladder")
+    shutil.rmtree(root, ignore_errors=True)
+
+    def replicate(factor: int, dest: Path) -> str:
+        emb = load_table(spark, base, "embeddings")
+        reps = spark.range(factor).select(F.col("id").alias("rep"))
+        noisy = (
+            emb.crossJoin(F.broadcast(reps))
+            .select(
+                (F.col("vec_id") + F.col("rep") * F.lit(1_000_000)).alias("vec_id"),
+                F.when(F.col("rep") == 0, F.col("embedding"))
+                .otherwise(
+                    F.expr(
+                        "transform(embedding, (x, i) -> CAST(x + "
+                        "(pmod(hash(vec_id, rep, i), 1000) / 1000.0 - 0.5) * 0.05"
+                        " AS FLOAT))"
+                    )
+                )
+                .alias("embedding"),
+                F.col("label"),
+            )
+        )
+        dest.mkdir(parents=True, exist_ok=True)
+        noisy.write.mode("overwrite").parquet(str(dest / "embeddings.parquet"))
+        return str(dest)
+
+    rungs = [("sf0.1", base)]
+    rungs.append(("sf1", replicate(10, root / "sf1")))
+    rungs.append(("sf10", replicate(100, root / "sf10")))
+
+    for tag, sf_dir in rungs:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        t0 = time.perf_counter()
+        path = sq._build_ivfpq(spark, sf_dir)
+        build_s = round(time.perf_counter() - t0, 2)
+        ivfpq_s, ivf_s = [], []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            sq.q_ann_ivfpq_search(spark, sf_dir).collect()
+            ivfpq_s.append(round(time.perf_counter() - t0, 2))
+            t0 = time.perf_counter()
+            sq.q_ann_ivf_search(spark, sf_dir).collect()
+            ivf_s.append(round(time.perf_counter() - t0, 2))
+        cents, _, encoded = sq._ensure_ivfpq(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        probes = emb.filter(F.col("vec_id") < 20).select(
+            F.col("vec_id").alias("query_id"),
+            F.explode(_probe_cells(_as_double(F.col("embedding")), cents, 4)).alias(
+                "centroid_id"
+            ),
+        )
+        cand = encoded.join(probes, "centroid_id").count()
+        print(
+            json.dumps(
+                {
+                    "rung": tag,
+                    "n_vectors": n,
+                    "build_s": build_s,
+                    "ivfpq_search_s": sorted(ivfpq_s),
+                    "ivf_search_s": sorted(ivf_s),
+                    "adc_candidates": cand,
+                }
+            ),
+            flush=True,
+        )
+
+
+
 if __name__ == "__main__":
-    if "--ann" in sys.argv:
+    if "--ivfpq-sf" in sys.argv:
+        ivfpq_sf_ladder()
+    elif "--ann" in sys.argv:
         ann_ladder()
     elif "--prep" in sys.argv:
         prep_ladder()
