@@ -109,6 +109,13 @@ HEADLINE = [
     "q_top_supplier_share",
     "q_clustering_coeff",
     "q_repeated_ngrams",
+    "q_dup_span_fraction",
+    "q_yoy_growth",
+    "q_modal_priority",
+    "q_interarrival_stats",
+    "q_mann_whitney",
+    "q_cramers_v",
+    "q_conversion_latency",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -179,6 +186,13 @@ _POST_R01 = (
     "q_top_supplier_share",
     "q_clustering_coeff",
     "q_repeated_ngrams",
+    "q_dup_span_fraction",
+    "q_yoy_growth",
+    "q_modal_priority",
+    "q_interarrival_stats",
+    "q_mann_whitney",
+    "q_cramers_v",
+    "q_conversion_latency",
 )
 
 

@@ -672,7 +672,10 @@ def q_session_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "contingency test behind 'is traffic mix shifting by weekday' drift "
     "checks and label-balance audits (per-cell terms stay exposed so "
     "the report shows WHICH cell deviates, the q_benford_audit policy; "
-    "the statistic is their sum). Exactness: observed/row/column/grand "
+    "on a fully-observed grid the statistic is their sum — with EMPTY "
+    "cells each absent cell additionally contributes its expected "
+    "count, which q_cramers_v handles via the Σo²/e − N identity). "
+    "Exactness: observed/row/column/grand "
     "totals are exact integers; expected = rt·ct/N and the chi² term "
     "are fixed-shape IEEE expressions written identically in both "
     "engines (rt·ct ≤ N² ≈ 1e14 at sf1 — exact in a double's 53-bit "
@@ -705,4 +708,245 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_obs",
         F.round(exp_, 12).alias("expected"),
         F.round(dev * dev / exp_, 12).alias("chi2_term"),
+    )
+
+
+@query(
+    "q_interarrival_stats",
+    """
+    WITH g AS (
+        SELECT event_type, event_id,
+               epoch_us(ts) - epoch_us(LAG(ts) OVER w) AS gap_us
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+    ),
+    r AS (
+        SELECT event_type, gap_us,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY gap_us, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM g WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           MAX(n) AS n_gaps,
+           MIN(gap_us) AS min_gap_us,
+           MAX(gap_us) AS max_gap_us,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN gap_us END) AS median_gap_us,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN gap_us END) AS p90_gap_us
+    FROM r GROUP BY event_type
+    """,
+    doc="Inter-arrival gap statistics per event type: count, min, max, "
+    "exact lower-median and exact p90 of consecutive-arrival gaps — "
+    "the stream-health profile (a heartbeat's median gap IS its "
+    "period; a p90 blowout is backpressure or an outage; "
+    "q_debounce_heartbeat flags individual gaps, this characterizes "
+    "the distribution). ENTIRELY integer: gaps are exact µs from the "
+    "lag window, and both quantiles are RANK PICKS — row_number with "
+    "an event_id tie-break, selecting index (n+1) DIV 2 and "
+    "ceil(9n/10) = (9n+9) DIV 10 — no averaging, no IEEE math "
+    "anywhere, so the oracle matches bit-for-bit (the "
+    "q_theilsen_trend median policy applied to time gaps). Plan: ONE "
+    "hash exchange on event_type serves the lag window, the rank "
+    "window, and the final aggregate (same key throughout); the "
+    "conditional-max idiom turns the quantile picks into one "
+    "partial-aggregable pass instead of per-quantile self-joins.",
+    tags=("analytics", "window", "stats", "streaming"),
+)
+def q_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    g = e.select(
+        "event_type",
+        "event_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).filter(F.col("gap_us").isNotNull())
+    wr = Window.partitionBy("event_type").orderBy("gap_us", "event_id")
+    wn = Window.partitionBy("event_type")
+    r = g.select(
+        "event_type",
+        "gap_us",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    median_rn = F.expr("(n + 1) DIV 2")
+    p90_rn = F.expr("(9 * n + 9) DIV 10")
+    return r.groupBy("event_type").agg(
+        F.max("n").alias("n_gaps"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.max(F.when(F.col("rn") == median_rn, F.col("gap_us"))).alias("median_gap_us"),
+        F.max(F.when(F.col("rn") == p90_rn, F.col("gap_us"))).alias("p90_gap_us"),
+    )
+
+
+@query(
+    "q_cramers_v",
+    """
+    WITH o AS (
+        SELECT event_type, dayofweek(ts) + 1 AS dow, COUNT(*) AS n_obs
+        FROM events GROUP BY 1, 2
+    ),
+    m AS (
+        SELECT event_type, dow, n_obs,
+               CAST(SUM(n_obs) OVER (PARTITION BY event_type) AS BIGINT) AS rt,
+               CAST(SUM(n_obs) OVER (PARTITION BY dow) AS BIGINT) AS ct,
+               CAST(SUM(n_obs) OVER () AS BIGINT) AS n
+        FROM o
+    ),
+    t AS (
+        SELECT CAST(round(
+                   CAST(n_obs AS DOUBLE) * CAST(n_obs AS DOUBLE)
+                   / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+                   * 1000000) AS BIGINT) AS term_e6,
+               event_type, dow, n
+        FROM m
+    )
+    SELECT CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_rows_cat,
+           CAST(COUNT(DISTINCT dow) AS BIGINT) AS n_cols_cat,
+           MAX(n) AS n_total,
+           ROUND(CAST(SUM(CAST(term_e6 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+                 - CAST(MAX(n) AS DOUBLE), 6) AS chi2,
+           (COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT dow) - 1) AS dof,
+           ROUND(sqrt((CAST(SUM(CAST(term_e6 AS DECIMAL(38,0))) AS DOUBLE) / 1000000.0
+                       - CAST(MAX(n) AS DOUBLE))
+                      / (CAST(MAX(n) AS DOUBLE)
+                         * CAST(least(COUNT(DISTINCT event_type) - 1,
+                                      COUNT(DISTINCT dow) - 1) AS DOUBLE))), 6)
+               AS cramers_v
+    FROM t
+    """,
+    doc="Cramér's V effect size for the event_type × weekday "
+    "association — the 0-to-1 'how strong is the dependence' scalar "
+    "that q_chi2_independence's per-cell report rolls up to (chi² "
+    "grows with N even for trivial effects; V = sqrt(chi²/(N·min(r−1,"
+    "c−1))) is the size-free number a drift monitor thresholds on). "
+    "SPARSE-GRID CORRECTNESS: the cell table only holds OBSERVED "
+    "(type, dow) combos, and an empty cell still contributes its "
+    "expected count to chi² — so the statistic uses the identity "
+    "chi² = Σ o²/e − N (over all cells Σ(o−e)²/e = Σo²/e − 2N + Σe "
+    "with Σe = N; an empty cell's o²/e is 0), which needs NO "
+    "densification cross-join and no second fact scan (a test pins a "
+    "perfectly-associated 2×2 grid, half of whose cells are empty, at "
+    "exactly V = 1). Cross-engine exactness of a SUM of IEEE terms: "
+    "each o²/e term is integerized to micro-units (round(·1e6) → "
+    "BIGINT, the q_corr_matrix recipe) so the sum is exact DECIMAL "
+    "regardless of summation order; chi2 and V are then single IEEE "
+    "expressions rounded to 6 (the terms' own 1e-6 quantization "
+    "bounds meaningful precision). Plan: the q_chi2_independence "
+    "dataflow (one fact scan, margin windows on the observed-cell "
+    "grain) + one 1-row final aggregate.",
+    tags=("analytics", "stats", "quality"),
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    o = e.groupBy(
+        "event_type", F.dayofweek("ts").alias("dow")
+    ).agg(F.count(F.lit(1)).alias("n_obs"))
+    m = o.select(
+        "event_type",
+        "dow",
+        "n_obs",
+        F.sum("n_obs").over(Window.partitionBy("event_type")).cast("bigint").alias("rt"),
+        F.sum("n_obs").over(Window.partitionBy("dow")).cast("bigint").alias("ct"),
+        F.sum("n_obs").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    exp_ = F.col("rt").cast("double") * F.col("ct").cast("double") / F.col("n").cast("double")
+    obs = F.col("n_obs").cast("double")
+    t = m.select(
+        F.round(obs * obs / exp_ * 1000000).cast("bigint").alias("term_e6"),
+        "event_type",
+        "dow",
+        "n",
+    )
+    chi2 = (
+        F.sum(F.col("term_e6").cast("decimal(38,0)")).cast("double") / F.lit(1000000.0)
+        - F.max("n").cast("double")
+    )
+    r_1 = F.countDistinct("event_type") - 1
+    c_1 = F.countDistinct("dow") - 1
+    return t.agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_rows_cat"),
+        F.countDistinct("dow").cast("bigint").alias("n_cols_cat"),
+        F.max("n").alias("n_total"),
+        F.round(chi2, 6).alias("chi2"),
+        (r_1 * c_1).alias("dof"),
+        F.round(
+            F.sqrt(chi2 / (F.max("n").cast("double") * F.least(r_1, c_1).cast("double"))), 6
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_conversion_latency",
+    """
+    WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase
+          FROM events e JOIN v USING (user_id)
+          WHERE e.event_type = 'purchase' AND e.ts > v.t_view GROUP BY 1),
+    lat AS (
+        SELECT v.user_id,
+               epoch_us(p.t_purchase) - epoch_us(v.t_view) AS latency_us
+        FROM v JOIN p USING (user_id)
+    ),
+    r AS (
+        SELECT latency_us,
+               ROW_NUMBER() OVER (ORDER BY latency_us, user_id) AS rn,
+               COUNT(*) OVER () AS n
+        FROM lat
+    )
+    SELECT MAX(n) AS n_converted,
+           MIN(latency_us) AS min_latency_us,
+           MAX(latency_us) AS max_latency_us,
+           MAX(CASE WHEN rn = (n + 1) // 2 THEN latency_us END) AS median_latency_us,
+           MAX(CASE WHEN rn = (9 * n + 9) // 10 THEN latency_us END) AS p90_latency_us
+    FROM r
+    """,
+    doc="Time-to-convert distribution: first view → first subsequent "
+    "purchase latency per user, summarized as exact n/min/max/median/"
+    "p90 — the 'how long does the funnel take' report layered on "
+    "q_funnel_steps' sequence semantics (strictly-after ordering; "
+    "never-converting users drop via the inner join, matching the "
+    "funnel's NULL progression). All integer µs with rank-pick "
+    "quantiles ((n+1) DIV 2, (9n+9) DIV 10 — the q_interarrival_stats "
+    "idiom), so the result is exact end to end. Plan: two user-keyed "
+    "partial-aggregated MINs sharing one partitioning (funnel "
+    "cascade), then the rank window runs on the |converted users| "
+    "grain — at 100 TB that's the post-funnel survivor set, orders "
+    "of magnitude below event volume.",
+    tags=("analytics", "funnel", "stats", "window"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    lat = v.join(p, "user_id").select(
+        "user_id",
+        (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("latency_us"),
+    )
+    r = lat.select(
+        "latency_us",
+        F.row_number().over(Window.orderBy("latency_us", "user_id")).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    return r.agg(
+        F.max("n").alias("n_converted"),
+        F.min("latency_us").alias("min_latency_us"),
+        F.max("latency_us").alias("max_latency_us"),
+        F.max(F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("latency_us"))).alias(
+            "median_latency_us"
+        ),
+        F.max(F.when(F.col("rn") == F.expr("(9 * n + 9) DIV 10"), F.col("latency_us"))).alias(
+            "p90_latency_us"
+        ),
     )

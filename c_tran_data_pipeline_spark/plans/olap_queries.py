@@ -2543,3 +2543,236 @@ def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rev_share"),
         )
     )
+
+
+@query(
+    "q_yoy_growth",
+    """
+    WITH y AS (
+        SELECT r_name AS region, year(o_orderdate) AS yr,
+               CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS rev_cents
+        FROM orders, customer, nation, region
+        WHERE o_custkey = c_custkey
+          AND c_nationkey = n_nationkey
+          AND n_regionkey = r_regionkey
+        GROUP BY 1, 2
+    )
+    SELECT region, yr, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY region ORDER BY yr) AS prev_cents,
+           ROUND((CAST(rev_cents AS DOUBLE)
+                  - CAST(LAG(rev_cents) OVER (PARTITION BY region ORDER BY yr) AS DOUBLE))
+                 / CAST(LAG(rev_cents) OVER (PARTITION BY region ORDER BY yr) AS DOUBLE),
+                 12) AS yoy_growth
+    FROM y
+    """,
+    doc="Year-over-year revenue growth per region — the standard "
+    "period-over-period KPI (the lag-ratio companion to "
+    "q_region_trend's OLS slope and q_seasonal_index's within-year "
+    "profile). Plan: fact joins dims (nation⋈region pre-joined and "
+    "broadcast), ONE partial-first agg to the (region, year) grain — "
+    "≤ 5·|years| rows — then the lag window and the growth ratio run "
+    "on that tiny table (per-region partitions, no global sort). "
+    "Revenue is exact integer cents; first year's growth is NULL by "
+    "lag semantics (surfaced, not dropped — a report needs the base "
+    "year visible); the ratio is one fixed-shape IEEE expression over "
+    "exact integers, rounded 12.",
+    tags=("olap", "window", "agg", "report"),
+)
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    r = load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nr = F.broadcast(n.join(r, n.n_regionkey == r.r_regionkey).select("n_nationkey", "r_name"))
+    y = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(nr, c.c_nationkey == nr.n_nationkey)
+        .groupBy(F.col("r_name").alias("region"), F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents")
+        )
+    )
+    w = Window.partitionBy("region").orderBy("yr")
+    prev = F.lag("rev_cents").over(w)
+    return y.select(
+        "region",
+        "yr",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.round(
+            (F.col("rev_cents").cast("double") - prev.cast("double")) / prev.cast("double"), 12
+        ).alias("yoy_growth"),
+    )
+
+
+@query(
+    "q_modal_priority",
+    """
+    WITH cnt AS (
+        SELECT c_mktsegment AS segment, o_orderpriority AS priority,
+               COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT segment, priority, n,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY n DESC, priority) AS rn,
+               CAST(SUM(n) OVER (PARTITION BY segment) AS BIGINT) AS seg_total
+        FROM cnt
+    )
+    SELECT segment, priority AS modal_priority, n AS n_orders,
+           ROUND(CAST(n AS DOUBLE) / CAST(seg_total AS DOUBLE), 12) AS mode_share
+    FROM r WHERE rn = 1
+    """,
+    doc="Mode per group (argmax-of-count): each customer segment's most "
+    "common order priority with its share — the categorical 'typical "
+    "value' report (SQL has no MODE() that's deterministic under ties "
+    "across engines, so this IS the portable idiom: count-agg → "
+    "row_number with an explicit (n DESC, key ASC) tie-break). Plan: "
+    "one partial-first agg to the (segment, priority) grain — "
+    "|segments|·|priorities| = 25 rows — then the pick window and the "
+    "segment-total window share that grain's partitioning (one "
+    "exchange). The share is one IEEE division over exact counts, "
+    "rounded 12. The same dataflow with a different key pair is every "
+    "'dominant category per entity' feature in a curation report.",
+    tags=("olap", "window", "agg", "topk"),
+)
+def q_modal_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cnt = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = Window.partitionBy("segment").orderBy(F.desc("n"), F.asc("priority"))
+    ws = Window.partitionBy("segment")
+    r = cnt.select(
+        "segment",
+        "priority",
+        "n",
+        F.row_number().over(wp).alias("rn"),
+        F.sum("n").over(ws).cast("bigint").alias("seg_total"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "segment",
+        F.col("priority").alias("modal_priority"),
+        F.col("n").alias("n_orders"),
+        F.round(F.col("n").cast("double") / F.col("seg_total").cast("double"), 12).alias(
+            "mode_share"
+        ),
+    )
+
+
+@query(
+    "q_mann_whitney",
+    """
+    WITH s AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS v,
+               CASE WHEN c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1,
+               CASE WHEN c_mktsegment = 'MACHINERY' THEN 1 ELSE 0 END AS g2
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    pv AS (SELECT v, CAST(SUM(g1) AS BIGINT) AS c1,
+                  CAST(SUM(g1 + g2) AS BIGINT) AS c
+           FROM s GROUP BY v),
+    cum AS (
+        SELECT v, c1, c,
+               CAST(SUM(c) OVER (ORDER BY v) AS BIGINT) - c AS before_cnt,
+               CAST(SUM(c1) OVER () AS BIGINT) AS n1,
+               CAST(SUM(c - c1) OVER () AS BIGINT) AS n2
+        FROM pv
+    ),
+    agg AS (
+        SELECT MAX(n1) AS n1, MAX(n2) AS n2,
+               CAST(SUM(c1 * (2 * before_cnt + c + 1)) AS BIGINT) AS r1x2
+        FROM cum
+    )
+    SELECT n1, n2,
+           (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)) / 2.0 AS u1,
+           CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+               - (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)) / 2.0
+               AS u2,
+           ROUND(((CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * CAST(n1 + 1 AS DOUBLE)) / 2.0
+                  - CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0)
+                 / sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                        * CAST(n1 + n2 + 1 AS DOUBLE) / 12.0), 12) AS z_score
+    FROM agg
+    """,
+    doc="Mann-Whitney U rank-sum test between two customer segments' "
+    "order values — the nonparametric 'does one distribution "
+    "stochastically dominate' companion to q_ks_test's sup-gap (U is "
+    "sensitive to location shift, KS to any shape difference; run "
+    "both). EXACT despite tied ranks: with per-VALUE counts, the "
+    "tie-averaged rank of value v is (2·cum_before + cnt + 1)/2, so "
+    "the DOUBLED rank-sum R1×2 = Σ c1·(2·before + cnt + 1) is an "
+    "exact integer, and U1 = (R1×2 − n1(n1+1))/2 divides by two "
+    "losslessly in binary floating point (halves are exact doubles). "
+    "The normal-approximation z-score is the one rounded IEEE "
+    "expression. Plan is the q_ks_test shape: one fact scan → "
+    "per-value histogram, cumulative + empty-frame windows on the "
+    "|distinct values| grain, one final 1-row aggregate.",
+    tags=("olap", "stats", "window"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    s = (
+        o.join(
+            F.broadcast(c.filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))),
+            o.o_custkey == F.col("c_custkey"),
+        )
+        .select(
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("v"),
+            F.when(F.col("c_mktsegment") == "BUILDING", 1).otherwise(0).alias("g1"),
+            F.when(F.col("c_mktsegment") == "MACHINERY", 1).otherwise(0).alias("g2"),
+        )
+    )
+    pv = s.groupBy("v").agg(
+        F.sum("g1").cast("bigint").alias("c1"),
+        (F.sum("g1") + F.sum("g2")).cast("bigint").alias("c"),
+    )
+    wv = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    cum = pv.select(
+        "v",
+        "c1",
+        "c",
+        (F.sum("c").over(wv).cast("bigint") - F.col("c")).alias("before_cnt"),
+        F.sum("c1").over(wall).cast("bigint").alias("n1"),
+        (F.sum(F.col("c") - F.col("c1")).over(wall)).cast("bigint").alias("n2"),
+    )
+    agg = cum.agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum(F.col("c1") * (2 * F.col("before_cnt") + F.col("c") + 1))
+        .cast("bigint")
+        .alias("r1x2"),
+    )
+    n1d, n2d = F.col("n1").cast("double"), F.col("n2").cast("double")
+    u1 = (F.col("r1x2").cast("double") - n1d * (F.col("n1") + 1).cast("double")) / F.lit(2.0)
+    return agg.select(
+        "n1",
+        "n2",
+        u1.alias("u1"),
+        (n1d * n2d - u1).alias("u2"),
+        F.round(
+            (u1 - n1d * n2d / F.lit(2.0))
+            / F.sqrt(n1d * n2d * (F.col("n1") + F.col("n2") + 1).cast("double") / F.lit(12.0)),
+            12,
+        ).alias("z_score"),
+    )

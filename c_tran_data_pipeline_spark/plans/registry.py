@@ -66,6 +66,13 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_mann_whitney",
+    "q_cramers_v",
+    "q_conversion_latency",
+    "q_dup_span_fraction",
+    "q_yoy_growth",
+    "q_modal_priority",
+    "q_interarrival_stats",
     "q_user_entropy",
     "q_session_ngrams",
     "q_chi2_independence",
@@ -155,16 +162,15 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_antijoin_absent",
     "q_enrich_merge",
     # oldest r02 rows, plan-changed-this-round first:
-    # (the round's registrations grew to 15 — wave 2's six plus wave 3/4's
-    # graph/sketch/skyline/rerank batch — so the 50-row gate budget pushes
-    # out the r02-evidence refreshes (q_hybrid_search, q_sessionize,
-    # q_length_histogram, q_text_repetition, q_pii_scrub) AND the last
-    # nine r01 names above (q_tfidf_top_terms, q_flagship_hotspot,
-    # q_flagship_hotspot_pm, q_conform_validate, q_breadcrumb_conform,
-    # q_distinct_tuples, q_first_wins_dedup, q_antijoin_absent,
-    # q_enrich_merge — all also pytest/E2E-covered). All fourteen lead
-    # round 5's rotation, the nine r01 stragglers first, then
-    # plan-changed q_hybrid_search and plan-changed-r4 q_bm25_rank.)
+    # (round 4 ultimately registered 50 new queries, so the 50-row gate
+    # is ENTIRELY new registrations this round and every stale name
+    # below the fold keeps only its r01/r02 evidence. ROUND-5 ROTATION:
+    # new r5 registrations first, then the whole r01-evidence block
+    # below (44 names, q_window_hourly..q_enrich_merge — 4 rounds stale
+    # by then), then the r02 cohort prioritizing plan-changed
+    # q_hybrid_search / q_bm25_rank. All of these are also covered by
+    # pytest/oracle-CLI runs each session; the driver rows are the
+    # belt-and-suspenders layer being rotated.)
 )
 
 

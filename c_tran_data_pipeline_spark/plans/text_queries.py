@@ -1406,3 +1406,86 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(Window.orderBy(F.desc("n"), F.asc("gram"))).alias("rank"),
     )
     return ranked.filter(F.col("rank") <= 20)
+
+
+@query(
+    "q_dup_span_fraction",
+    r"""
+    WITH t AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+    ),
+    base AS (
+        SELECT doc_id, tk, greatest(len(tk) - 7, 0) AS n_shingles FROM t
+    ),
+    ix AS (
+        SELECT doc_id, tk, unnest(range(1, greatest(len(tk) - 6, 1))) AS i FROM base
+    ),
+    g AS (SELECT doc_id, array_to_string(tk[i:i+7], ' ') AS gram FROM ix),
+    dup AS (
+        SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    dc AS (
+        SELECT doc_id, COUNT(*) AS n_dup
+        FROM g WHERE gram IN (SELECT gram FROM dup) GROUP BY doc_id
+    )
+    SELECT base.doc_id AS doc_id, n_shingles,
+           CAST(COALESCE(dc.n_dup, 0) AS BIGINT) AS n_dup_shingles,
+           ROUND(CAST(COALESCE(dc.n_dup, 0) AS DOUBLE) / CAST(n_shingles AS DOUBLE), 12)
+               AS dup_fraction,
+           COALESCE(dc.n_dup, 0) * 2 > n_shingles AS drop_doc
+    FROM base LEFT JOIN dc ON dc.doc_id = base.doc_id
+    WHERE n_shingles > 0
+    """,
+    doc="Per-document duplicated-span fraction: the share of a doc's "
+    "8-gram shingles that also appear in ANOTHER document, plus the "
+    "majority-duplicated drop flag — the REMOVAL half of the "
+    "q_repeated_ngrams census and the doc-level score the Lee-et-al "
+    "exact-substring dedup thresholds on (a doc that is mostly "
+    "boilerplate/mirror content gets dropped; a doc quoting one "
+    "license line survives — contrast q_dedup_* which kill whole "
+    "near-duplicate DOCS, this kills span-level duplication). Plan: "
+    "TWO text scans total (the minimum — global gram counts must "
+    "exist before membership): the duplicated-gram set is a "
+    "count-distinct agg on the gram key, then ONE pass over the "
+    "exploded grams LEFT-joins that set on the SAME gram key (co-"
+    "shuffled — the exchange is shared; never a broadcast of the "
+    "corpus-sized dup set) and a doc-keyed agg produces numerator AND "
+    "denominator together (count(*) over a doc's gram rows IS its "
+    "shingle count, so no third scan for totals; zero-shingle docs "
+    "drop naturally — they have no gram rows). The drop flag is exact "
+    "integer arithmetic (n_dup·2 > n_shingles); the reported fraction "
+    "is the single IEEE division, rounded 12.",
+    tags=("text", "dedup", "quality"),
+)
+def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams_expr = (
+        "CASE WHEN size(split(trim(text), '\\\\s+')) >= 8 THEN"
+        " transform(sequence(1, size(split(trim(text), '\\\\s+')) - 7),"
+        " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 8)))"
+        " ELSE array() END"
+    )
+    g = d.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    dup = (
+        g.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram", F.lit(1).alias("isdup"))
+    )
+    per_doc = (
+        g.join(dup, "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("isdup").cast("bigint").alias("n_dup_shingles"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_dup_shingles",
+        F.round(
+            F.col("n_dup_shingles").cast("double") / F.col("n_shingles").cast("double"), 12
+        ).alias("dup_fraction"),
+        (F.col("n_dup_shingles") * 2 > F.col("n_shingles")).alias("drop_doc"),
+    )

@@ -495,3 +495,30 @@ def test_repeated_ngrams_finds_planted_span(spark):
         assert got[" ".join(toks[i : i + 8])] == (3, 3)
     assert all(g.count(" ") == 7 for g in got)  # every gram is exactly 8 tokens
     assert not any("unique" in g for g in got)
+
+
+def test_dup_span_fraction_flags_majority_duplicated(spark):
+    """A doc that is one long shared block is majority-duplicated
+    (drop); a doc quoting one shared 8-gram plus unique text keeps;
+    a fully unique doc scores 0.0."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.text_queries import q_dup_span_fraction
+
+    block = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = [
+        (1, block, "en", "s", 0),                      # 1 shingle, duplicated
+        (2, block + " unique tail words here now final stop end", "en", "s", 0),
+        (3, "totally distinct text with nothing shared across any doc", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q_dup_span_fraction(spark, d).collect()}
+    assert (out[1].n_shingles, out[1].n_dup_shingles, out[1].dup_fraction) == (1, 1, 1.0)
+    assert out[1].drop_doc is True
+    # doc 2: 16 tokens -> 9 shingles, only the leading block 8-gram is shared
+    assert (out[2].n_shingles, out[2].n_dup_shingles) == (9, 1)
+    assert out[2].drop_doc is False
+    assert out[3].n_dup_shingles == 0 and out[3].dup_fraction == 0.0

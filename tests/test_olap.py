@@ -617,3 +617,103 @@ def test_top_supplier_share_ties_and_window(spark):
     assert [r.suppkey for r in rows] == [1, 2]
     assert all(r.rev_cents == 20000 for r in rows)
     assert all(r.rev_share == 0.4 for r in rows)
+
+
+def test_yoy_growth_doubles(spark):
+    """Revenue planted to double every year: growth is exactly 1.0 for
+    every year after the NULL-growth base year."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_yoy_growth
+
+    orders = [
+        (y, 1, "O", 1000.0 * (2 ** (y - 1995)), dt.datetime(y, 6, 1), "x")
+        for y in range(1995, 1999)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame([(1, 0)], "c_custkey long, c_nationkey long").write.parquet(
+            f"{d}/customer.parquet"
+        )
+        spark.createDataFrame([(0, 0)], "n_nationkey long, n_regionkey long").write.parquet(
+            f"{d}/nation.parquet"
+        )
+        spark.createDataFrame([(0, "R")], "r_regionkey long, r_name string").write.parquet(
+            f"{d}/region.parquet"
+        )
+        out = {r.yr: r for r in q_yoy_growth(spark, d).collect()}
+    assert out[1995].prev_cents is None and out[1995].yoy_growth is None
+    assert all(out[y].yoy_growth == 1.0 for y in (1996, 1997, 1998))
+    assert out[1998].rev_cents == 800000
+
+
+def test_modal_priority_tie_breaks_ascending(spark):
+    """Two priorities tie at 2 orders in one segment: the
+    lexicographically smaller one wins deterministically."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_modal_priority
+
+    t = dt.datetime(1995, 1, 1)
+    orders = [
+        (1, 1, "O", 1.0, t, "2-HIGH"),
+        (2, 1, "O", 1.0, t, "2-HIGH"),
+        (3, 1, "O", 1.0, t, "1-URGENT"),
+        (4, 1, "O", 1.0, t, "1-URGENT"),
+        (5, 1, "O", 1.0, t, "5-LOW"),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(1, "C", 0, 0.0, "BUILDING")],
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.parquet(f"{d}/customer.parquet")
+        rows = q_modal_priority(spark, d).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.segment, r.modal_priority, r.n_orders) == ("BUILDING", "1-URGENT", 2)
+    assert r.mode_share == 0.4
+
+
+def test_mann_whitney_hand_computed_with_ties(spark):
+    """Group1={1,2,3}, group2={2,3,4} dollars: tie-averaged ranks give
+    R1 = 1 + 2.5 + 4.5 = 8, so U1 = 2, U2 = 7, z = -2.5/sqrt(5.25)."""
+    import datetime as dt
+    import math
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_mann_whitney
+
+    orders, custs = [], []
+    for i, v in enumerate([1.0, 2.0, 3.0]):
+        custs.append((100 + i, f"b{i}", 0, 0.0, "BUILDING"))
+        orders.append((i, 100 + i, "O", v, dt.datetime(1995, 1, 1), "x"))
+    for i, v in enumerate([2.0, 3.0, 4.0]):
+        custs.append((200 + i, f"m{i}", 0, 0.0, "MACHINERY"))
+        orders.append((10 + i, 200 + i, "O", v, dt.datetime(1995, 1, 1), "x"))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            custs,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+            "c_mktsegment string",
+        ).write.parquet(f"{d}/customer.parquet")
+        r = q_mann_whitney(spark, d).collect()[0]
+    assert (r.n1, r.n2) == (3, 3)
+    assert r.u1 == 2.0 and r.u2 == 7.0
+    assert r.z_score == round((2.0 - 4.5) / math.sqrt(9 * 7 / 12.0), 12)

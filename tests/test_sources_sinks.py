@@ -372,3 +372,76 @@ def test_json_array_artifact_roundtrip(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="max_rows"):
         write_json_array(df, str(tmp_path / "cap.json"), max_rows=1)
+
+
+def test_compaction_preserves_content_and_cuts_files(spark, tmp_path):
+    """64 tiny files compact to the planned count with the exact same
+    row multiset; a second pass is a no-op; sort_by layout makes the
+    output range-partitioned so file min/max stats prune on the key."""
+    from c_tran_data_pipeline_spark.sinks.compaction import (
+        compact_parquet,
+        parquet_file_census,
+        plan_compaction,
+    )
+
+    path = str(tmp_path / "t")
+    spark.range(10_000).selectExpr(
+        "id", "id % 97 AS k", "repeat('x', 64) AS pad"
+    ).repartition(64).write.parquet(path)
+    before, total = parquet_file_census(path)
+    assert before == 64
+    rows_before = sorted(r.id for r in spark.read.parquet(path).collect())
+
+    # target sized to land at ~4 files for this table
+    target = max(1, total // 4)
+    plan = plan_compaction(path, target_bytes=target)
+    assert plan["needed"] and 2 <= plan["n_target"] <= 8
+
+    res = compact_parquet(spark, path, target_bytes=target)
+    assert res["compacted"] is True
+    assert res["n_files_after"] == plan["n_target"] < before
+    rows_after = sorted(r.id for r in spark.read.parquet(path).collect())
+    assert rows_after == rows_before  # content-identical
+
+    # convergence: bigger files compress better, so one more consolidating
+    # pass is legitimate — but the fixpoint must arrive within one step
+    # and never increase the file count.
+    res2 = compact_parquet(spark, path, target_bytes=target)
+    assert res2["n_files_after"] <= res["n_files_after"]
+    if res2["compacted"]:
+        res3 = compact_parquet(spark, path, target_bytes=target)
+        assert res3["compacted"] is False
+    assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
+
+
+def test_compaction_sort_by_gives_prunable_layout(spark, tmp_path):
+    """With sort_by, each output file covers a disjoint id range: the
+    per-file (min, max) intervals never overlap, which is what lets a
+    point/range predicate on the key skip files via footer stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from c_tran_data_pipeline_spark.sinks.compaction import compact_parquet
+
+    path = str(tmp_path / "t")
+    spark.range(5_000).selectExpr("id", "repeat('y', 64) AS pad").repartition(
+        32
+    ).write.parquet(path)
+    res = compact_parquet(spark, path, target_bytes=1, force=True, sort_by=["id"])
+    assert res["compacted"]
+
+    spans = []
+    for root, _d, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                t = pq.read_table(os.path.join(root, f), columns=["id"])
+                ids = t.column("id").to_pylist()
+                if ids:
+                    spans.append((min(ids), max(ids)))
+    spans.sort()
+    assert len(spans) > 1
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2  # disjoint ranges -> footer stats prune
+    # content preserved too
+    assert spark.read.parquet(path).count() == 5_000

@@ -330,3 +330,99 @@ def test_chi2_independence_uniform_is_zero(spark):
     assert len(out) == 14
     assert all(r.chi2_term == 0.0 for r in out)
     assert all(r.expected == 3.0 for r in out)
+
+
+def test_interarrival_stats_exact_rank_picks(spark):
+    """10 planted gaps of 1..10 minutes (shuffled arrival order): the
+    lower median is the rank-5 gap (5 min) and p90 is the rank-9 gap
+    (9 min), both exact integers — no interpolation."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_interarrival_stats
+
+    t0 = dt.datetime(2024, 1, 1)
+    gaps = [7, 2, 9, 1, 5, 10, 3, 8, 4, 6]  # minutes, arbitrary order
+    rows, eid, cur = [(1, 1, t0, "a", 0.0)], 1, t0
+    for g in gaps:
+        eid += 1
+        cur = cur + dt.timedelta(minutes=g)
+        rows.append((eid, 1, cur, "a", 0.0))
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        r = q_interarrival_stats(spark, d).collect()[0]
+    assert r.n_gaps == 10
+    assert (r.min_gap_us, r.max_gap_us) == (60_000_000, 600_000_000)
+    assert r.median_gap_us == 5 * 60_000_000   # rank (10+1) DIV 2 = 5
+    assert r.p90_gap_us == 9 * 60_000_000      # rank (90+9) DIV 10 = 9
+
+
+def test_cramers_v_perfect_association_and_independence(spark):
+    """Type 'a' only on Monday, 'b' only on Tuesday (2x2, perfect
+    association): V = 1.0. A balanced grid scores V = 0.0."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_cramers_v
+
+    mon, tue = dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 2)
+
+    def run(rows):
+        with tempfile.TemporaryDirectory() as d:
+            spark.createDataFrame(
+                rows,
+                "event_id long, user_id long, ts timestamp, event_type string, value double",
+            ).write.parquet(f"{d}/events.parquet")
+            return q_cramers_v(spark, d).collect()[0]
+
+    perfect = [(i, 1, mon, "a", 0.0) for i in range(10)] + [
+        (100 + i, 1, tue, "b", 0.0) for i in range(10)
+    ]
+    r = run(perfect)
+    assert (r.n_rows_cat, r.n_cols_cat, r.n_total, r.dof) == (2, 2, 20, 1)
+    assert r.cramers_v == 1.0 and r.chi2 == 20.0
+
+    balanced = [
+        (i * 4 + j, 1, day, ty, 0.0)
+        for i, (day, ty) in enumerate(
+            [(mon, "a"), (mon, "b"), (tue, "a"), (tue, "b")]
+        )
+        for j in range(5)
+    ]
+    r = run(balanced)
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0
+
+
+def test_conversion_latency_rank_picks(spark):
+    """10 users converting with latencies 1..10 minutes, one user who
+    never converts, one who purchases BEFORE viewing: n=10, median =
+    5 min, p90 = 9 min."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.analytics import q_conversion_latency
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows, eid = [], 0
+    for u in range(1, 11):
+        eid += 1
+        rows.append((eid, u, t0, "view", 0.0))
+        eid += 1
+        rows.append((eid, u, t0 + dt.timedelta(minutes=u), "purchase", 0.0))
+    eid += 1
+    rows.append((eid, 99, t0, "view", 0.0))  # never converts
+    eid += 1
+    rows.append((eid, 98, t0 - dt.timedelta(minutes=5), "purchase", 0.0))
+    eid += 1
+    rows.append((eid, 98, t0, "view", 0.0))  # purchase precedes view
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        r = q_conversion_latency(spark, d).collect()[0]
+    assert r.n_converted == 10
+    assert (r.min_latency_us, r.max_latency_us) == (60_000_000, 600_000_000)
+    assert r.median_latency_us == 5 * 60_000_000
+    assert r.p90_latency_us == 9 * 60_000_000
