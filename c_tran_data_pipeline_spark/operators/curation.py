@@ -197,11 +197,16 @@ def decontaminate(
     aggregated groupBy on the train key. The corpus never self-joins and
     never shuffles its text."""
     from c_tran_data_pipeline_spark.functions.text import shingles
+    from c_tran_data_pipeline_spark.sources.readers import spread
 
     eval_sh = (
         eval_df.select(F.explode(shingles(text, n)).alias("shingle")).distinct()
     )
-    train_sh = train.select(F.col(key), F.explode(shingles(text, n)).alias("shingle"))
+    # spread(): the shingle explode is the CPU bulk and single-row-group
+    # fixture scans would pin it to one thread; no-op on wide inputs.
+    train_sh = spread(train.select(F.col(key), F.col(text))).select(
+        F.col(key), F.explode(shingles(text, n)).alias("shingle")
+    )
     return (
         train_sh.join(F.broadcast(eval_sh), on="shingle")
         .groupBy(key)

@@ -22,7 +22,7 @@ from c_tran_data_pipeline_spark.operators.curation import (
 )
 from c_tran_data_pipeline_spark.plans.registry import query
 from c_tran_data_pipeline_spark.plans.text_queries import langid_case_sql, quality_sql
-from c_tran_data_pipeline_spark.sources.readers import load_table
+from c_tran_data_pipeline_spark.sources.readers import load_table, spread
 
 
 def _bucket_sql(key_sql: str, salt: str, buckets: int = 10_000) -> str:
@@ -124,7 +124,7 @@ def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("curation", "pipeline"),
 )
 def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id",
         "source",
@@ -206,7 +206,9 @@ def q_corpus_prep_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.dedup import minhash_lsh_candidates
     from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
 
-    d = load_table(spark, sf_dir, "documents")
+    # spread(): langid + quality + md5 all run before the first shuffle;
+    # a one-row-group fixture scan would pin that cascade to one thread.
+    d = spread(load_table(spark, sf_dir, "documents"))
     scored = d.select(
         "doc_id", "source", "text", lang_id("text").alias("pred_lang"),
         quality_score("text").alias("quality"),
@@ -328,7 +330,7 @@ _BOILER_COPYRIGHT = "all rights reserved copyright notice"
 def q_boilerplate_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.curation import boilerplate_scrub
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_src_lines = F.floor((F.size(toks) - 1) / F.lit(12)).cast("int")
     lines = F.transform(

@@ -21,7 +21,7 @@ from c_tran_data_pipeline_spark.operators.multimodal import (
     make_fake_image,
 )
 from c_tran_data_pipeline_spark.plans.registry import query
-from c_tran_data_pipeline_spark.sources.readers import load_table
+from c_tran_data_pipeline_spark.sources.readers import load_table, spread
 from c_tran_data_pipeline_spark import schemas
 
 
@@ -58,7 +58,9 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    # spread(): synth + decode are Python-side CPU; a one-row-group scan
+    # would otherwise feed mapInPandas from a single partition.
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
 
     def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -127,7 +129,7 @@ def q_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.multimodal import sample_frames
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "n_chars"))
 
     def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -174,7 +176,7 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_wav,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -214,7 +216,7 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         image_ahash,
     )
 
-    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
 
     def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np

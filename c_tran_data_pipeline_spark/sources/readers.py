@@ -61,6 +61,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Fan a narrow scan out to the session's full parallelism before a
+    CPU-heavy per-row expansion (shingle explode, media decode, token
+    census). Fixture tables often arrive as ONE parquet row group — an
+    unsplittable single input partition, so everything up to the first
+    shuffle would run on a single thread (measured 5× end-to-end on the
+    8-gram span census at sf0.1). Conditional on the scan actually being
+    narrower than the session's core count: at 100 TB inputs are
+    many-row-group and this is a no-op — the guard makes the extra
+    round-robin shuffle exist exactly when it is small."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in names}
 
