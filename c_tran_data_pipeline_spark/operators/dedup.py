@@ -162,15 +162,42 @@ def minhash_signatures(
     banding is a plain group-by and the oracle is plain SQL. One explode
     + one partial-aggregated groupBy — the map-side combine collapses
     each partition to ≤ |docs|×|seeds| rows before the shuffle."""
-    idx = shingle_index(df, payload, key, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    h = F.substring(F.md5(F.concat_ws(":", F.col("seed").cast("string"), F.col("shingle"))), 1, 15)
-    return (
-        idx.select(F.col(key), F.col("shingle"), seeds)
-        .select(F.col(key), F.col("seed"), h.alias("h"))
-        .groupBy(key, "seed")
-        .agg(F.min("h").alias("minhash"))
+    return _minhash_sig_rows(df, payload, key, num_hashes, n).select(
+        F.col(key), F.posexplode("sig").alias("seed", "minhash")
     )
+
+
+def _minhash_sig_rows(
+    df: DataFrame, payload: str, key: str, num_hashes: int, n: int
+) -> DataFrame:
+    """(key, sig: array<string>) — the whole signature as ONE array
+    expression: sig[seed] = min over the doc's distinct shingles of the
+    seeded 60-bit hash. Nested transform + array_min stay in whole-stage
+    codegen, so the signature is computed in the scan projection — no
+    shingle explode is ever materialized and nothing shuffles (the
+    former explode × seeds → groupBy(key, seed) min pushed
+    |shingles|×|seeds| rows through an aggregate; same md5 count,
+    strictly less row traffic). Docs with no shingle (shorter than n
+    words) are dropped, mirroring the explode path which emitted no
+    rows for them. The eval_once fence keeps CollapseProject from
+    inlining the shingle array into each of the num_hashes lambdas."""
+    from c_tran_data_pipeline_spark.operators.fence import eval_once
+
+    base = eval_once(
+        _spread(df).select(F.col(key), shingles(payload, n).alias("sh"))
+    ).filter(F.size("sh") >= 1)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda seed: F.array_min(
+            F.transform(
+                F.col("sh"),
+                lambda s: F.substring(
+                    F.md5(F.concat_ws(":", seed.cast("string"), s)), 1, 15
+                ),
+            )
+        ),
+    )
+    return base.select(F.col(key), sig.alias("sig"))
 
 
 def minhash_buckets(
@@ -187,20 +214,19 @@ def minhash_buckets(
     text, so the stored table never needs recomputation when the corpus
     grows (see ``incremental_neardup``)."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, payload, key, num_hashes, n)
-    return (
-        sig.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
-        .groupBy(key, "band")
-        # sort within band by seed for a deterministic concatenation
-        .agg(F.sort_array(F.collect_list(F.struct("seed", "minhash"))).alias("sm"))
-        .select(
-            F.col(key),
-            F.col("band"),
-            F.md5(F.concat_ws(",", F.transform(F.col("sm"), lambda s: s.getField("minhash")))).alias(
-                "bucket"
-            ),
-        )
+    # The signature array is already in seed order, so each band's bucket
+    # is md5 over a SLICE of it — banding happens in the same projection
+    # as the signature (zero shuffles in this whole stage; the former
+    # groupBy(key, band) + collect_list re-shuffled the signature rows
+    # just to reassemble an order the array never lost).
+    sig_rows = _minhash_sig_rows(df, payload, key, num_hashes, n)
+    buckets = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.md5(
+            F.concat_ws(",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band))
+        ),
     )
+    return sig_rows.select(F.col(key), F.posexplode(buckets).alias("band", "bucket"))
 
 
 def incremental_neardup(

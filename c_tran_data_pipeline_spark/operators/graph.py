@@ -151,13 +151,68 @@ def connected_components_star(
     )
 
 
-def dedup_clusters(pairs: DataFrame, src: str = "d1", dst: str = "d2") -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "d1",
+    dst: str = "d2",
+    local_threshold: int = 1_000_000,
+) -> DataFrame:
     """Near-dup clusters from candidate pairs: every clustered doc with
     its representative (cluster min) — downstream keeps rows where
-    doc_id == component (or anti-joins the rest away)."""
+    doc_id == component (or anti-joins the rest away).
+
+    Candidate-pair graphs are tiny relative to the corpus (LSH emits
+    pairs only where buckets collide), so when the pair list fits the
+    ``local_threshold`` bound it is solved with a driver-side union-find
+    instead of the iterative star loop: identical labels (component =
+    min member), but ONE job instead of diameter-many shuffle rounds —
+    the same "finish the small frontier locally" cutover Pregel systems
+    use. The collect is bounded driver state by construction (ids only,
+    ≤ threshold rows — the codebook/probed-cell class, not a corpus
+    collect). Graphs above the bound run the distributed
+    min-propagation loop unchanged; pass ``local_threshold=0`` to force
+    it."""
+    if local_threshold:
+        pairs = pairs.select(F.col(src), F.col(dst)).localCheckpoint(eager=False)
+        if pairs.count() <= local_threshold:
+            return _local_components(pairs, src, dst)
     return connected_components(pairs, src=src, dst=dst).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver union-find over a bounded, already-materialized pair list;
+    returns (doc_id, component=min member) with the source id type."""
+    import pyspark.sql.types as T
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in pairs.collect():
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    members: dict = {}
+    for node in parent:
+        members.setdefault(find(node), []).append(node)
+    out = []
+    for group in members.values():
+        rep = min(group)
+        out.extend((n, rep) for n in group)
+    id_type = dict(pairs.dtypes)[src]
+    schema = T.StructType.fromDDL(f"doc_id {id_type}, component {id_type}")
+    return pairs.sparkSession.createDataFrame(out, schema)
 
 
 def pagerank(
