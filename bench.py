@@ -116,6 +116,11 @@ HEADLINE = [
     "q_mann_whitney",
     "q_cramers_v",
     "q_conversion_latency",
+    "q_cdc_chunks",
+    "q_linkage_score",
+    "q_quantile_norm",
+    "q_source_jsd",
+    "q_semantic_dedup",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -193,6 +198,11 @@ _POST_R01 = (
     "q_mann_whitney",
     "q_cramers_v",
     "q_conversion_latency",
+    "q_cdc_chunks",
+    "q_linkage_score",
+    "q_quantile_norm",
+    "q_source_jsd",
+    "q_semantic_dedup",
 )
 
 

@@ -961,3 +961,72 @@ def embedding_neardup_pairs_lsh(
         .filter(F.col("__cos") >= threshold)
         .select("d1", "d2", F.round("__cos", 4).alias("cosine"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    nlist: int = 16,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
+    embedding space with the deterministic IVF k-means, generate
+    candidate pairs ONLY within a cluster cell, verify by exact cosine
+    ≥ threshold, and keep each connected component's min-id
+    representative.
+
+    Returns (key, cell, component, keep): component is null for rows
+    with no near-dup; ``keep`` marks survivors (the component min, or
+    any unclustered row) — downstream filters on it.
+
+    Blocking by VORONOI CELL instead of LSH banding
+    (embedding_neardup_pairs_lsh) is the SemDeDup trade: recall loss
+    concentrates on pairs straddling a cell boundary (near-dups rarely
+    do — they embed almost identically), and the within-cell self-join
+    costs Σ|cell|² — hold E[|cell|] constant by growing nlist with the
+    corpus (the paper's "K scales with N"; the k-means build stays one
+    scan per Lloyd step at ANY nlist because assignment is a literal
+    projection). Driver state is the nlist×dim centroid literal plus
+    the bounded pair list — never vectors."""
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+
+    v = _as_double(F.col(vec))
+    if nlist <= 1:
+        # degenerate single cell = no blocking (exact all-pairs) — the
+        # LSH-seeded k-means needs ≥1 plane so can't express one cell;
+        # this branch makes nlist=1 the brute-force equivalence anchor
+        # the tests pin against.
+        cell = F.lit(0).cast("bigint")
+    else:
+        cents = _kmeans_rows(df, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
+        cell = _nearest_cell(v, cents)
+    assigned = df.select(
+        F.col(key), v.alias("__v"), cell.alias("cell")
+    ).select(F.col(key), "__v", "cell", norm(F.col("__v")).alias("__n"))
+    a = assigned.select(
+        "cell", F.col(key).alias("d1"), F.col("__v").alias("__v1"), F.col("__n").alias("__n1")
+    )
+    b = assigned.select(
+        "cell", F.col(key).alias("d2"), F.col("__v").alias("__v2"), F.col("__n").alias("__n2")
+    )
+    pairs = (
+        a.join(b, "cell")
+        .filter(F.col("d1") < F.col("d2"))
+        .select(
+            "d1",
+            "d2",
+            (dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias("__cos"),
+        )
+        .filter(F.col("__cos") >= threshold)
+        .select("d1", "d2")
+    )
+    comp = dedup_clusters(pairs)
+    return assigned.join(comp, assigned[key] == comp["doc_id"], "left").select(
+        F.col(key),
+        "cell",
+        "component",
+        (F.col("component").isNull() | (F.col("component") == F.col(key))).alias("keep"),
+    )

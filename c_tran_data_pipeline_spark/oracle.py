@@ -195,6 +195,14 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "(recall ≥ 0.9 AND precision == 1.0 vs the exact all-pairs baseline) + "
         "::test_neardup_lsh_hot_bucket_cap_drops_degenerate_buckets"
     ),
+    "q_semantic_dedup": (
+        "tests/test_similarity.py::test_semantic_dedup_single_cell_equals_bruteforce "
+        "(nlist=1 is COMPONENT-IDENTICAL to clustering the exact all-pairs "
+        "graph) + ::test_semantic_dedup_blocked_precision_and_representatives "
+        "(EVERY planted cosine-0.999 twin links to its parent under cell "
+        "blocking; exactly one representative per component; precision 1.0 "
+        "by exact-cosine verification)"
+    ),
     "q_ann_pq_topk": (
         "tests/test_pq.py::test_pq_recall_ladder (raw ADC < re-ranked ADC ≤ exact) "
         "+ ::test_rerank_distances_are_exact (re-ranked distances equal true L2)"

@@ -747,3 +747,191 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("gini")
     )
+
+
+@query(
+    "q_quantile_norm",
+    f"""
+    WITH q AS (SELECT doc_id, source, {quality_sql()} AS quality FROM documents),
+    ranked AS (
+        SELECT doc_id, source, quality,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS ns,
+               ROW_NUMBER() OVER (ORDER BY quality, doc_id) AS gidx,
+               COUNT(*) OVER () AS N
+        FROM q
+    ),
+    t AS (
+        SELECT doc_id, source, quality,
+               CASE WHEN ns > 1 THEN 1 + (2*(rk-1)*(N-1) + (ns-1)) // (2*(ns-1))
+                    ELSE 1 + (N-1) // 2 END AS tidx
+        FROM ranked
+    ),
+    g AS (SELECT gidx AS tidx, quality AS norm_quality FROM ranked)
+    SELECT doc_id, source, ROUND(quality, 6) AS quality,
+           ROUND(norm_quality, 6) AS norm_quality
+    FROM t JOIN g USING (tidx)
+    """,
+    doc="Cross-source quantile normalization of quality scores (the "
+    "calibration step before mixing corpora: a 0.6 from a lenient "
+    "scorer and a 0.6 from a strict one are NOT the same signal — map "
+    "each doc to the GLOBAL score at its within-source percentile, so "
+    "thresholds compare like for like across sources). Exactness is "
+    "pure rank arithmetic: within-source row_number → target global "
+    "index via integer half-up division (2(rk−1)(N−1)+(ns−1)) DIV "
+    "(2(ns−1)) — no float percentile anywhere — then one equi-join on "
+    "the index into the globally ranked table. Scale note: the global "
+    "rank is a single-partition window at fixture size; at 100 TB it "
+    "becomes repartitionByRange + in-partition row_number + offset by "
+    "partition counts (the q_global_shuffle_shards recipe), same "
+    "semantics.",
+    tags=("curation", "quality", "stats"),
+)
+def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.functions.text import quality_score
+
+    d = load_table(spark, sf_dir, "documents")
+    q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    w_src = Window.partitionBy("source").orderBy("quality", "doc_id")
+    w_glob = Window.orderBy("quality", "doc_id")
+    ranked = q.select(
+        "doc_id", "source", "quality",
+        F.row_number().over(w_src).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
+        F.row_number().over(w_glob).alias("gidx"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("N"),
+    )
+    tgt = F.when(
+        F.col("ns") > 1, F.expr("1 + (2*(rk-1)*(N-1) + (ns-1)) DIV (2*(ns-1))")
+    ).otherwise(F.expr("1 + (N-1) DIV 2"))
+    with_t = ranked.select("doc_id", "source", "quality", tgt.alias("tidx"))
+    glob = ranked.select(F.col("gidx").alias("tidx"), F.col("quality").alias("norm_quality"))
+    return with_t.join(glob, "tidx").select(
+        "doc_id", "source",
+        F.round("quality", 6).alias("quality"),
+        F.round("norm_quality", 6).alias("norm_quality"),
+    )
+
+
+@query(
+    "q_source_jsd",
+    r"""
+    WITH toks AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS tok FROM documents
+    ),
+    cnt AS (SELECT source, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+    totals AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+    top AS (SELECT source, n FROM totals ORDER BY n DESC, source LIMIT 6),
+    sl AS (SELECT cnt.* FROM cnt JOIN top USING (source)),
+    pairs AS (SELECT a.source AS s1, a.n AS n1, b.source AS s2, b.n AS n2
+              FROM top a JOIN top b ON a.source < b.source),
+    l AS (SELECT s1, s2, tok, c AS c1 FROM sl JOIN pairs ON sl.source = pairs.s1),
+    r AS (SELECT s1, s2, tok, c AS c2 FROM sl JOIN pairs ON sl.source = pairs.s2),
+    u AS (
+        SELECT COALESCE(l.s1, r.s1) AS s1, COALESCE(l.s2, r.s2) AS s2,
+               COALESCE(l.tok, r.tok) AS tok,
+               COALESCE(c1, 0) AS c1, COALESCE(c2, 0) AS c2
+        FROM l FULL JOIN r ON l.s1 = r.s1 AND l.s2 = r.s2 AND l.tok = r.tok
+    ),
+    uj AS (SELECT u.*, n1, n2 FROM u JOIN pairs USING (s1, s2)),
+    sm AS (
+        SELECT s1, s2, n1, n2,
+               SUM(CAST((c1*n2 + c2*n1)
+                        * CAST(round(ln(CAST(c1*n2 + c2*n1 AS DOUBLE)) * 1000000) AS BIGINT)
+                        AS HUGEINT)) AS s_m,
+               SUM(CASE WHEN c1 > 0 THEN
+                       CAST(c1 * CAST(round(ln(CAST(c1 AS DOUBLE)) * 1000000) AS BIGINT)
+                            AS HUGEINT) END) AS s_p,
+               SUM(CASE WHEN c2 > 0 THEN
+                       CAST(c2 * CAST(round(ln(CAST(c2 AS DOUBLE)) * 1000000) AS BIGINT)
+                            AS HUGEINT) END) AS s_q
+        FROM uj GROUP BY 1, 2, 3, 4
+    )
+    SELECT s1, s2, n1 AS n1_tokens, n2 AS n2_tokens,
+           ROUND( (ln(2.0*n1*n2) - CAST(s_m AS DOUBLE)/(2000000.0*n1*n2))
+                - ((ln(CAST(n1 AS DOUBLE)) - CAST(s_p AS DOUBLE)/(1000000.0*n1))
+                 + (ln(CAST(n2 AS DOUBLE)) - CAST(s_q AS DOUBLE)/(1000000.0*n2)))/2,
+                 12) AS jsd
+    FROM sm
+    """,
+    doc="Pairwise Jensen-Shannon divergence between the token "
+    "distributions of the 6 largest sources — the data-mixing "
+    "diagnostic (which corpora are near-duplicates of each other in "
+    "DISTRIBUTION, which are genuinely diverse; JSD is symmetric, "
+    "bounded by ln 2, and defined even where supports differ — exactly "
+    "why it beats KL here). Exactness: with M=(P+Q)/2 over the union "
+    "vocab, every term reduces to Σ k·ln k over INTEGERS (mixture "
+    "numerators c1·n2+c2·n1 share the denominator 2·n1·n2, and "
+    "Σnum = 2n1n2 collapses the cross-terms), so each entropy leg is "
+    "the q_user_entropy integerization — round(ln(k)·1e6)·k summed as "
+    "DECIMAL(38,0) (no bigint overflow at 100 TB token counts) — and "
+    "one fixed-shape IEEE expression at the end, rounded 12. Plan: one "
+    "(source, tok) count shuffle; the 6-source slice joins the tiny "
+    "pair table broadcast; the union-vocab FULL join is co-keyed on "
+    "(s1, s2, tok); partial-agg to 15 rows.",
+    tags=("curation", "text", "stats"),
+)
+def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    toks = d.select("source", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    cnt = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    top = totals.orderBy(F.desc("n"), "source").limit(6)
+    sl = cnt.join(F.broadcast(top.select("source")), "source")
+    pairs = (
+        top.select(F.col("source").alias("s1"), F.col("n").alias("n1"))
+        .crossJoin(top.select(F.col("source").alias("s2"), F.col("n").alias("n2")))
+        .filter(F.col("s1") < F.col("s2"))
+    )
+    lmic = lambda x: F.round(F.log(x.cast("double")) * 1000000).cast("bigint")  # noqa: E731
+    left = sl.join(F.broadcast(pairs), sl.source == F.col("s1")).select(
+        "s1", "s2", "tok", F.col("c").alias("c1")
+    )
+    right = sl.join(F.broadcast(pairs), sl.source == F.col("s2")).select(
+        F.col("s1").alias("s1r"), F.col("s2").alias("s2r"),
+        F.col("tok").alias("tokr"), F.col("c").alias("c2"),
+    )
+    both = left.join(
+        right,
+        (left.s1 == right.s1r) & (left.s2 == right.s2r) & (left.tok == right.tokr),
+        "full",
+    ).select(
+        F.coalesce("s1", "s1r").alias("s1"),
+        F.coalesce("s2", "s2r").alias("s2"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+        F.coalesce("c2", F.lit(0)).alias("c2"),
+    ).join(F.broadcast(pairs), ["s1", "s2"])
+    num = F.col("c1") * F.col("n2") + F.col("c2") * F.col("n1")
+    sm = both.groupBy("s1", "s2", "n1", "n2").agg(
+        F.sum((num * lmic(num)).cast("decimal(38,0)")).alias("s_m"),
+        F.sum(
+            F.when(F.col("c1") > 0, (F.col("c1") * lmic(F.col("c1"))).cast("decimal(38,0)"))
+        ).alias("s_p"),
+        F.sum(
+            F.when(F.col("c2") > 0, (F.col("c2") * lmic(F.col("c2"))).cast("decimal(38,0)"))
+        ).alias("s_q"),
+    )
+    return sm.select(
+        "s1", "s2",
+        F.col("n1").alias("n1_tokens"), F.col("n2").alias("n2_tokens"),
+        F.round(
+            (
+                F.log(F.lit(2.0) * F.col("n1") * F.col("n2"))
+                - F.col("s_m").cast("double") / (F.lit(2e6) * F.col("n1") * F.col("n2"))
+            )
+            - (
+                (
+                    F.log(F.col("n1").cast("double"))
+                    - F.col("s_p").cast("double") / (F.lit(1e6) * F.col("n1"))
+                )
+                + (
+                    F.log(F.col("n2").cast("double"))
+                    - F.col("s_q").cast("double") / (F.lit(1e6) * F.col("n2"))
+                )
+            )
+            / 2,
+            12,
+        ).alias("jsd"),
+    )

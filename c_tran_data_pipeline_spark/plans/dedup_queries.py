@@ -595,3 +595,228 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.dedup import prefix_filter_jaccard_pairs
 
     return prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_cdc_chunks",
+    r"""
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 1
+    ),
+    b AS (
+        SELECT doc_id, tk,
+               list_filter(generate_series(1, len(tk)),
+                           i -> substr(md5(tk[i]), 32, 1) IN ('0','8')) AS bpos
+        FROM w
+    ),
+    ch0 AS (
+        SELECT doc_id, unnest(generate_series(1, len(bpos) + 1)) AS j, tk, bpos
+        FROM b
+    ),
+    ch1 AS (
+        SELECT doc_id,
+               array_to_string(tk[(CASE WHEN j = 1 THEN 1 ELSE bpos[j-1]+1 END)
+                                  :(CASE WHEN j <= len(bpos) THEN bpos[j] ELSE len(tk) END)],
+                               ' ') AS chunk
+        FROM ch0
+    ),
+    g AS (SELECT doc_id, md5(chunk) AS chunk_hash FROM ch1 WHERE chunk <> ''),
+    dup AS (SELECT chunk_hash FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2),
+    dc AS (SELECT doc_id, COUNT(*) AS n_dup FROM g
+           WHERE chunk_hash IN (SELECT chunk_hash FROM dup) GROUP BY 1),
+    tot AS (SELECT doc_id, COUNT(*) AS n_chunks FROM g GROUP BY 1)
+    SELECT tot.doc_id AS doc_id, n_chunks,
+           COALESCE(dc.n_dup, 0) AS n_dup_chunks,
+           ROUND(COALESCE(dc.n_dup, 0) * 1.0 / n_chunks, 12) AS dup_chunk_fraction
+    FROM tot LEFT JOIN dc USING (doc_id)
+    """,
+    doc="Content-defined chunking dedup (the Rabin/FastCDC idea on the "
+    "word stream): a chunk boundary falls AFTER any word whose md5's "
+    "last hex digit ∈ {0,8} (P=1/8 ⇒ ~8-word expected chunks), so "
+    "boundaries depend only on LOCAL content — insert one word early in "
+    "a re-crawled page and every later chunk still re-aligns, which "
+    "fixed-offset chunking (q_payload_chunks) cannot do; per doc the "
+    "duplicated-chunk count and fraction against the whole corpus. The "
+    "storage-dedup/incremental-crawl primitive. Plan: boundaries and "
+    "chunks are ONE array projection per doc (filter + transform + "
+    "slice, whole-stage codegen, O(len) — no O(len·window) rolling "
+    "recompute); chunks travel as md5 digests; dup membership is the "
+    "q_dup_span_fraction shape — count-distinct agg on the digest, then "
+    "one co-shuffled LEFT join + doc-keyed agg producing numerator and "
+    "denominator together.",
+    tags=("dedup", "text", "multimodal"),
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.sources.readers import spread
+
+    base = (
+        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+        .filter(F.array_size("tk") >= 1)
+    )
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.array_size("tk")),
+        lambda i: F.substring(F.md5(F.element_at(F.col("tk"), i)), 32, 1).isin("0", "8"),
+    )
+    wb = base.select("doc_id", "tk", bpos.alias("bpos"))
+    start = lambda j: (  # noqa: E731
+        F.when(j == 1, F.lit(1)).otherwise(F.element_at(F.col("bpos"), (j - 1).cast("int")) + 1)
+    )
+    end = lambda j: (  # noqa: E731
+        F.when(j <= F.array_size("bpos"), F.element_at(F.col("bpos"), j.cast("int")))
+        .otherwise(F.array_size("tk"))
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.array_size("bpos") + 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(F.col("tk"), start(j), F.greatest(end(j) - start(j) + 1, F.lit(0)))
+            ),
+        ),
+        lambda c: c != "",
+    )
+    g = wb.select("doc_id", F.explode(chunks).alias("chunk")).select(
+        "doc_id", F.md5("chunk").alias("chunk_hash")
+    )
+    dup = (
+        g.groupBy("chunk_hash")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("chunk_hash", F.lit(1).alias("isdup"))
+    )
+    return (
+        g.join(dup, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("isdup").cast("bigint").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(
+                F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 12
+            ).alias("dup_chunk_fraction"),
+        )
+    )
+
+
+@query(
+    "q_linkage_score",
+    """
+    WITH clean AS (
+        SELECT c_custkey AS key, c_nationkey AS nat, c_mktsegment AS seg,
+               c_name AS name, c_acctbal AS bal
+        FROM customer),
+    n AS (SELECT COUNT(*) AS n_total FROM clean),
+    c2 AS (SELECT *, substr(name, 1, 16) AS nm16 FROM clean),
+    wseg AS (SELECT seg, COUNT(*) AS df_seg FROM c2 GROUP BY 1),
+    wnm AS (SELECT nm16, COUNT(*) AS df_nm FROM c2 GROUP BY 1),
+    wbal AS (SELECT bal, COUNT(*) AS df_bal FROM c2 GROUP BY 1),
+    cw AS (
+        SELECT key, nat, seg, nm16, bal,
+               CAST(round(ln(CAST(n_total AS DOUBLE)/df_seg)*1000000) AS BIGINT) AS w_seg,
+               CAST(round(ln(CAST(n_total AS DOUBLE)/df_nm)*1000000) AS BIGINT) AS w_nm,
+               CAST(round(ln(CAST(n_total AS DOUBLE)/df_bal)*1000000) AS BIGINT) AS w_bal
+        FROM c2 JOIN wseg USING (seg) JOIN wnm USING (nm16) JOIN wbal USING (bal), n),
+    dirty AS (
+        SELECT key AS dkey, nat, seg AS dseg,
+               substr(name,1,16) || substr(name,18,1) || substr(name,17,1) AS dname,
+               bal AS dbal
+        FROM clean WHERE key % 10 = 0),
+    d2 AS (SELECT dkey, nat, dseg, substr(dname,1,16) AS dnm16, dbal FROM dirty),
+    scored AS (
+        SELECT dkey, key AS cand,
+               (CASE WHEN dseg = seg THEN w_seg ELSE 0 END
+                + CASE WHEN dnm16 = nm16 THEN w_nm ELSE 0 END
+                + CASE WHEN dbal = bal THEN w_bal ELSE 0 END) AS score_micro,
+               (CAST(dseg = seg AS INT) + CAST(dnm16 = nm16 AS INT)
+                + CAST(dbal = bal AS INT)) AS n_agree
+        FROM d2 JOIN cw USING (nat))
+    SELECT dkey, cand, score_micro, n_agree FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY dkey
+                                     ORDER BY score_micro DESC, cand) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    doc="Record-linkage scoring with frequency-derived agreement weights "
+    "(the deterministic core of Fellegi-Sunter entity resolution): a "
+    "dirty twin of every 10th customer is planted (last two name chars "
+    "swapped — the typo class linkage exists for), candidates come from "
+    "nation blocking, and each field agreement scores the SELF-"
+    "INFORMATION of the shared value, ln(N/df(value)) — agreeing on a "
+    "near-unique balance is strong evidence, agreeing on one of five "
+    "segments is weak — summed in log-micros (exact BIGINT; the ln is "
+    "per-distinct-value, rounded once). Per dirty record the best-"
+    "scoring candidate wins (row_number, deterministic ties). Completes "
+    "the ER stack: q_sorted_neighborhood/q_fuzzy_pairs generate "
+    "candidates, this SCORES them. Plan: per-field value-frequency "
+    "aggs on the clean side only (weights attach to clean records, so "
+    "the pair pass is one equi-join on the block key + a pure "
+    "projection — no per-pair lookups), then a per-dirty-key top-1 "
+    "window on the bounded candidate set.",
+    tags=("dedup", "join", "stats"),
+)
+def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    clean = c.select(
+        F.col("c_custkey").alias("key"),
+        F.col("c_nationkey").alias("nat"),
+        F.col("c_mktsegment").alias("seg"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("bal"),
+    )
+    dirty = clean.filter(F.col("key") % 10 == 0).select(
+        F.col("key").alias("dkey"),
+        "nat",
+        "seg",
+        F.concat(
+            F.substring("name", 1, 16), F.substring("name", 18, 1), F.substring("name", 17, 1)
+        ).alias("name"),
+        "bal",
+    )
+    n_total = clean.count()  # scalar; at scale a metadata-only count
+    lnw = lambda df_col: (  # noqa: E731
+        F.round(F.log(F.lit(float(n_total)) / df_col.cast("double")) * 1000000).cast("bigint")
+    )
+    clean2 = clean.withColumn("nm16", F.substring("name", 1, 16))
+    wseg = clean2.groupBy("seg").agg(F.count(F.lit(1)).alias("df_seg"))
+    wnm = clean2.groupBy("nm16").agg(F.count(F.lit(1)).alias("df_nm"))
+    wbal = clean2.groupBy("bal").agg(F.count(F.lit(1)).alias("df_bal"))
+    cw = (
+        clean2.join(wseg, "seg")
+        .join(wnm, "nm16")
+        .join(wbal, "bal")
+        .select(
+            "key", "nat", "seg", "nm16", "bal",
+            lnw(F.col("df_seg")).alias("w_seg"),
+            lnw(F.col("df_nm")).alias("w_nm"),
+            lnw(F.col("df_bal")).alias("w_bal"),
+        )
+    )
+    d2 = dirty.select(
+        "dkey", "nat",
+        F.col("seg").alias("dseg"),
+        F.substring("name", 1, 16).alias("dnm16"),
+        F.col("bal").alias("dbal"),
+    )
+    pairs = d2.join(cw, "nat")
+    score = (
+        F.when(F.col("dseg") == F.col("seg"), F.col("w_seg")).otherwise(F.lit(0))
+        + F.when(F.col("dnm16") == F.col("nm16"), F.col("w_nm")).otherwise(F.lit(0))
+        + F.when(F.col("dbal") == F.col("bal"), F.col("w_bal")).otherwise(F.lit(0))
+    )
+    n_agree = (
+        (F.col("dseg") == F.col("seg")).cast("int")
+        + (F.col("dnm16") == F.col("nm16")).cast("int")
+        + (F.col("dbal") == F.col("bal")).cast("int")
+    )
+    scored = pairs.select(
+        "dkey", F.col("key").alias("cand"), score.alias("score_micro"), n_agree.alias("n_agree")
+    )
+    w = Window.partitionBy("dkey").orderBy(F.desc("score_micro"), F.asc("cand"))
+    return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")

@@ -66,6 +66,11 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # evidence ≤ 2 rounds old.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_semantic_dedup",
+    "q_cdc_chunks",
+    "q_linkage_score",
+    "q_quantile_norm",
+    "q_source_jsd",
     "q_mann_whitney",
     "q_cramers_v",
     "q_conversion_latency",

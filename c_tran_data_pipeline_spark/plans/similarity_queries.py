@@ -1097,3 +1097,44 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.pca import pca_project
 
     return pca_project(load_table(spark, sf_dir, "embeddings"))
+
+
+@query(
+    "q_semantic_dedup",
+    None,  # k-means blocking — rows-only driver check; exactness pins
+    # (nlist=1 ≡ brute-force clustering; precision 1.0; one
+    # representative per cluster) in tests/test_similarity.py
+    doc="SemDeDup (Abbas et al. 2023): deterministic IVF k-means blocks "
+    "the embedding space into nlist Voronoi cells, candidate pairs come "
+    "ONLY from within a cell (the cluster-blocking alternative to "
+    "q_ann_neardup_lsh's banding), exact cosine ≥ 0.9 verifies, and "
+    "connected components keep each cluster's min-id representative — "
+    "the semantic-level dedup pass run AFTER exact/minhash dedup in "
+    "modern pipelines (near-identical meaning, different surface form). "
+    "A perturbed twin of every 10th vector is planted (deterministic "
+    "per-dim epsilon, cosine ≈ 0.999 to its parent — the boilerplate-"
+    "plant pattern), because SemDeDup's contract is HIGH-similarity "
+    "duplicates: near-identical vectors share a nearest centroid almost "
+    "surely, so cell blocking keeps recall ~1 exactly where the method "
+    "promises it (the fixture's organic 0.40-0.48 'pairs' straddle "
+    "cells and belong to the LSH path). Per-row output "
+    "(vec_id, cell, component, keep). Scale: grow nlist ∝ corpus so "
+    "E[|cell|] stays constant (build cost is nlist-independent — one "
+    "scan per Lloyd step, assignment is a centroid-literal projection); "
+    "within-cell join is Σ|cell|², driver state is centroids + the "
+    "bounded pair list.",
+    tags=("similarity", "dedup"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr(
+            "transform(cast(embedding AS array<double>),"
+            " (x, i) -> x + 0.01 * ((i % 3) - 1))"
+        ).alias("embedding"),
+    )
+    corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(twins)
+    return semantic_dedup(corpus, threshold=0.9, nlist=16, iters=2, dim=64)

@@ -257,3 +257,53 @@ def test_temperature_sample_flattens_mixture(spark):
         .collect()
     }
     assert abs(p_out["big"] / p_out["small"] - 9.0) < 3.0
+
+
+def test_quantile_norm_is_rank_preserving_and_global_valued(spark):
+    """Within a source, normalization preserves quality order; every
+    normalized value is an actual GLOBAL quality value (quantile mapping
+    substitutes ranks, never interpolates invented scores)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["q_quantile_norm"].builder(spark, sf).collect()
+    by_src: dict = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append((r["quality"], r["doc_id"], r["norm_quality"]))
+    for rows in by_src.values():
+        rows.sort()
+        normed = [n for _, _, n in rows]
+        assert normed == sorted(normed), "normalization broke within-source order"
+    global_vals = {round(r["quality"], 6) for r in out}
+    assert all(round(r["norm_quality"], 6) in global_vals for r in out)
+
+
+def test_source_jsd_bounds_and_self_divergence(spark):
+    """0 <= JSD <= ln 2 for every pair; and a distribution against
+    itself scores 0 up to the 1e-6 log quantization (computed through
+    the same integerized pipeline, so this also pins the
+    Σnum-collapses-to-D identity)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["q_source_jsd"].builder(spark, sf).collect()
+    assert len(out) == 15
+    for r in out:
+        assert -2e-6 <= r["jsd"] <= math.log(2) + 2e-6
+    # self-JSD: duplicate one source under two labels and run the same
+    # dataflow reduced to that single pair
+    d = spark.read.parquet(sf + "/documents.parquet").select("source", "text")
+    one = d.filter(F.col("source") == "src0")
+    both = one.withColumn("source", F.lit("a")).unionByName(
+        one.withColumn("source", F.lit("b"))
+    )
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        both.write.parquet(os.path.join(td, "documents.parquet"))
+        # reuse the registered builder against the synthetic sf_dir
+        res = all_queries()["q_source_jsd"].builder(spark, td).collect()
+    assert len(res) == 1 and abs(res[0]["jsd"]) < 2e-6

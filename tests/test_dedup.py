@@ -522,3 +522,45 @@ def test_dup_span_fraction_flags_majority_duplicated(spark):
     assert (out[2].n_shingles, out[2].n_dup_shingles) == (9, 1)
     assert out[2].drop_doc is False
     assert out[3].n_dup_shingles == 0 and out[3].dup_fraction == 0.0
+
+
+def test_cdc_chunks_realign_after_insertion(spark):
+    """THE content-defined-chunking property: prepending one word to a
+    document changes only the chunks up to the first boundary — every
+    later chunk hash re-aligns (fixed-offset chunking shifts ALL of
+    them). Verified via the registered builder on a two-doc corpus."""
+    import os
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    base_words = [f"w{i}" for i in range(400)]
+    orig = " ".join(base_words)
+    shifted = "INSERTED " + orig
+    df = spark.createDataFrame(
+        [(1, orig, "en", "s", len(orig)), (2, shifted, "en", "s", len(shifted))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {r["doc_id"]: r for r in all_queries()["q_cdc_chunks"].builder(spark, td).collect()}
+    # nearly every chunk of the original doc also appears in the shifted
+    # doc => counted duplicated; only the first chunk (prefix-perturbed)
+    # may differ on each side
+    assert out[1]["n_chunks"] > 10, "fixture doc too short to exercise CDC"
+    assert out[1]["n_dup_chunks"] >= out[1]["n_chunks"] - 1
+    assert out[2]["n_dup_chunks"] >= out[2]["n_chunks"] - 1
+
+
+def test_linkage_score_finds_planted_parent(spark):
+    """Every planted dirty twin links back to its own parent record, and
+    the winning score always includes the near-unique name16+balance
+    agreements (score strictly above the segment-only floor)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    sf = "/root/testdata/sf0.001"
+    out = all_queries()["q_linkage_score"].builder(spark, sf).collect()
+    assert len(out) == 15
+    for r in out:
+        assert r["cand"] == r["dkey"], f"dirty {r['dkey']} linked to {r['cand']}"
+        assert r["n_agree"] == 3

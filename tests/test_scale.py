@@ -154,6 +154,9 @@ _ALLOWED_NESTED_LOOP = {
     # batch (!=) over one corpus scan; the MMR stage itself is a keyed
     # grouped-map, no joins
     "q_mmr_rerank",
+    # source-pair spine: LIMIT-6 × LIMIT-6 cross (≤ 15 pairs after
+    # s1 < s2) — both sides bounded by the top-k constant, not the corpus
+    "q_source_jsd",
 }
 
 # Queries whose only NestedLoopJoin is the scalar-broadcast pattern: a

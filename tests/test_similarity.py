@@ -370,3 +370,62 @@ def test_baseline_guards_fire_and_bench_excludes_baselines(spark):
     # and the tag itself exists on the known baselines
     assert "baseline" in registry["q_ann_neardup"].tags
     assert "baseline" in registry["q_neardup_degree"].tags
+
+
+def test_semantic_dedup_single_cell_equals_bruteforce(spark):
+    """nlist=1 puts every vector in one cell, so SemDeDup's candidate set
+    IS the all-pairs set: components must match clustering the exact
+    baseline's pair graph, and the keep set must match exactly."""
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["component"], r["keep"])
+        for r in semantic_dedup(emb, threshold=0.4, nlist=1, iters=1, dim=64).collect()
+    }
+    exact_pairs = embedding_neardup_pairs(emb, threshold=0.4)
+    comp = {
+        r["doc_id"]: r["component"] for r in dedup_clusters(exact_pairs).collect()
+    }
+    assert len(got) == emb.count()
+    for vid, (component, keep) in got.items():
+        assert component == comp.get(vid), f"vec {vid}: {component} != {comp.get(vid)}"
+        assert keep == (vid not in comp or comp[vid] == vid)
+
+
+def test_semantic_dedup_blocked_precision_and_representatives(spark):
+    """The registered SemDeDup query plants a perturbed twin (cosine
+    ~0.999) of every 10th vector: cell blocking must recover EVERY
+    planted pair (near-identical vectors share a nearest centroid),
+    each component keeps exactly one representative (its min id), and
+    nothing clusters without a true >=-threshold edge (precision 1.0 by
+    construction - pairs are exact-cosine verified)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    out = all_queries()["q_semantic_dedup"].builder(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    planted = [r for r in out if r["vec_id"] >= 1_000_000]
+    assert planted, "query no longer plants twins - update this test"
+    for r in planted:
+        assert r["component"] == r["vec_id"] - 1_000_000, (
+            f"planted twin {r['vec_id']} missed its parent "
+            f"(component={r['component']})"
+        )
+        assert not r["keep"]
+    clustered = [r for r in out if r["component"] is not None]
+    by_comp: dict = {}
+    for r in clustered:
+        by_comp.setdefault(r["component"], []).append(r)
+    for component, members in by_comp.items():
+        reps = [m for m in members if m["keep"]]
+        assert len(reps) == 1 and reps[0]["vec_id"] == component == min(
+            m["vec_id"] for m in members
+        )
+    # survivors: every parent kept, every twin dropped
+    keep_ids = {r["vec_id"] for r in out if r["keep"]}
+    assert all(r["vec_id"] - 1_000_000 in keep_ids for r in planted)
