@@ -971,6 +971,8 @@ def semantic_dedup(
     key: str = "vec_id",
     vec: str = "embedding",
     dim: int | None = None,
+    nprobe: int = 2,
+    train_df: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with the deterministic IVF k-means, generate
@@ -984,13 +986,15 @@ def semantic_dedup(
 
     Blocking by VORONOI CELL instead of LSH banding
     (embedding_neardup_pairs_lsh) is the SemDeDup trade: recall loss
-    concentrates on pairs straddling a cell boundary (near-dups rarely
-    do — they embed almost identically), and the within-cell self-join
-    costs Σ|cell|² — hold E[|cell|] constant by growing nlist with the
-    corpus (the paper's "K scales with N"; the k-means build stays one
-    scan per Lloyd step at ANY nlist because assignment is a literal
-    projection). Driver state is the nlist×dim centroid literal plus
-    the bounded pair list — never vectors."""
+    concentrates on pairs straddling a cell boundary, so each vector
+    blocks into its ``nprobe`` nearest cells (multi-probe — the standard
+    IVF answer; near-identical vectors' probe SETS almost surely
+    intersect even at a boundary). Within-cell self-join costs
+    Σ occupancy² — hold E[occupancy] constant by growing nlist with the
+    corpus (the paper's "K scales with N"); note the centroid-literal
+    assignment costs O(nlist·dim) per row, so nlist is a real knob, not
+    free. Driver state is the nlist×dim centroid literal plus the
+    bounded pair list — never vectors."""
     from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
 
     v = _as_double(F.col(vec))
@@ -999,29 +1003,54 @@ def semantic_dedup(
         # LSH-seeded k-means needs ≥1 plane so can't express one cell;
         # this branch makes nlist=1 the brute-force equivalence anchor
         # the tests pin against.
-        cell = F.lit(0).cast("bigint")
+        probes = F.array(F.lit(0).cast("bigint"))
     else:
-        cents = _kmeans_rows(df, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
-        cell = _nearest_cell(v, cents)
-    assigned = df.select(
-        F.col(key), v.alias("__v"), cell.alias("cell")
-    ).select(F.col(key), "__v", "cell", norm(F.col("__v")).alias("__n"))
-    a = assigned.select(
-        "cell", F.col(key).alias("d1"), F.col("__v").alias("__v1"), F.col("__n").alias("__n1")
-    )
-    b = assigned.select(
-        "cell", F.col(key).alias("d2"), F.col("__v").alias("__v2"), F.col("__n").alias("__n2")
-    )
-    pairs = (
-        a.join(b, "cell")
-        .filter(F.col("d1") < F.col("d2"))
-        .select(
-            "d1",
-            "d2",
-            (dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias("__cos"),
+        # train-on-sample, assign-full-corpus (pass a deterministic_sample
+        # as train_df — the IVF recipe; blocking quality needs a usable
+        # partition of space, not centroids fit to every vector)
+        cents = _kmeans_rows(
+            train_df if train_df is not None else df,
+            nlist=nlist, iters=iters, key=key, vec=vec, dim=dim,
         )
-        .filter(F.col("__cos") >= threshold)
-        .select("d1", "d2")
+        probes = _probe_cells(v, cents, min(nprobe, nlist))
+    assigned = df.select(F.col(key), v.alias("__v"), probes.alias("__cells")).select(
+        F.col(key),
+        "__v",
+        F.element_at("__cells", 1).alias("cell"),
+        "__cells",
+    )
+    blocked = assigned.select(
+        F.col(key), "__v", F.explode("__cells").alias("bcell")
+    )
+
+    # Pair stage: one numpy GEMM per cell (grouped-map Arrow) instead of
+    # a self-join evaluating zip_with/aggregate dots per pair — Spark's
+    # higher-order array functions are interpreted, and the measured
+    # cost at sf0.1 was ~3.4 s for ~600k candidate dots; the cell-local
+    # V·Vᵀ is the q_ann_topk_arrow treatment applied to the blocked
+    # self-join. Contract: one cell's rows fit one executor (held by
+    # nlist ∝ corpus, the same bound the join shape needed anyway).
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[key].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy())
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = S[iu, ju] >= threshold
+        a_ids, b_ids = ids[iu[hit]], ids[ju[hit]]
+        swap = a_ids > b_ids  # canonical d1 < d2 for any orderable key
+        return pd.DataFrame(
+            {"d1": np.where(swap, b_ids, a_ids), "d2": np.where(swap, a_ids, b_ids)}
+        )
+
+    id_type = dict(df.dtypes)[key]
+    pairs = (
+        blocked.groupBy("bcell")
+        .applyInPandas(_cell_pairs, f"d1 {id_type}, d2 {id_type}")
+        .distinct()  # a pair sharing several probe cells appears once
     )
     comp = dedup_clusters(pairs)
     return assigned.join(comp, assigned[key] == comp["doc_id"], "left").select(

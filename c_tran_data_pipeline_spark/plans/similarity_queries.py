@@ -1117,12 +1117,17 @@ def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     "duplicates: near-identical vectors share a nearest centroid almost "
     "surely, so cell blocking keeps recall ~1 exactly where the method "
     "promises it (the fixture's organic 0.40-0.48 'pairs' straddle "
-    "cells and belong to the LSH path). Per-row output "
-    "(vec_id, cell, component, keep). Scale: grow nlist ∝ corpus so "
-    "E[|cell|] stays constant (build cost is nlist-independent — one "
-    "scan per Lloyd step, assignment is a centroid-literal projection); "
-    "within-cell join is Σ|cell|², driver state is centroids + the "
-    "bounded pair list.",
+    "cells and belong to the LSH path); each vector blocks into its "
+    "nprobe=2 nearest cells (multi-probe) so boundary twins still meet. "
+    "Per-row output (vec_id, cell, component, keep). Physical shape: "
+    "k-means trains on a deterministic 1/4 hash-sample (IVF recipe); "
+    "the pair stage is one numpy GEMM per cell via grouped-map Arrow "
+    "(measured 10.5→4.2 s at sf0.1 vs the zip_with-dot self-join — "
+    "Spark's higher-order array functions are interpreted, so V·Vᵀ per "
+    "cell is the q_ann_topk_arrow treatment applied to blocking). "
+    "Scale: grow nlist ∝ corpus so cell occupancy (and the per-group "
+    "GEMM block) stays bounded; driver state is centroids + the bounded "
+    "pair list.",
     tags=("similarity", "dedup"),
 )
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1137,4 +1142,9 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("embedding"),
     )
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(twins)
-    return semantic_dedup(corpus, threshold=0.9, nlist=16, iters=2, dim=64)
+    from c_tran_data_pipeline_spark.operators.pq import deterministic_sample
+
+    return semantic_dedup(
+        corpus, threshold=0.9, nlist=16, iters=2, dim=64,
+        train_df=deterministic_sample(corpus, mod=4),
+    )
