@@ -121,6 +121,7 @@ HEADLINE = [
     "q_quantile_norm",
     "q_source_jsd",
     "q_semantic_dedup",
+    "q_survival_curve",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -203,6 +204,7 @@ _POST_R01 = (
     "q_quantile_norm",
     "q_source_jsd",
     "q_semantic_dedup",
+    "q_survival_curve",
 )
 
 

@@ -950,3 +950,124 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_latency_us"
         ),
     )
+
+
+@query(
+    "q_survival_curve",
+    """
+    WITH l0 AS (
+        SELECT user_id, MIN(epoch_us(ts)) AS first_us,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS conv_us
+        FROM events GROUP BY 1
+    ),
+    g AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+    l AS (
+        SELECT user_id,
+               CASE WHEN conv_us IS NOT NULL THEN (conv_us - first_us) // 86400000000
+                    ELSE (gmax - first_us) // 86400000000 END AS dur_days,
+               conv_us IS NOT NULL AS observed
+        FROM l0, g
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM l),
+    steps AS (
+        SELECT dur_days, SUM(CAST(observed AS INT)) AS d, COUNT(*) AS ties
+        FROM l GROUP BY 1
+    ),
+    risk AS (
+        SELECT dur_days, d,
+               (SELECT n FROM tot)
+               - COALESCE(SUM(ties) OVER (ORDER BY dur_days
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS n_risk
+        FROM steps
+    ),
+    f AS (
+        SELECT dur_days, d, n_risk,
+               CASE WHEN n_risk > d THEN
+                   CAST(round(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                              * 1000000) AS BIGINT)
+               ELSE 0 END AS lnm,
+               CAST(n_risk = d AS INT) AS iszero
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(dur_days AS BIGINT) AS dur_days,
+           CAST(d AS BIGINT) AS n_converted,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           CASE WHEN MAX(iszero) OVER (ORDER BY dur_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) = 1 THEN 0.0
+                ELSE ROUND(exp(CAST(SUM(lnm) OVER (ORDER BY dur_days
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                     / 1e6), 12) END AS survival
+    FROM f
+    """,
+    doc="Kaplan-Meier survival curve for time-to-conversion (first event "
+    "→ first purchase, in whole days): the censoring-correct version of "
+    "q_conversion_latency — users who never purchase are RIGHT-CENSORED "
+    "at the observation horizon instead of dropped, which is what makes "
+    "the estimator unbiased when the window cuts lifetimes short (the "
+    "survival-analysis shape behind retention curves, label-delay "
+    "studies, and churn models). Exactness: S(t) = Π(1 − d/n) computed "
+    "as exp of an exact integer cumulative sum of round(ln(·)·1e6) "
+    "log-micros (the q_user_entropy integerization applied to a running "
+    "PRODUCT), with an explicit zero-propagation flag for the n=d step "
+    "(ln 0 diverges between engines — Spark nulls, DuckDB throws); "
+    "durations are integer µs floor-division (CAST truncation vs "
+    "rounding differs across engines — measured, not hypothetical). "
+    "Plan: one user-keyed agg (first/conv timestamps share the "
+    "partitioning), the horizon re-enters as a broadcast 1-row scalar, "
+    "then the day-grain table (≤ observation days) carries two windows "
+    "and the final projection — everything after the first agg is "
+    "calendar-bounded, not data-bounded.",
+    tags=("analytics", "stats", "window"),
+)
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    DAY = 86_400_000_000
+    us = F.unix_micros(F.col("ts"))
+    base = e.select("user_id", "event_type", us.alias("us"))
+    lifes = base.groupBy("user_id").agg(
+        F.min("us").alias("first_us"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("conv_us"),
+    )
+    gmax = base.agg(F.max("us").alias("gmax"))
+    lifes = lifes.crossJoin(F.broadcast(gmax)).select(
+        "user_id",
+        F.when(
+            F.col("conv_us").isNotNull(),
+            F.floor((F.col("conv_us") - F.col("first_us")) / DAY).cast("bigint"),
+        )
+        .otherwise(F.floor((F.col("gmax") - F.col("first_us")) / DAY).cast("bigint"))
+        .alias("dur_days"),
+        F.col("conv_us").isNotNull().alias("observed"),
+    )
+    total = lifes.count()  # scalar; bounded driver state (user count)
+    steps = lifes.groupBy("dur_days").agg(
+        F.sum(F.col("observed").cast("int")).alias("d"),
+        F.count(F.lit(1)).alias("ties"),
+    )
+    w_prev = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, -1)
+    steps = steps.withColumn(
+        "n_risk", F.lit(total) - F.coalesce(F.sum("ties").over(w_prev), F.lit(0))
+    ).filter(F.col("d") > 0)
+    lnm = F.when(
+        F.col("n_risk") > F.col("d"),
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double") / F.col("n_risk").cast("double")
+            )
+            * 1000000
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    w_cum = Window.orderBy("dur_days").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        steps.withColumn("lnm", lnm)
+        .withColumn("zero", F.max((F.col("n_risk") == F.col("d")).cast("int")).over(w_cum))
+        .withColumn("cum", F.sum("lnm").over(w_cum))
+        .select(
+            F.col("dur_days").cast("bigint").alias("dur_days"),
+            F.col("d").cast("bigint").alias("n_converted"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.when(F.col("zero") == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("cum").cast("double") / 1e6), 12))
+            .alias("survival"),
+        )
+    )

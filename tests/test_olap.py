@@ -717,3 +717,25 @@ def test_mann_whitney_hand_computed_with_ties(spark):
     assert (r.n1, r.n2) == (3, 3)
     assert r.u1 == 2.0 and r.u2 == 7.0
     assert r.z_score == round((2.0 - 4.5) / math.sqrt(9 * 7 / 12.0), 12)
+
+
+def test_survival_curve_is_monotone_and_bounded(spark):
+    """Kaplan-Meier invariants: S(t) starts ≤ 1, never increases, and
+    the at-risk counts telescope (n_risk strictly decreases by at least
+    the step's conversions)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    rows = sorted(
+        all_queries()["q_survival_curve"]
+        .builder(spark, "/root/testdata/sf0.001")
+        .collect(),
+        key=lambda r: r["dur_days"],
+    )
+    assert rows, "empty survival curve"
+    prev_s, prev_risk = 1.0 + 1e-12, None
+    for r in rows:
+        assert 0.0 <= r["survival"] <= prev_s, f"S increased at t={r['dur_days']}"
+        if prev_risk is not None:
+            assert r["n_risk"] < prev_risk
+        assert r["n_converted"] >= 1 and r["n_risk"] >= r["n_converted"]
+        prev_s, prev_risk = r["survival"], r["n_risk"]
