@@ -122,6 +122,7 @@ HEADLINE = [
     "q_source_jsd",
     "q_semantic_dedup",
     "q_survival_curve",
+    "q_incremental_cdc",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -205,6 +206,7 @@ _POST_R01 = (
     "q_source_jsd",
     "q_semantic_dedup",
     "q_survival_curve",
+    "q_incremental_cdc",
 )
 
 

@@ -597,6 +597,42 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return prefix_filter_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+def _cdc_chunk_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, chunk) under content-defined 8-word-expected chunking —
+    the shared projection behind q_cdc_chunks and q_incremental_cdc.
+    Boundary falls AFTER any word whose md5's last hex digit ∈ {0,8};
+    boundaries + chunks are ONE array expression per doc, O(len)."""
+    from c_tran_data_pipeline_spark.sources.readers import spread
+
+    base = (
+        spread(docs.select("doc_id", "text"))
+        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
+        .filter(F.array_size("tk") >= 1)
+    )
+    bpos = F.filter(
+        F.sequence(F.lit(1), F.array_size("tk")),
+        lambda i: F.substring(F.md5(F.element_at(F.col("tk"), i)), 32, 1).isin("0", "8"),
+    )
+    wb = base.select("doc_id", "tk", bpos.alias("bpos"))
+    start = lambda j: (  # noqa: E731
+        F.when(j == 1, F.lit(1)).otherwise(F.element_at(F.col("bpos"), (j - 1).cast("int")) + 1)
+    )
+    end = lambda j: (  # noqa: E731
+        F.when(j <= F.array_size("bpos"), F.element_at(F.col("bpos"), j.cast("int")))
+        .otherwise(F.array_size("tk"))
+    )
+    chunks = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.array_size("bpos") + 1),
+            lambda j: F.concat_ws(
+                " ", F.slice(F.col("tk"), start(j), F.greatest(end(j) - start(j) + 1, F.lit(0)))
+            ),
+        ),
+        lambda c: c != "",
+    )
+    return wb.select("doc_id", F.explode(chunks).alias("chunk"))
+
+
 @query(
     "q_cdc_chunks",
     r"""
@@ -648,35 +684,7 @@ def q_dedup_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "text", "multimodal"),
 )
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.sources.readers import spread
-
-    base = (
-        spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-        .select("doc_id", F.split(F.trim("text"), r"\s+").alias("tk"))
-        .filter(F.array_size("tk") >= 1)
-    )
-    bpos = F.filter(
-        F.sequence(F.lit(1), F.array_size("tk")),
-        lambda i: F.substring(F.md5(F.element_at(F.col("tk"), i)), 32, 1).isin("0", "8"),
-    )
-    wb = base.select("doc_id", "tk", bpos.alias("bpos"))
-    start = lambda j: (  # noqa: E731
-        F.when(j == 1, F.lit(1)).otherwise(F.element_at(F.col("bpos"), (j - 1).cast("int")) + 1)
-    )
-    end = lambda j: (  # noqa: E731
-        F.when(j <= F.array_size("bpos"), F.element_at(F.col("bpos"), j.cast("int")))
-        .otherwise(F.array_size("tk"))
-    )
-    chunks = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.array_size("bpos") + 1),
-            lambda j: F.concat_ws(
-                " ", F.slice(F.col("tk"), start(j), F.greatest(end(j) - start(j) + 1, F.lit(0)))
-            ),
-        ),
-        lambda c: c != "",
-    )
-    g = wb.select("doc_id", F.explode(chunks).alias("chunk")).select(
+    g = _cdc_chunk_rows(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.md5("chunk").alias("chunk_hash")
     )
     dup = (
@@ -820,3 +828,106 @@ def q_linkage_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("dkey").orderBy(F.desc("score_micro"), F.asc("cand"))
     return scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+
+
+# Shared DuckDB CTE: (doc_id, chunk) under the same content-defined
+# chunking as _cdc_chunk_rows (q_cdc_chunks carries the inline original).
+_CDC_SQL_CTE = r"""
+    w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents
+        WHERE len(string_split_regex(trim(text), '\s+')) >= 1
+    ),
+    b AS (
+        SELECT doc_id, tk,
+               list_filter(generate_series(1, len(tk)),
+                           i -> substr(md5(tk[i]), 32, 1) IN ('0','8')) AS bpos
+        FROM w
+    ),
+    ch0 AS (
+        SELECT doc_id, unnest(generate_series(1, len(bpos) + 1)) AS j, tk, bpos
+        FROM b
+    ),
+    ch1 AS (
+        SELECT doc_id,
+               array_to_string(tk[(CASE WHEN j = 1 THEN 1 ELSE bpos[j-1]+1 END)
+                                  :(CASE WHEN j <= len(bpos) THEN bpos[j] ELSE len(tk) END)],
+                               ' ') AS chunk
+        FROM ch0
+    ),
+    g AS (SELECT doc_id, chunk FROM ch1 WHERE chunk <> '')
+"""
+
+
+@query(
+    "q_incremental_cdc",
+    f"""
+    WITH {_CDC_SQL_CTE},
+    store AS (
+        SELECT DISTINCT md5(chunk) AS chunk_hash FROM g WHERE doc_id % 5 = 0
+    ),
+    incoming AS (
+        SELECT doc_id, chunk, md5(chunk) AS chunk_hash,
+               octet_length(encode(chunk)) AS nbytes
+        FROM g WHERE doc_id % 5 <> 0
+    ),
+    acc AS (
+        SELECT i.doc_id,
+               COUNT(*) AS n_chunks,
+               SUM(CASE WHEN s.chunk_hash IS NOT NULL THEN 1 ELSE 0 END) AS n_known,
+               CAST(SUM(nbytes) AS BIGINT) AS total_bytes,
+               CAST(SUM(CASE WHEN s.chunk_hash IS NULL THEN nbytes ELSE 0 END)
+                    AS BIGINT) AS novel_bytes
+        FROM incoming i LEFT JOIN store s USING (chunk_hash)
+        GROUP BY 1
+    )
+    SELECT doc_id, n_chunks, CAST(n_known AS BIGINT) AS n_known_chunks,
+           total_bytes, novel_bytes,
+           ROUND(novel_bytes * 1.0 / total_bytes, 12) AS novelty
+    FROM acc
+    """,
+    doc="Incremental ingest over a CDC chunk store (the rsync/restic/"
+    "crawl-re-ingest accounting): docs with doc_id%5=0 stand in for the "
+    "already-ingested corpus whose chunk hashes are the STORE; each "
+    "incoming doc reports how many of its content-defined chunks the "
+    "store already holds and the novel-byte volume actually requiring "
+    "transfer/storage — the deduplication-ratio ledger every chunked "
+    "object store keeps. Pairs with q_incremental_neardup (minhash "
+    "bucket store, doc-level) as the CHUNK-level incremental path: CDC "
+    "boundaries re-align around edits (95.4% measured, SCALE.md CDC "
+    "ladder), so a re-crawled page pays only its edited spans. Plan: "
+    "per-batch cost is O(|incoming|) chunking (one array projection) + "
+    "one equi-join of 16-byte digests against the store; at scale the "
+    "store is a bucketed table on chunk_hash and the probe co-locates "
+    "(sinks/bucketed.py), exactly like the minhash store.",
+    tags=("dedup", "incremental", "multimodal"),
+)
+def q_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _cdc_chunk_rows(load_table(spark, sf_dir, "documents"))
+    hashed = g.select(
+        "doc_id",
+        F.md5("chunk").alias("chunk_hash"),
+        F.octet_length(F.encode("chunk", "utf-8")).alias("nbytes"),
+    )
+    store = (
+        hashed.filter(F.col("doc_id") % 5 == 0).select("chunk_hash").distinct()
+        .withColumn("known", F.lit(1))
+    )
+    incoming = hashed.filter(F.col("doc_id") % 5 != 0)
+    return (
+        incoming.join(store, "chunk_hash", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("known").cast("bigint").alias("n_known_chunks"),
+            F.sum("nbytes").cast("bigint").alias("total_bytes"),
+            F.sum(F.when(F.col("known").isNull(), F.col("nbytes")).otherwise(F.lit(0)))
+            .cast("bigint")
+            .alias("novel_bytes"),
+        )
+        .select(
+            "doc_id", "n_chunks", "n_known_chunks", "total_bytes", "novel_bytes",
+            F.round(F.col("novel_bytes").cast("double") / F.col("total_bytes"), 12).alias(
+                "novelty"
+            ),
+        )
+    )
