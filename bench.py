@@ -123,6 +123,7 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_survival_curve",
     "q_incremental_cdc",
+    "q_dataset_card",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -207,6 +208,7 @@ _POST_R01 = (
     "q_semantic_dedup",
     "q_survival_curve",
     "q_incremental_cdc",
+    "q_dataset_card",
 )
 
 

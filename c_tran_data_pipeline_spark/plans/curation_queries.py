@@ -935,3 +935,111 @@ def q_source_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("jsd"),
     )
+
+
+@query(
+    "q_dataset_card",
+    f"""
+    WITH base AS (
+        SELECT doc_id, source, lang, n_chars,
+               len(string_split_regex(trim(text), '\\s+')) AS n_tokens,
+               md5(text) AS h,
+               CAST(round(({quality_sql()}) * 1000000) AS BIGINT) AS q_micro
+        FROM documents
+    ),
+    dup AS (SELECT h, COUNT(*) AS nh FROM base GROUP BY 1),
+    wd AS (SELECT base.*, CAST(nh > 1 AS INT) AS is_dup FROM base JOIN dup USING (h)),
+    lc AS (SELECT source, lang, COUNT(*) AS c FROM wd GROUP BY 1, 2),
+    le AS (SELECT source,
+                  CAST(SUM(CAST(round(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) * c)
+                       AS BIGINT) AS sw,
+                  CAST(SUM(c) AS BIGINT) AS nn
+           FROM lc GROUP BY 1),
+    med AS (
+        SELECT source, n_chars AS median_n_chars FROM (
+            SELECT source, n_chars, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+                   COUNT(*) OVER (PARTITION BY source) AS ns
+            FROM wd
+        ) WHERE rn = (ns + 1) // 2
+    ),
+    agg AS (
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(is_dup) AS BIGINT) AS n_dup_docs,
+               CAST(SUM(q_micro) AS BIGINT) AS q_sum_micro
+        FROM wd GROUP BY 1
+    )
+    SELECT source, n_docs, n_tokens,
+           ROUND(n_dup_docs * 1.0 / n_docs, 12) AS dup_doc_share,
+           ROUND(CAST(q_sum_micro AS DOUBLE) / 1e6 / n_docs, 6) AS mean_quality,
+           ROUND(ln(CAST(nn AS DOUBLE)) - (CAST(sw AS DOUBLE) / 1e6) / nn, 12) AS lang_entropy,
+           median_n_chars
+    FROM agg JOIN le USING (source) JOIN med USING (source)
+    """,
+    doc="Per-source dataset card — the release-manifest table every "
+    "corpus ships with: doc and token counts, exact-duplicate share "
+    "(corpus-wide md5 membership attributed per source), mean quality, "
+    "language-mix entropy, and median document length, in ONE query. "
+    "Each column uses the repo's exactness recipe for its type: "
+    "duplicate share from a digest-keyed count join; mean quality as an "
+    "exact BIGINT sum of per-row micro-units (a double sum would be "
+    "fold-order-dependent); entropy via the q_user_entropy ln-micros "
+    "integerization; the median as a rank pick (no float percentile). "
+    "Plan: one token/hash/quality projection over the scan, a digest "
+    "count join, then three aggs sharing the source partitioning "
+    "(AQE reuses the exchange); output is |sources| rows.",
+    tags=("curation", "report", "stats"),
+)
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    base = d.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.array_size(F.split(F.trim("text"), r"\s+")).alias("n_tokens"),
+        F.md5("text").alias("h"),
+        F.round(quality_score("text") * 1000000).cast("bigint").alias("q_micro"),
+    )
+    dup = base.groupBy("h").agg(F.count(F.lit(1)).alias("nh"))
+    wd = base.join(dup, "h").withColumn("is_dup", (F.col("nh") > 1).cast("int"))
+    lang_c = wd.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    lang_e = lang_c.groupBy("source").agg(
+        F.sum(
+            F.round(F.log(F.col("c").cast("double")) * 1000000).cast("bigint") * F.col("c")
+        )
+        .cast("bigint")
+        .alias("sw"),
+        F.sum("c").cast("bigint").alias("nn"),
+    )
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    med = (
+        wd.withColumn("rn", F.row_number().over(w))
+        .withColumn("ns", F.count(F.lit(1)).over(Window.partitionBy("source")))
+        .filter(F.col("rn") == F.expr("(ns + 1) DIV 2"))
+        .select("source", F.col("n_chars").alias("median_n_chars"))
+    )
+    agg = wd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.sum("is_dup").cast("bigint").alias("n_dup_docs"),
+        F.sum("q_micro").cast("bigint").alias("q_sum_micro"),
+    )
+    return (
+        agg.join(lang_e, "source")
+        .join(med, "source")
+        .select(
+            "source", "n_docs", "n_tokens",
+            F.round(F.col("n_dup_docs").cast("double") / F.col("n_docs"), 12).alias(
+                "dup_doc_share"
+            ),
+            F.round(F.col("q_sum_micro").cast("double") / 1e6 / F.col("n_docs"), 6).alias(
+                "mean_quality"
+            ),
+            F.round(
+                F.log(F.col("nn").cast("double"))
+                - (F.col("sw").cast("double") / 1e6) / F.col("nn"),
+                12,
+            ).alias("lang_entropy"),
+            "median_n_chars",
+        )
+    )
