@@ -193,6 +193,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_bm25_rank_pruned",
     # 1-row L1 normalization total per HITS half-step (4 scalars total)
     "q_hits",
+    # 1-row observation-horizon max(ts) re-entering as the censoring bound
+    "q_survival_curve",
 }
 
 
