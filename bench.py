@@ -124,6 +124,8 @@ HEADLINE = [
     "q_survival_curve",
     "q_incremental_cdc",
     "q_dataset_card",
+    "q_lm_score_kn",
+    "q_lsh_quality",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -209,6 +211,8 @@ _POST_R01 = (
     "q_survival_curve",
     "q_incremental_cdc",
     "q_dataset_card",
+    "q_lm_score_kn",
+    "q_lsh_quality",
 )
 
 

@@ -931,3 +931,88 @@ def q_incremental_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_lsh_quality",
+    f"""
+    WITH {_SHINGLES_CTE},
+    seeded AS (SELECT doc_id, seed, substr(md5(concat(seed, ':', shingle)), 1, 15) AS h
+               FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS seed)),
+    sig AS (SELECT doc_id, seed, MIN(h) AS minhash FROM seeded GROUP BY doc_id, seed),
+    bucketed AS (SELECT doc_id, seed // 4 AS band,
+                        md5(string_agg(minhash, ',' ORDER BY seed)) AS bucket
+                 FROM sig GROUP BY doc_id, seed // 4),
+    cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+             FROM bucketed a JOIN bucketed b USING (band, bucket)
+             WHERE a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+    inter AS (SELECT a.doc_id AS d1, b.doc_id AS d2, COUNT(*) AS n_common
+              FROM sh a JOIN sh b USING (shingle)
+              WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+    truep AS (SELECT d1, d2 FROM inter
+              JOIN sizes s1 ON d1 = s1.doc_id JOIN sizes s2 ON d2 = s2.doc_id
+              WHERE n_common * 1.0 / (s1.n + s2.n - n_common) >= 0.8),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    u AS (
+        SELECT COALESCE(c.d1, t.d1) AS d1, COALESCE(c.d2, t.d2) AS d2,
+               c.d1 IS NOT NULL AS isc, t.d1 IS NOT NULL AS ist
+        FROM cand c FULL JOIN truep t ON c.d1 = t.d1 AND c.d2 = t.d2
+    ),
+    agg AS (
+        SELECT CAST(SUM(CAST(isc AS INT)) AS BIGINT) AS n_candidates,
+               CAST(SUM(CAST(ist AS INT)) AS BIGINT) AS n_true_pairs,
+               CAST(SUM(CAST(isc AND ist AS INT)) AS BIGINT) AS n_hits
+        FROM u
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs * (n_docs - 1) / 2 AS BIGINT) AS n_possible_pairs,
+           n_candidates, n_true_pairs, n_hits,
+           ROUND(CAST(n_hits AS DOUBLE) / n_true_pairs, 12) AS recall,
+           ROUND(CAST(n_candidates AS DOUBLE) / (n_docs * (n_docs - 1) / 2), 12)
+               AS candidate_rate
+    FROM agg, nd
+    """,
+    doc="MinHash-LSH banding audited AS A QUERY with an exact oracle: "
+    "candidate pairs (16 hashes / 4 bands) set-compared against the "
+    "exact Jaccard-0.8 truth (inverted-index join, no sampling) — one "
+    "row with recall and candidate rate, the two numbers that decide a "
+    "banding recipe (recall = what dedup misses; candidate_rate = what "
+    "the verify stage pays; at this recipe the fixture measures recall "
+    "1.0 at ~2e-4 of all pairs). Both legs are deterministic relational "
+    "plans, so unlike the usual sampled recall estimate this audit is "
+    "EXACT and driver-hash-checked every round — the q_minhash_estimate "
+    "(per-pair sketch accuracy) and SCALE.md ladder (volume growth) "
+    "companions at the pair-set level. Scale: truth leg costs the "
+    "inverted-index join — run the audit on a hash-sampled slice at "
+    "production sizes, same plan.",
+    tags=("dedup", "report", "stats"),
+)
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_candidates(d, num_hashes=16, bands=4).select("d1", "d2")
+    true = ngram_jaccard_pairs(d, threshold=0.8).select("d1", "d2")
+    n_docs = d.count()  # scalar; bounded driver state
+    stats = (
+        cand.withColumn("src", F.lit("c"))
+        .unionByName(true.withColumn("src", F.lit("t")))
+        .groupBy("d1", "d2")
+        .agg(F.collect_set("src").alias("s"))
+        .agg(
+            F.sum(F.array_contains("s", "c").cast("int")).cast("bigint").alias("n_candidates"),
+            F.sum(F.array_contains("s", "t").cast("int")).cast("bigint").alias("n_true_pairs"),
+            F.sum((F.array_contains("s", "c") & F.array_contains("s", "t")).cast("int"))
+            .cast("bigint")
+            .alias("n_hits"),
+        )
+    )
+    possible = F.lit(n_docs) * (n_docs - 1) / 2
+    return stats.select(
+        F.lit(n_docs).cast("bigint").alias("n_docs"),
+        possible.cast("bigint").alias("n_possible_pairs"),
+        "n_candidates",
+        "n_true_pairs",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.col("n_true_pairs"), 12).alias("recall"),
+        F.round(F.col("n_candidates").cast("double") / possible, 12).alias("candidate_rate"),
+    )

@@ -65,15 +65,17 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # threshold). Rolling this forward each round keeps every query's
 # evidence ≤ 2 rounds old.
 #
-# Round-4 registered 58 new queries — 8 more than the 50-row gate
-# budget. The tail eight (CMS heavy hitters, pagerank, canonical dedup,
-# bloom prefilter, phrase search, constraint audit, linear
-# interpolation, pruned BM25 —
+# Round-4 registered 60 new queries — 10 more than the 50-row gate
+# budget. The tail ten (k-hop BFS, random walk, CMS heavy hitters,
+# pagerank, canonical dedup, bloom prefilter, phrase search, constraint
+# audit, linear interpolation, pruned BM25 —
 # the earliest wave-2 registrations, each already verified by full
 # oracle-corpus runs at BOTH SFs recorded in VERIFICATION.md) roll to
 # the round-5 gate; they must LEAD round 5's list.
 _GATE_FIRST: tuple[str, ...] = (
     # round-4 registrations — no prior evidence by construction:
+    "q_lm_score_kn",
+    "q_lsh_quality",
     "q_dataset_card",
     "q_incremental_cdc",
     "q_survival_curve",

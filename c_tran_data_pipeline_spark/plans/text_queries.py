@@ -1507,3 +1507,84 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_fraction"),
         (F.col("n_dup_shingles") * 2 > F.col("n_shingles")).alias("drop_doc"),
     )
+
+
+@query(
+    "q_lm_score_kn",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1plus_fwd
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS n1plus_bwd FROM c12 GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n_bigram_types FROM c12),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(ln(
+                   greatest(c12 - 0.75, 0.0) / c1
+                   + (0.75 * n1plus_fwd / c1)
+                     * (CAST(n1plus_bwd AS DOUBLE) / n_bigram_types)
+               ), 9) AS DECIMAL(18,9)) AS lp
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2), nt
+    )
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp_kn
+    FROM scored GROUP BY 1
+    """,
+    doc="Interpolated Kneser-Ney bigram LM scoring — the smoothing that "
+    "made n-gram LMs work (Kneser & Ney 1995 / Chen & Goodman 1998) and "
+    "what KenLM-class perplexity filters actually run, upgrading "
+    "q_lm_score's add-one strawman: P(w2|w1) = max(c12−D,0)/c1 + "
+    "(D·N1+(w1·)/c1)·Pcont(w2), where the CONTINUATION probability "
+    "Pcont(w2) = N1+(·w2)/|bigram types| counts how many contexts a "
+    "word follows rather than how often it occurs — the fix for "
+    "high-frequency-but-context-bound words ('Francisco' is frequent "
+    "but only ever follows 'San', so KN backs off to it reluctantly; "
+    "raw-frequency backoff overweights it). All sufficient statistics "
+    "are exact integer aggs on word/bigram keys (forward and backward "
+    "continuation counts are two group-bys over the SAME c12 relation — "
+    "AQE reuses the exchange); the bigram-type total re-enters as a "
+    "broadcast scalar; D=0.75 is exact in binary. Per-bigram log-probs "
+    "round to 9 dp, sum as exact DECIMAL (q_lm_score policy) so the "
+    "doc mean is bit-stable across engines and partitionings.",
+    tags=("text", "quality", "lm"),
+)
+def q_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
+    bg = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(w)-1, 0)),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.w1", "u.w2")
+    c12 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"), F.count(F.lit(1)).alias("n1plus_fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1plus_bwd"))
+    ntypes = c12.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    D = F.lit(0.75)
+    p = F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("c1") + (
+        D * F.col("n1plus_fwd") / F.col("c1")
+    ) * (F.col("n1plus_bwd").cast("double") / F.col("n_bigram_types"))
+    lp = F.round(F.log(p), 9).cast("decimal(18,9)")
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp_kn"),
+    )
