@@ -174,6 +174,8 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_ann_neardup_lsh",
     "q_boilerplate_scrub",
     "q_lm_score",
+    # 1-row bigram-type total re-entering as the Pcont denominator
+    "q_lm_score_kn",
     # 1-row mean-balance scalar re-entering as a broadcast filter bound
     "q_idle_customers",
     # 1-row corpus-total scalar for the mixture-share denominator

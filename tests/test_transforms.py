@@ -426,3 +426,42 @@ def test_conversion_latency_rank_picks(spark):
     assert (r.min_latency_us, r.max_latency_us) == (60_000_000, 600_000_000)
     assert r.median_latency_us == 5 * 60_000_000
     assert r.p90_latency_us == 9 * 60_000_000
+
+
+def test_kneser_ney_distribution_sums_to_one(spark):
+    """Interpolated KN is a PROPER probability distribution: for every
+    context w1, summing P(w2|w1) over the whole vocabulary (seen pairs
+    get the discounted term, every word gets its continuation share)
+    must give exactly 1 — the invariant separating real smoothing from
+    an ad-hoc score. Verified in plain Python from the same counts the
+    registered query aggregates."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select(F.split(F.trim("text"), r"\s+").alias("w")).collect()
+    c12: Counter = Counter()
+    for r in rows:
+        w = r["w"]
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1: Counter = Counter()
+    fwd: Counter = Counter()
+    bwd: Counter = Counter()
+    for (a, b), c in c12.items():
+        c1[a] += c
+        fwd[a] += 1
+        bwd[b] += 1
+    n_types = len(c12)
+    vocab = set(bwd) | set(c1)
+    D = 0.75
+    for w1 in list(c1)[:50]:
+        total = 0.0
+        for w2 in vocab:
+            cont = bwd.get(w2, 0) / n_types
+            disc = max(c12.get((w1, w2), 0) - D, 0.0) / c1[w1]
+            total += disc + (D * fwd[w1] / c1[w1]) * cont
+        # Pcont sums to 1 over the vocab by construction (Σ bwd = n_types),
+        # and the discount mass returned equals the mass removed
+        assert abs(total - 1.0) < 1e-9, f"KN mass for context {w1!r}: {total}"
