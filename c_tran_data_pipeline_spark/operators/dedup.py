@@ -213,6 +213,12 @@ def minhash_buckets(
     persist it as the dedup INDEX: a doc's buckets depend only on its own
     text, so the stored table never needs recomputation when the corpus
     grows (see ``incremental_neardup``)."""
+    if num_hashes % bands:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}): "
+            f"slice-based banding would silently drop the trailing "
+            f"{num_hashes % bands} signature entries and weaken LSH recall"
+        )
     rows_per_band = num_hashes // bands
     # The signature array is already in seed order, so each band's bucket
     # is md5 over a SLICE of it — banding happens in the same projection

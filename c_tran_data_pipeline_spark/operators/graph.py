@@ -173,9 +173,14 @@ def dedup_clusters(
     min-propagation loop unchanged; pass ``local_threshold=0`` to force
     it."""
     if local_threshold:
-        pairs = pairs.select(F.col(src), F.col(dst)).localCheckpoint(eager=False)
-        if pairs.count() <= local_threshold:
-            return _local_components(pairs, src, dst)
+        # Bounded probe, NOT a full count: limit(threshold+1) lets Spark
+        # stop scanning once the bound is exceeded, so graphs far above
+        # the threshold don't pay a full pair-list materialization just
+        # to learn they take the distributed path. Small graphs recompute
+        # the (bounded) pair lineage once more at collect — cheap.
+        probe = pairs.select(F.col(src), F.col(dst)).limit(local_threshold + 1).count()
+        if probe <= local_threshold:
+            return _local_components(pairs.select(F.col(src), F.col(dst)), src, dst)
     return connected_components(pairs, src=src, dst=dst).select(
         F.col("node").alias("doc_id"), "component"
     )

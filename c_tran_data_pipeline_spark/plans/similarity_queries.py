@@ -1134,6 +1134,15 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.similarity import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # The planted-twin ids live above a fixed offset; fail LOUDLY if a
+    # larger fixture ever reaches it (silent collision would corrupt
+    # components and the min-id representative invariant the tests pin).
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= 1_000_000:
+        raise ValueError(
+            f"embeddings.vec_id reaches {max_id}; planted-twin offset "
+            "1_000_000 would collide with real vectors — raise the offset"
+        )
     twins = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1_000_000).alias("vec_id"),
         F.expr(

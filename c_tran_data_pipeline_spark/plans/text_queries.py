@@ -1463,10 +1463,16 @@ def q_repeated_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The gram STRING never leaves the projection: both the count agg and
-    # the membership join key on a 128-bit fingerprint (two independent
-    # xxhash64 seeds), so shuffle rows are 16 bytes instead of the ~60-byte
-    # 8-gram text. Collision risk at 1e12 grams: ~1e24/2^129 ≈ 1e-15 — the
-    # standard exact-substring-dedup fingerprint trade (Lee et al.).
+    # the membership join key on a 128-bit fingerprint — two xxhash64
+    # values over DIFFERENTLY-SALTED inputs, so shuffle rows are 16 bytes
+    # instead of the ~60-byte 8-gram text. The salt matters: Spark's
+    # multi-arg xxhash64(gram, 7) CHAINS arguments (the second hash would
+    # be a deterministic function of the first, so every h1 collision is
+    # an (h1,h2) collision and the pair is effectively 64-bit,
+    # ~n²/2^65 expected collisions). Hashing a salted copy of the input
+    # string keeps the two 64-bit values independent: pair collision odds
+    # ~n²/2^129 ≈ 1e-15 at 1e12 grams — the standard
+    # exact-substring-dedup fingerprint trade (Lee et al.).
     # Tokenize ONCE into an array column; spread() fans the single-row-group
     # fixture scan across cores before the explode (measured 5× at sf0.1).
     toks = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
@@ -1479,7 +1485,7 @@ def q_dup_span_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "CASE WHEN size(tk) >= 8 THEN"
                 " transform(sequence(1, size(tk) - 7),"
                 " i -> struct(xxhash64(concat_ws(' ', slice(tk, i, 8))) AS h1,"
-                "             xxhash64(concat_ws(' ', slice(tk, i, 8)), 7) AS h2))"
+                "             xxhash64(concat('7:', concat_ws(' ', slice(tk, i, 8)))) AS h2))"
                 " ELSE array() END"
             )
         ).alias("gh"),
@@ -1559,10 +1565,16 @@ def q_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = d.select("doc_id", F.split(F.trim("text"), r"\s+").alias("w"))
     bg = base.select(
         "doc_id",
+        # Guard the single-word doc: sequence(1, 0) in Spark is the
+        # DESCENDING array [1, 0], so the unguarded transform would index
+        # w[1]/w[-1] — ANSI INVALID_ARRAY_INDEX. DuckDB's
+        # generate_series(1, 0) is empty, so the guarded shapes agree.
         F.explode(
             F.expr(
-                "transform(sequence(1, greatest(size(w)-1, 0)),"
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w)-1),"
                 " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
             )
         ).alias("u"),
     ).select("doc_id", "u.w1", "u.w2")

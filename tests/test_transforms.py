@@ -465,3 +465,28 @@ def test_kneser_ney_distribution_sums_to_one(spark):
         # Pcont sums to 1 over the vocab by construction (Σ bwd = n_types),
         # and the discount mass returned equals the mass removed
         assert abs(total - 1.0) < 1e-9, f"KN mass for context {w1!r}: {total}"
+
+
+def test_kneser_ney_single_word_doc_no_crash(spark):
+    """Regression: a single-word document must produce ZERO bigrams, not
+    an ANSI INVALID_ARRAY_INDEX. Spark's sequence(1, 0) is the
+    DESCENDING array [1, 0] — the unguarded transform indexed w[1] and
+    w[-1] on a one-word array. The guarded builder emits an empty typed
+    array (matching DuckDB's empty generate_series(1, 0)), so the doc
+    simply has no row in the output."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.text_queries import q_lm_score_kn
+
+    docs = [
+        (1, "solitary", "en", "s", 0),                 # 1 word -> no bigrams
+        (2, "", "en", "s", 0),                         # empty -> no bigrams
+        (3, "two words two words two words", "en", "s", 0),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q_lm_score_kn(spark, d).collect()}
+    assert set(out) == {3}
+    assert out[3].n_bigrams == 5
