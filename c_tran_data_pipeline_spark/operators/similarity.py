@@ -973,6 +973,7 @@ def semantic_dedup(
     dim: int | None = None,
     nprobe: int = 2,
     train_df: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster the
     embedding space with the deterministic IVF k-means, generate
@@ -1007,8 +1008,12 @@ def semantic_dedup(
     else:
         # train-on-sample, assign-full-corpus (pass a deterministic_sample
         # as train_df — the IVF recipe; blocking quality needs a usable
-        # partition of space, not centroids fit to every vector)
-        cents = _kmeans_rows(
+        # partition of space, not centroids fit to every vector).
+        # ``centroids`` short-circuits training entirely — the persisted-
+        # store path (build_semantic_store / incremental_semantic_dedup)
+        # shares ONE centroid table across the base build and every
+        # later batch, the invariant incremental == full depends on.
+        cents = centroids if centroids is not None else _kmeans_rows(
             train_df if train_df is not None else df,
             nlist=nlist, iters=iters, key=key, vec=vec, dim=dim,
         )

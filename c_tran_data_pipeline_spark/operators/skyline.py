@@ -74,11 +74,16 @@ def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float | Column = 100
     # Exact sweep: preceding rows under (x desc, y desc) are precisely
     # the potential dominators of the current row (ties on BOTH axes
     # were removed by distinct, so "preceding" is never an equal point).
-    wsweep = Window.orderBy(F.desc("x"), F.desc("y")).rowsBetween(
-        Window.unboundedPreceding, -1
+    # The strictly-preceding running max is operators/rank.py's
+    # global_cummax — range-partitioned, so even an adversarial
+    # distribution that defeats the grid prune never funnels the
+    # candidate set through one task.
+    from c_tran_data_pipeline_spark.operators.rank import global_cummax
+
+    swept = global_cummax(
+        cand, [F.desc("x"), F.desc("y")], "y", "__pmax", inclusive=False
     )
     return (
-        cand.withColumn("__pmax", F.max("y").over(wsweep))
-        .filter(F.col("__pmax").isNull() | (F.col("__pmax") < F.col("y")))
+        swept.filter(F.col("__pmax").isNull() | (F.col("__pmax") < F.col("y")))
         .select("x", "y")
     )

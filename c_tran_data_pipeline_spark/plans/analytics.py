@@ -934,11 +934,14 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         (F.unix_micros("t_purchase") - F.unix_micros("t_view")).alias("latency_us"),
     )
-    r = lat.select(
-        "latency_us",
-        F.row_number().over(Window.orderBy("latency_us", "user_id")).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
-    )
+    # Exact rank picks via the range-partitioned global rank
+    # (operators/rank.py) — scale-safe even though the |converted
+    # users| grain is already far below event volume.
+    from c_tran_data_pipeline_spark.operators.rank import global_rank
+
+    r = global_rank(
+        lat, ["latency_us", "user_id"], rank_col="rn", total_col="n"
+    ).select("latency_us", "rn", "n")
     return r.agg(
         F.max("n").alias("n_converted"),
         F.min("latency_us").alias("min_latency_us"),

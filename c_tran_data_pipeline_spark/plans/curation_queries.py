@@ -533,27 +533,31 @@ def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     "RNG state — position striped across 8 shards so each shard is an "
     "unbiased sample of the whole corpus (contiguous slicing would "
     "put correlated ingest neighbors in one shard). The global "
-    "ROW_NUMBER is a repartitionByRange(shuffle_key) + in-partition "
-    "rank + per-partition-offset broadcast at scale; Spark's single "
-    "window here is the small-corpus form of the same plan, and the "
-    "md5 key is what guarantees both produce identical positions. "
+    "ROW_NUMBER is operators/rank.py's global_rank: "
+    "repartitionByRange(shuffle_key) + in-partition row_number + "
+    "per-partition-count prefix offsets broadcast back — no "
+    "single-partition exchange anywhere, and the md5 key guarantees "
+    "balanced ranges at any scale. "
     "For writer-side sharding the position is unnecessary: "
     "pmod(md5_long(key), shards) needs no global sort at all — this "
     "query pins the ORDER, which epoch-streaming loaders need.",
     tags=("curation", "sampling", "training"),
 )
 def q_global_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from c_tran_data_pipeline_spark.operators.rank import global_rank
 
     d = load_table(spark, sf_dir, "documents")
     keyed = d.select(
         "doc_id",
         F.md5(F.concat_ws(":", F.lit("shuffle"), F.col("doc_id"))).alias("shuffle_key"),
     )
-    w = Window.orderBy("shuffle_key", "doc_id")
-    return keyed.select(
+    # Range-partitioned exact global row number (operators/rank.py) —
+    # the md5 key is uniform, so the range partitions are balanced and
+    # no single task ever sees the whole corpus.
+    ranked = global_rank(keyed, ["shuffle_key", "doc_id"], rank_col="__rn")
+    return ranked.select(
         "doc_id",
-        (F.row_number().over(w) - 1).alias("position"),
+        (F.col("__rn") - 1).alias("position"),
     ).withColumn("shard", F.col("position") % 8)
 
 
@@ -780,28 +784,30 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pure rank arithmetic: within-source row_number → target global "
     "index via integer half-up division (2(rk−1)(N−1)+(ns−1)) DIV "
     "(2(ns−1)) — no float percentile anywhere — then one equi-join on "
-    "the index into the globally ranked table. Scale note: the global "
-    "rank is a single-partition window at fixture size; at 100 TB it "
-    "becomes repartitionByRange + in-partition row_number + offset by "
-    "partition counts (the q_global_shuffle_shards recipe), same "
-    "semantics.",
+    "the index into the globally ranked table. The global rank and the "
+    "COUNT(*) OVER () total both come from operators/rank.py's "
+    "range-partitioned global_rank — no single-partition exchange at "
+    "any scale; only the per-source window remains partitioned.",
     tags=("curation", "quality", "stats"),
 )
 def q_quantile_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     from c_tran_data_pipeline_spark.functions.text import quality_score
+    from c_tran_data_pipeline_spark.operators.rank import global_rank
 
     d = load_table(spark, sf_dir, "documents")
     q = d.select("doc_id", "source", quality_score("text").alias("quality"))
+    # Global index + total via the range-partitioned exact rank
+    # (operators/rank.py) — no single-partition window; the per-source
+    # rank stays a partitioned window (each source is one hash group).
     w_src = Window.partitionBy("source").orderBy("quality", "doc_id")
-    w_glob = Window.orderBy("quality", "doc_id")
-    ranked = q.select(
-        "doc_id", "source", "quality",
+    ranked = global_rank(
+        q, ["quality", "doc_id"], rank_col="gidx", total_col="N"
+    ).select(
+        "doc_id", "source", "quality", "gidx", "N",
         F.row_number().over(w_src).alias("rk"),
         F.count(F.lit(1)).over(Window.partitionBy("source")).alias("ns"),
-        F.row_number().over(w_glob).alias("gidx"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("N"),
     )
     tgt = F.when(
         F.col("ns") > 1, F.expr("1 + (2*(rk-1)*(N-1) + (ns-1)) DIV (2*(ns-1))")

@@ -2287,15 +2287,15 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "recipe) so sums are exact; recency is integer days; NTILE is ANSI "
     "(first n mod k buckets one larger) with a custkey tie-break, so "
     "both engines bucket identically. Plan: one partial-first agg to "
-    "the |customers| grain, then three rank windows over THAT table — "
-    "the global-order windows are single-partition, which is fine on "
-    "the aggregated grain here; at 100 TB the quintile boundaries come "
-    "from one 4-cutpoint quantile pass broadcast back (doc'd, same "
-    "results), never a global sort of the fact table.",
+    "the |customers| grain, then three global_ntile passes "
+    "(operators/rank.py: range partition + in-partition rank + prefix "
+    "offsets) over THAT table — exact quintiles with no "
+    "single-partition sort at any scale, and never a global sort of "
+    "the fact table.",
     tags=("olap", "window", "segment"),
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     agg = o.groupBy("o_custkey").agg(
@@ -2306,15 +2306,27 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("monetary_cents"),
-    )
-    return agg.select(
+    ).select(
         F.col("o_custkey").alias("custkey"),
         "recency_days",
         "frequency",
         "monetary_cents",
-        (F.lit(6) - F.ntile(5).over(Window.orderBy("recency_days", "o_custkey"))).alias("r_score"),
-        F.ntile(5).over(Window.orderBy("frequency", "o_custkey")).alias("f_score"),
-        F.ntile(5).over(Window.orderBy("monetary_cents", "o_custkey")).alias("m_score"),
+    )
+    # Three exact ANSI quintile scores via operators/rank.py global_ntile
+    # (range-partitioned rank arithmetic) — each dimension is one
+    # balanced range shuffle of the customer-grain table, never a
+    # single-partition sort of it.
+    scored = global_ntile(agg, 5, ["recency_days", "custkey"], bucket_col="__r_nt")
+    scored = global_ntile(scored, 5, ["frequency", "custkey"], bucket_col="f_score")
+    scored = global_ntile(scored, 5, ["monetary_cents", "custkey"], bucket_col="m_score")
+    return scored.select(
+        "custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        (F.lit(6) - F.col("__r_nt")).alias("r_score"),
+        "f_score",
+        "m_score",
     )
 
 
@@ -2386,19 +2398,24 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     pv = s.groupBy("v").agg(
         F.sum("g1").cast("bigint").alias("c1"), F.sum("g2").cast("bigint").alias("c2")
     )
-    wv = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = pv.select(
+    # Scale-safe exact ECDFs: global_cumsum (operators/rank.py) range-
+    # partitions the distinct-cents grid — v is unique post-groupBy, so
+    # the ROWS running sum equals the former RANGE frame. The global
+    # max re-enters as a 1-row broadcast scalar, not an unpartitioned
+    # window.
+    from c_tran_data_pipeline_spark.operators.rank import global_cumsum
+
+    cum = global_cumsum(pv, ["v"], ["c1", "c2"]).select(
         "v",
-        F.sum("c1").over(wv).cast("bigint").alias("f1"),
-        F.sum("c2").over(wv).cast("bigint").alias("f2"),
-        F.sum("c1").over(wall).cast("bigint").alias("n1"),
-        F.sum("c2").over(wall).cast("bigint").alias("n2"),
+        F.col("c1_cum").cast("bigint").alias("f1"),
+        F.col("c2_cum").cast("bigint").alias("f2"),
+        F.col("c1_tot").cast("bigint").alias("n1"),
+        F.col("c2_tot").cast("bigint").alias("n2"),
     )
     dn = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
-    d = cum.select(
-        "v", "n1", "n2", dn.alias("dn"), F.max(dn).over(wall).alias("dmax")
-    )
+    grid = cum.select("v", "n1", "n2", dn.alias("dn"))
+    dmax = grid.agg(F.max("dn").alias("dmax"))
+    d = grid.crossJoin(F.broadcast(dmax))
     return d.filter(F.col("dn") == F.col("dmax")).agg(
         F.max("n1").alias("n1"),
         F.max("n2").alias("n2"),
@@ -2522,15 +2539,14 @@ def q_top_supplier_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rev_cents")
         )
     )
-    from pyspark.sql.window import Window
-
-    wall = Window.partitionBy()
-    t = rev.select(
-        "l_suppkey",
-        "rev_cents",
-        F.max("rev_cents").over(wall).alias("max_rev"),
-        F.sum("rev_cents").over(wall).cast("bigint").alias("total_rev"),
+    # Both corpus-wide quantities are SCALARS — a 1-row aggregate
+    # re-entering as a broadcast (the q_important_stock pattern), not an
+    # unpartitioned window funnelling the supplier grain into one task.
+    tot = rev.agg(
+        F.max("rev_cents").alias("max_rev"),
+        F.sum("rev_cents").cast("bigint").alias("total_rev"),
     )
+    t = rev.crossJoin(F.broadcast(tot))
     return (
         t.join(F.broadcast(s), t.l_suppkey == s.s_suppkey)
         .filter(F.col("rev_cents") == F.col("max_rev"))
@@ -2746,15 +2762,19 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g1").cast("bigint").alias("c1"),
         (F.sum("g1") + F.sum("g2")).cast("bigint").alias("c"),
     )
-    wv = Window.orderBy("v").rangeBetween(Window.unboundedPreceding, 0)
-    wall = Window.partitionBy()
-    cum = pv.select(
+    # Scale-safe exact rank sums: global_cumsum (operators/rank.py)
+    # over the distinct-cents grid (v unique post-groupBy, so the ROWS
+    # running sum equals the former RANGE frame); group totals come
+    # from the same bookkeeping aggregate.
+    from c_tran_data_pipeline_spark.operators.rank import global_cumsum
+
+    cum = global_cumsum(pv, ["v"], ["c1", "c"]).select(
         "v",
         "c1",
         "c",
-        (F.sum("c").over(wv).cast("bigint") - F.col("c")).alias("before_cnt"),
-        F.sum("c1").over(wall).cast("bigint").alias("n1"),
-        (F.sum(F.col("c") - F.col("c1")).over(wall)).cast("bigint").alias("n2"),
+        (F.col("c_cum").cast("bigint") - F.col("c")).alias("before_cnt"),
+        F.col("c1_tot").cast("bigint").alias("n1"),
+        (F.col("c_tot") - F.col("c1_tot")).cast("bigint").alias("n2"),
     )
     agg = cum.agg(
         F.max("n1").alias("n1"),

@@ -73,7 +73,73 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # oracle-corpus runs at BOTH SFs recorded in VERIFICATION.md) roll to
 # the round-5 gate; they must LEAD round 5's list.
 _GATE_FIRST: tuple[str, ...] = (
-    # round-4 registrations — no prior evidence by construction:
+    # ROUND-5 ORDER. 1) The ten round-4 registrations that rolled past
+    # the 50-row gate budget (never driver-gated; verified by oracle-CLI
+    # runs at both SFs in VERIFICATION.md and by the r4 judge) — they
+    # LEAD, per VERDICT.md r4 item 3:
+    "q_khop_reach",
+    "q_random_walk",
+    "q_cms_heavy_hitters",
+    "q_pagerank",
+    "q_dedup_canonical",
+    "q_bloom_prefilter_join",
+    "q_phrase_search",
+    "q_constraint_audit",
+    "q_interpolate_linear",
+    "q_bm25_rank_pruned",
+    # 2) round-5 registrations (no prior evidence by construction):
+    # (prepend new names here as they are registered)
+    # -- ROUND5_NEW_MARKER --
+    # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
+    #    covers the 10 above + the first ~40 of these; the remainder
+    #    plus the r02/r04 cohorts rotate next round. Every name below
+    #    is ALSO re-verified by oracle-CLI/pytest runs each session —
+    #    driver rows are the belt-and-suspenders layer being rotated.
+    "q_window_hourly",
+    "q_profile_events",
+    "q_text_tokens",
+    "q_text_langid",
+    "q_text_quality",
+    "q_text_fingerprint",
+    "q_train_split",
+    "q_stratified_sample",
+    "q_domain_cap",
+    "q_corpus_prep",
+    "q_corpus_prep_neardup",
+    "q_incremental_ingest",
+    "q_dedup_exact",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_minhash_sig",
+    "q_dedup_minhash_lsh",
+    "q_dedup_clusters",
+    "q_dedup_simhash_pairs",
+    "q_binary_meta",
+    "q_multimodal_features",
+    "q_asof_prev_purchase",
+    "q_asof_tolerance",
+    "q_range_join_follows",
+    "q_rollup_pricing",
+    "q_cube_order_matrix",
+    "q_grouping_sets_shipping",
+    "q_approx_distinct",
+    "q_set_ops_cohorts",
+    "q_percentiles",
+    "q_approx_percentiles",
+    "q_running_total",
+    "q_asof_next_purchase",
+    "q_region_revenue",
+    "q_asof_nearest_purchase",
+    "q_vocab_topk",
+    "q_tfidf_top_terms",
+    "q_flagship_hotspot",
+    "q_flagship_hotspot_pm",
+    "q_conform_validate",
+    "q_breadcrumb_conform",
+    "q_distinct_tuples",
+    "q_first_wins_dedup",
+    "q_antijoin_absent",
+    "q_enrich_merge",
+    # 4) round-4 driver-gated names (freshest evidence, r04 rows):
     "q_lm_score_kn",
     "q_lsh_quality",
     "q_dataset_card",
@@ -124,71 +190,6 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_mmr_rerank",
     "q_hits",
     "q_triangle_count",
-    "q_khop_reach",
-    "q_random_walk",
-    "q_cms_heavy_hitters",
-    "q_pagerank",
-    "q_dedup_canonical",
-    "q_bloom_prefilter_join",
-    "q_phrase_search",
-    "q_constraint_audit",
-    "q_interpolate_linear",
-    "q_bm25_rank_pruned",
-    # r01-only evidence (stale 3 rounds, refresh all 44):
-    "q_window_hourly",
-    "q_profile_events",
-    "q_text_tokens",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_train_split",
-    "q_stratified_sample",
-    "q_domain_cap",
-    "q_corpus_prep",
-    "q_corpus_prep_neardup",
-    "q_incremental_ingest",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_sig",
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_simhash_pairs",
-    "q_binary_meta",
-    "q_multimodal_features",
-    "q_asof_prev_purchase",
-    "q_asof_tolerance",
-    "q_range_join_follows",
-    "q_rollup_pricing",
-    "q_cube_order_matrix",
-    "q_grouping_sets_shipping",
-    "q_approx_distinct",
-    "q_set_ops_cohorts",
-    "q_percentiles",
-    "q_approx_percentiles",
-    "q_running_total",
-    "q_asof_next_purchase",
-    "q_region_revenue",
-    "q_asof_nearest_purchase",
-    "q_vocab_topk",
-    "q_tfidf_top_terms",
-    "q_flagship_hotspot",
-    "q_flagship_hotspot_pm",
-    "q_conform_validate",
-    "q_breadcrumb_conform",
-    "q_distinct_tuples",
-    "q_first_wins_dedup",
-    "q_antijoin_absent",
-    "q_enrich_merge",
-    # oldest r02 rows, plan-changed-this-round first:
-    # (round 4 ultimately registered 50 new queries, so the 50-row gate
-    # is ENTIRELY new registrations this round and every stale name
-    # below the fold keeps only its r01/r02 evidence. ROUND-5 ROTATION:
-    # new r5 registrations first, then the whole r01-evidence block
-    # below (44 names, q_window_hourly..q_enrich_merge — 4 rounds stale
-    # by then), then the r02 cohort prioritizing plan-changed
-    # q_hybrid_search / q_bm25_rank. All of these are also covered by
-    # pytest/oracle-CLI runs each session; the driver rows are the
-    # belt-and-suspenders layer being rotated.)
 )
 
 

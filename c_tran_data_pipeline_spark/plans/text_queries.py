@@ -439,20 +439,23 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     "score (total order via doc_id tie-break, so bucket boundaries are "
     "deterministic cross-engine) + per-decile stats — the 'how much of "
     "the corpus survives a decile cut' planning query behind every "
-    "quality-threshold decision. A global NTILE is a single-partition "
-    "sort at 100 TB; the registry documents that the scale substitute is "
-    "approx_percentile cutpoints (q_approx_percentiles) feeding a "
-    "pushable filter — this query is the small-data exact twin that "
-    "validates those cutpoints.",
+    "quality-threshold decision. The NTILE is exact at scale: "
+    "operators/rank.py's global_ntile derives ANSI buckets "
+    "arithmetically from a range-partitioned global row number — no "
+    "single-partition sort. q_approx_percentiles remains the "
+    "one-pass-cheaper approximate twin for threshold planning.",
     tags=("text", "quality", "window"),
 )
 def q_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile
 
     d = load_table(spark, sf_dir, "documents")
     q = d.select("doc_id", "lang", quality_score("text").alias("quality"))
-    w = Window.orderBy(F.col("quality").desc(), F.col("doc_id").asc())
-    deciles = q.withColumn("decile", F.ntile(10).over(w))
+    # Exact ANSI NTILE via the range-partitioned global rank
+    # (operators/rank.py) — identical buckets, no single-partition sort.
+    deciles = global_ntile(
+        q, 10, [F.col("quality").desc(), F.col("doc_id").asc()], bucket_col="decile"
+    )
     return deciles.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.min("quality"), 6).alias("min_q"),

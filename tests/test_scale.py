@@ -197,6 +197,9 @@ _ALLOWED_SCALAR_BROADCAST = {
     "q_hits",
     # 1-row observation-horizon max(ts) re-entering as the censoring bound
     "q_survival_curve",
+    # 1-row global max |F1·n2 − F2·n1| re-entering as the KS supremum
+    # filter bound (replaced the former unpartitioned MAX window)
+    "q_ks_test",
 }
 
 
@@ -275,6 +278,95 @@ def test_no_unexpected_nested_loop_joins(spark):
     assert not offenders, f"quadratic join shape crept into: {offenders}"
 
 
+# ---------------------------------------------------------------------------
+# Global-window gate: no registered plan may feed an UNBOUNDED relation
+# through `Exchange SinglePartition` into a Window — the "Moving all
+# data to a single partition" scale-killer. Exact global ranks/cumsums
+# go through operators/rank.py (range partition + prefix offsets, plan
+# contains NO SinglePartition exchange). The allowlist below is for
+# windows over PROVABLY BOUNDED grains — each entry pins a regex the
+# offending window node must match, so a new unbounded window in the
+# same query still fails.
+# ---------------------------------------------------------------------------
+
+_BOUNDED_GLOBAL_WINDOW_NOTES = {
+    # Kaplan-Meier steps over the DAY-grain duration grid: ≤ corpus day
+    # horizon rows (events span a fixed date range), not event volume
+    "q_survival_curve": (r"windowspecdefinition\(dur_days#\d+L ASC", "day-horizon grid"),
+    # contingency-cell grid: |mktsegment| × |orderpriority| categorical
+    # domains (≤ dozens of rows at any corpus size)
+    "q_cramers_v": (r"sum\(n_obs#\d+L\)", "contingency-cell grid"),
+    "q_chi2_independence": (r"sum\(n_obs#\d+L\)", "contingency-cell grid"),
+    # Lorenz rank over the per-SOURCE token-mass aggregate (|sources|
+    # rows — a bounded categorical stratum table)
+    "q_source_gini": (r"row_number\(\)", "source strata"),
+    # skyline grid-prune bucket table: ceil(range(x)/width) aggregated
+    # rows — bounded by the VALUE DOMAIN, not the row count
+    "q_skyline_orders": (r"max\(__bymax#\d+", "price-bucket grid"),
+}
+
+_NODE_PREFIX = _re.compile(r"^[\s:+\-|]*(?:\*\(\d+\)\s*)?")
+_TREE_PREFIX = _re.compile(r"^[\s:+\-|]*")
+
+# Nodes that pass rows through unchanged between a Window and the
+# Exchange that feeds it (EnsureRequirements inserts Sort; codegen adds
+# the rest).
+_ORDER_TRANSPARENT = ("Sort ", "Project ", "Filter ", "ColumnarToRow", "InputAdapter",
+                      "WholeStageCodegen")
+
+
+def _single_partition_windows(plan: str) -> list[str]:
+    """Window nodes whose required distribution was satisfied by an
+    `Exchange SinglePartition` (walking up from each such exchange
+    through order-transparent nodes). A WindowGroupLimit BELOW the
+    exchange means Spark bounded what crosses the shuffle (top-k
+    pushdown) — those are fine and skipped."""
+    lines = plan.splitlines()
+    hits = []
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        d = len(_TREE_PREFIX.match(ln).group(0))
+        # bounded by a partial top-k below the exchange?
+        sub_limited = False
+        for nxt in lines[i + 1:]:
+            nd = len(_TREE_PREFIX.match(nxt).group(0))
+            if nd <= d:
+                break
+            if "WindowGroupLimit" in nxt:
+                sub_limited = True
+                break
+        if sub_limited:
+            continue
+        cur = d
+        for j in range(i - 1, -1, -1):
+            dj = len(_TREE_PREFIX.match(lines[j]).group(0))
+            if dj >= cur:
+                continue
+            cur = dj
+            node = _NODE_PREFIX.sub("", lines[j])
+            if node.startswith(("Window ", "WindowGroupLimit ")):
+                hits.append(node.strip())
+                break
+            if not node.startswith(_ORDER_TRANSPARENT):
+                break
+    return hits
+
+
+def test_no_unbounded_single_partition_windows(spark):
+    offenders = []
+    for name, plan in _registry_plans(spark):
+        for w in _single_partition_windows(plan):
+            note = _BOUNDED_GLOBAL_WINDOW_NOTES.get(name)
+            if note and _re.search(note[0], w):
+                continue
+            offenders.append((name, w[:90]))
+    assert not offenders, (
+        "unbounded global window (whole relation through ONE task at "
+        f"scale — route through operators/rank.py): {offenders}"
+    )
+
+
 def test_no_unexpected_python_in_plans(spark):
     markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     offenders = [
@@ -329,6 +421,10 @@ def _broadcast_bounded_class(sub: str) -> str | None:
     None if it could grow with the corpus."""
     if "HashAggregate(keys=[]" in sub:
         return "scalar-agg"  # 1-row global aggregate
+    if _re.search(r"Aggregate\(keys=\[__gr_pid#\d+", sub):
+        # operators/rank.py prefix-offset bookkeeping: an aggregate
+        # keyed by the range-bucket id — ≤ |buckets| rows by construction
+        return "rank-bookkeeping"
     if "LeftSemi" in sub:
         return "semi-joined"  # restricted to a (bounded) probe set
     if "GlobalLimit" in sub or "TakeOrderedAndProject" in sub:
