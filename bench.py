@@ -110,6 +110,7 @@ HEADLINE = [
     "q_clustering_coeff",
     "q_repeated_ngrams",
     "q_dup_span_fraction",
+    "q_dedup_span_cut",
     "q_yoy_growth",
     "q_modal_priority",
     "q_interarrival_stats",
@@ -121,6 +122,7 @@ HEADLINE = [
     "q_quantile_norm",
     "q_source_jsd",
     "q_semantic_dedup",
+    "q_incremental_semantic_dedup",
     "q_survival_curve",
     "q_incremental_cdc",
     "q_dataset_card",
@@ -197,6 +199,7 @@ _POST_R01 = (
     "q_clustering_coeff",
     "q_repeated_ngrams",
     "q_dup_span_fraction",
+    "q_dedup_span_cut",
     "q_yoy_growth",
     "q_modal_priority",
     "q_interarrival_stats",
@@ -208,6 +211,7 @@ _POST_R01 = (
     "q_quantile_norm",
     "q_source_jsd",
     "q_semantic_dedup",
+    "q_incremental_semantic_dedup",
     "q_survival_curve",
     "q_incremental_cdc",
     "q_dataset_card",

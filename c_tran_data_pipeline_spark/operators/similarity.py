@@ -1064,3 +1064,201 @@ def semantic_dedup(
         "component",
         (F.col("component").isNull() | (F.col("component") == F.col(key))).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Persisted SemDeDup store + incremental batch dedup — the shape a 100 TB
+# ingest actually runs: train/cluster/dedup the base corpus ONCE, persist
+# the centroids and the kept representatives partitioned by cell, then
+# dedup each arriving batch in O(new) — assign new vectors to persisted
+# cells (no training job on the search path), GEMM only
+# new-vs-(new ∪ touched-cell representatives).
+# ---------------------------------------------------------------------------
+
+
+def build_semantic_store(
+    df: DataFrame,
+    threshold: float = 0.9,
+    nlist: int = 16,
+    iters: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    dim: int | None = None,
+    nprobe: int = 2,
+    train_df: DataFrame | None = None,
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> tuple[DataFrame, list[tuple[int, list[float]]]]:
+    """Full-corpus SemDeDup → (representatives, centroid rows): the
+    KEEP survivors with their primary cell and double vectors, plus the
+    centroid table that produced the cells (KBs of driver state —
+    the sidecar payload). Pass ``train_df`` (a deterministic_sample)
+    for the train-on-sample IVF recipe; pass ``centroids`` to reuse an
+    existing table (rebuilds after a parameter change)."""
+    if centroids is None and nlist > 1:
+        centroids = _kmeans_rows(
+            train_df if train_df is not None else df,
+            nlist=nlist, iters=iters, key=key, vec=vec, dim=dim,
+        )
+    elif centroids is None:
+        centroids = []
+    flags = semantic_dedup(
+        df, threshold=threshold, nlist=nlist, iters=iters, key=key, vec=vec,
+        dim=dim, nprobe=nprobe, centroids=centroids if nlist > 1 else None,
+    )
+    reps = (
+        df.select(F.col(key), _as_double(F.col(vec)).alias("embedding"))
+        .join(flags.filter(F.col("keep")).select(key, "cell"), key)
+        .select(F.col(key).alias("vec_id"), "cell", "embedding")
+    )
+    return reps, centroids
+
+
+def write_semantic_store(
+    reps: DataFrame, centroids: list[tuple[int, list[float]]], path: str, meta: dict | None = None
+) -> None:
+    """Persist representatives partitioned BY CELL (each batch search
+    reads only its probed cells' directories — the write_ivfpq_index
+    layout contract, local/DFS filesystem) plus a JSON sidecar holding
+    the centroid table and caller metadata. The sidecar is written
+    AFTER the parquet and acts as the commit marker: a crash mid-write
+    leaves parquet without the sidecar, and read_semantic_store refuses
+    it."""
+    import json
+    import os
+
+    reps.write.partitionBy("cell").mode("overwrite").parquet(path)
+    with open(os.path.join(path, "_semantic_store.json"), "w") as f:
+        json.dump({"centroids": centroids, "meta": meta or {}}, f)
+
+
+def read_semantic_store(
+    spark, path: str
+) -> tuple[DataFrame, list[tuple[int, list[float]]], dict]:
+    """Load a persisted store → (representatives, centroids, meta);
+    raises on a torn/uncommitted write (parquet without sidecar)."""
+    import json
+    import os
+
+    sidecar = os.path.join(path, "_semantic_store.json")
+    try:
+        with open(sidecar) as f:
+            rec = json.load(f)
+    except (OSError, ValueError) as e:
+        raise ValueError(
+            f"semantic store at {path} is uncommitted or torn (no readable sidecar)"
+        ) from e
+    cents = [(int(c), [float(x) for x in v]) for c, v in rec["centroids"]]
+    return spark.read.parquet(path), cents, rec.get("meta", {})
+
+
+def incremental_semantic_dedup(
+    new_df: DataFrame,
+    reps: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    nprobe: int = 2,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against a persisted store in O(new):
+
+    1. Assign each new vector to its ``nprobe`` nearest PERSISTED cells
+       (centroid literals — zero training jobs, zero store scans).
+    2. Collect the touched cell ids (bounded ≤ nlist driver state, the
+       probed-cell class) and read ONLY those cells' representatives
+       via an ``isin`` literal — a parquet PartitionFilter under the
+       write_semantic_store layout.
+    3. One GEMM per touched cell over new ∪ that cell's reps, emitting
+       only pairs with ≥1 new endpoint (store rows were already deduped
+       against each other).
+    4. Components over those pairs; a new row keeps iff it has no
+       near-dup at all, or it is the min-id member of a component
+       containing NO stored representative (a store rep always stays
+       the canonical keeper, whatever its id).
+
+    Returns (flags, updated_reps): flags = (key, cell, component, keep)
+    for the new batch — same contract as semantic_dedup restricted to
+    new rows — and updated_reps = store ∪ kept new rows, the next
+    batch's store (append-only growth, the incremental_neardup
+    contract). Matches full-corpus semantic_dedup whenever duplicate
+    relations don't chain THROUGH a dropped non-representative (the
+    planted-twin fixture pins equality; transitive chains are where any
+    streaming dedup, including this one, can legitimately differ from a
+    batch re-run)."""
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+
+    v = _as_double(F.col(vec))
+    nlist = len(centroids)
+    if nlist <= 1:
+        probes = F.array(F.lit(0).cast("bigint"))
+    else:
+        probes = _probe_cells(v, centroids, min(nprobe, nlist))
+    assigned = new_df.select(
+        F.col(key), v.alias("__v"), probes.alias("__cells")
+    ).select(F.col(key), "__v", F.element_at("__cells", 1).alias("cell"), "__cells")
+    blocked_new = assigned.select(
+        F.col(key), "__v", F.explode("__cells").alias("bcell"), F.lit(True).alias("__is_new")
+    )
+    touched = [r["bcell"] for r in blocked_new.select("bcell").distinct().collect()]
+    store_slice = (
+        reps.filter(F.col("cell").isin(touched))
+        .select(
+            F.col("vec_id").alias(key),
+            F.col("embedding").alias("__v"),
+            F.col("cell").alias("bcell"),
+            F.lit(False).alias("__is_new"),
+        )
+    )
+    both = blocked_new.unionByName(store_slice)
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf[key].to_numpy()
+        newm = pdf["__is_new"].to_numpy()
+        V = np.stack(pdf["__v"].to_numpy())
+        norms = np.sqrt((V * V).sum(axis=1))
+        S = (V @ V.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = (S[iu, ju] >= threshold) & (newm[iu] | newm[ju])  # ≥1 new endpoint
+        a_ids, b_ids = ids[iu[hit]], ids[ju[hit]]
+        swap = a_ids > b_ids
+        return pd.DataFrame(
+            {"d1": np.where(swap, b_ids, a_ids), "d2": np.where(swap, a_ids, b_ids)}
+        )
+
+    id_type = dict(new_df.dtypes)[key]
+    pairs = (
+        both.groupBy("bcell")
+        .applyInPandas(_cell_pairs, f"d1 {id_type}, d2 {id_type}")
+        .distinct()
+    )
+    comp = dedup_clusters(pairs)
+    # components anchored by a stored representative: every new member
+    # drops, regardless of id order
+    rep_ids = reps.select(F.col("vec_id").alias("doc_id"))
+    anchored = (
+        comp.join(rep_ids, "doc_id", "left_semi")
+        .select(F.col("component"))
+        .distinct()
+        .withColumn("__has_rep", F.lit(True))
+    )
+    flags = (
+        assigned.join(comp, assigned[key] == comp["doc_id"], "left")
+        .join(F.broadcast(anchored), "component", "left")
+        .select(
+            F.col(key),
+            "cell",
+            "component",
+            (
+                F.col("component").isNull()
+                | ((F.col("component") == F.col(key)) & F.col("__has_rep").isNull())
+            ).alias("keep"),
+        )
+    )
+    updated = reps.unionByName(
+        assigned.join(flags.filter(F.col("keep")).select(key), key)
+        .select(F.col(key).alias("vec_id"), "cell", F.col("__v").alias("embedding"))
+    )
+    return flags, updated

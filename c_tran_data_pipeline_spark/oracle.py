@@ -159,6 +159,13 @@ if __name__ == "__main__":
 # query has an entry here, so a new rows-only query cannot land without
 # naming its proof.
 ROWS_ONLY_EVIDENCE: dict[str, str] = {
+    "q_incremental_semantic_dedup": (
+        "tests/test_incremental_semantic.py::test_planted_twins_all_caught_and_full_equivalence "
+        "(batch-incremental keep flags EQUAL full-corpus semantic_dedup on the "
+        "planted fixture; 100%% twin recovery; store grows by exactly the kept "
+        "rows) + ::test_store_roundtrip_and_torn_sidecar + "
+        "::test_stored_rep_stays_canonical_when_new_id_is_smaller"
+    ),
     "q_ann_ivf_topk": (
         "tests/test_similarity.py::test_ivf_full_probe_equals_exact (nprobe==nlist "
         "is ROW-IDENTICAL to exact brute force) + ::test_ivf_partial_probe_recall "
@@ -185,6 +192,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "cosine_topk over the identical query batch)"
     ),
     "q_mmr_rerank": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
+        "100 sf0.01 sequence rows equal the committed golden) + "
         "tests/test_rerank.py::test_mmr_matches_python_replay (greedy id/score "
         "trace vs a pure-python reference on random vectors) + "
         "::test_mmr_diversity_property (picks a spread set when near-dup "
@@ -196,6 +205,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_neardup_lsh_hot_bucket_cap_drops_degenerate_buckets"
     ),
     "q_semantic_dedup": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
+        "550 sf0.01 rows — cell, component, keep — equal the committed golden) + "
         "tests/test_similarity.py::test_semantic_dedup_single_cell_equals_bruteforce "
         "(nlist=1 is COMPONENT-IDENTICAL to clustering the exact all-pairs "
         "graph) + ::test_semantic_dedup_blocked_precision_and_representatives "
@@ -239,6 +250,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "golden file) + test_frame_sampling (stride/index semantics)"
     ),
     "q_image_ahash_neardup": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
+        "(the full sf0.01 pair list equals the committed golden) + "
         "tests/test_multimodal.py::test_image_ahash_matches_numpy_replay "
         "(hash bits vs an independent numpy replay) + "
         "::test_ahash_pairs_lossless_vs_bruteforce (banded pairs == brute-force "
@@ -246,7 +259,9 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "(perturbed sampled pixel stays within the hamming budget)"
     ),
     "q_pca_project": (
-        "tests/test_pca.py::test_projection_matches_numpy_replay (projections vs "
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
+        "500 sf0.01 sign-canonicalized projections equal the committed golden, "
+        "atol 1e-6) + tests/test_pca.py::test_projection_matches_numpy_replay (vs "
         "a full-matrix numpy PCA, atol 1e-8) + ::test_partition_invariant "
         "(repartition(7) projections within 1e-8) + "
         "::test_components_orthonormal_and_variance_ordered"

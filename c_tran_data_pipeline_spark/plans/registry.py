@@ -89,6 +89,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_bm25_rank_pruned",
     # 2) round-5 registrations (no prior evidence by construction):
     # (prepend new names here as they are registered)
+    "q_incremental_semantic_dedup",
+    "q_dedup_span_cut",
     # -- ROUND5_NEW_MARKER --
     # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
     #    covers the 10 above + the first ~40 of these; the remainder

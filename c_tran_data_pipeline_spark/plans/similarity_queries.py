@@ -1157,3 +1157,153 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus, threshold=0.9, nlist=16, iters=2, dim=64,
         train_df=deterministic_sample(corpus, mod=4),
     )
+
+
+# Persisted SemDeDup store — the _IVFPQ_PARAMS cache recipe applied to
+# semantic dedup: cache path keyed by a hash of build params + the
+# ABSOLUTE fixture dir; sidecar carries the same record + the fixture
+# mtime/size fingerprint, validated on every use; sidecar-last commit.
+_SEM_STORE_PARAMS = {
+    "threshold": 0.9,
+    "nlist": 16,
+    "iters": 2,
+    "dim": 64,
+    "nprobe": 2,
+    "train_sample_mod": 4,
+    "base_mod": 8,  # base corpus = vec_id % 10 < base_mod
+}
+
+
+def _sem_store_meta(sf_dir: str) -> dict:
+    return {"params": _SEM_STORE_PARAMS, "fixture": _ivfpq_fixture_fingerprint(sf_dir)}
+
+
+def _sem_store_path(sf_dir: str) -> str:
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        _json.dumps(
+            {"sf_dir": os.path.abspath(sf_dir), "params": _SEM_STORE_PARAMS},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:10]
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(
+        tempfile.gettempdir(), "spark_graft_indexes", f"semstore_{base}_{tag}"
+    )
+
+
+def _sem_store_fresh(sf_dir: str, path: str) -> bool:
+    import json as _json
+    import os
+
+    try:
+        with open(os.path.join(path, "_semantic_store.json")) as f:
+            rec = _json.load(f).get("meta") or {}
+        return rec == _sem_store_meta(sf_dir)
+    except (OSError, ValueError):
+        return False
+
+
+def _build_sem_store(spark: SparkSession, sf_dir: str) -> str:
+    """Build + COMMIT the base-corpus store (pid-unique temp dir, then
+    whole-directory swap — the _build_ivfpq crash/concurrency story)."""
+    import os
+    import shutil
+
+    from c_tran_data_pipeline_spark.operators.pq import deterministic_sample
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        build_semantic_store,
+        write_semantic_store,
+    )
+
+    p = _SEM_STORE_PARAMS
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    base = emb.filter(F.col("vec_id") % 10 < p["base_mod"])
+    reps, cents = build_semantic_store(
+        base,
+        threshold=p["threshold"],
+        nlist=p["nlist"],
+        iters=p["iters"],
+        dim=p["dim"],
+        nprobe=p["nprobe"],
+        train_df=deterministic_sample(base, mod=p["train_sample_mod"], key="vec_id"),
+    )
+    path = _sem_store_path(sf_dir)
+    tmp = f"{path}.build-{os.getpid()}"
+    write_semantic_store(reps, cents, tmp, meta=_sem_store_meta(sf_dir))
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+@query(
+    "q_incremental_semantic_dedup",
+    None,  # k-means blocking is probabilistic — the exactness claims
+    # (incremental == full-corpus SemDeDup on the planted fixture, 100%
+    # twin recovery, store round-trip) are pinned in
+    # tests/test_incremental_semantic.py
+    doc="Incremental SemDeDup against a PERSISTED centroid/representative "
+    "store (operators/similarity.py build_semantic_store / "
+    "incremental_semantic_dedup) — the composition of q_semantic_dedup's "
+    "cluster-blocked dedup with q_ann_ivfpq_search's persisted-index "
+    "amortization and q_incremental_neardup's O(new)-per-batch contract: "
+    "the base 80%% of the corpus is deduped ONCE (sampled k-means "
+    "training happens only there), its kept representatives persisted "
+    "partitionBy(cell) with the centroid table in a sidecar-last commit; "
+    "the NEW batch (the other 20%% plus planted ±0.001-perturbed twins "
+    "of stored docs) then dedups by assigning to the persisted cells "
+    "(centroid literals — ZERO training jobs on this path), reading only "
+    "the probed cells' directories (bounded ≤ nlist cell-id driver "
+    "state → parquet PartitionFilter), and running one numpy GEMM per "
+    "touched cell over new ∪ that cell's representatives — pairs with "
+    "≥1 new endpoint only, never old×old (the store is already "
+    "deduplicated). A new row keeps iff it has no near-dup, or it is "
+    "the min-id member of a component with NO stored representative (a "
+    "store rep stays canonical whatever its id). Returns (vec_id, cell, "
+    "component, keep) for the new batch. At 100 TB this is the ingest "
+    "shape: per-batch cost scales with the BATCH, not the corpus, and "
+    "the store grows append-only by exactly the kept rows.",
+    tags=("similarity", "dedup", "incremental"),
+)
+def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        read_semantic_store,
+    )
+
+    p = _SEM_STORE_PARAMS
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    max_id = emb.agg(F.max("vec_id")).first()[0]
+    if max_id is not None and max_id >= 1_000_000:
+        raise ValueError(
+            f"embeddings.vec_id reaches {max_id}; planted-twin offset "
+            "1_000_000 would collide with real vectors — raise the offset"
+        )
+    base = emb.filter(F.col("vec_id") % 10 < p["base_mod"])
+    twins = base.filter(F.col("vec_id") % 20 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.expr("transform(embedding, (x, i) -> x + 0.001 * ((i % 3) - 1))").alias(
+            "embedding"
+        ),
+    )
+    new_batch = emb.filter(F.col("vec_id") % 10 >= p["base_mod"]).unionByName(twins)
+    path = _sem_store_path(sf_dir)
+    if not _sem_store_fresh(sf_dir, path):
+        _build_sem_store(spark, sf_dir)
+    try:
+        reps, cents, _meta = read_semantic_store(spark, path)
+    except ValueError:
+        path = _build_sem_store(spark, sf_dir)
+        reps, cents, _meta = read_semantic_store(spark, path)
+    flags, _updated = incremental_semantic_dedup(
+        new_batch, reps, cents, threshold=p["threshold"], nprobe=p["nprobe"]
+    )
+    return flags

@@ -1603,3 +1603,88 @@ def q_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_bigrams"),
         F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("avg_logp_kn"),
     )
+
+
+@query(
+    "q_dedup_span_cut",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+    u AS (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS pos
+          FROM t WHERE len(tk) >= 8),
+    g AS (SELECT doc_id, pos, md5(array_to_string(tk[pos:pos+7], ' ')) AS h FROM u),
+    s AS (SELECT h, COUNT(DISTINCT doc_id) AS nd, MIN(doc_id) AS keeper FROM g GROUP BY 1),
+    cp AS (SELECT doc_id, list_sort(list(pos)) AS cps
+           FROM g JOIN s USING (h) WHERE nd >= 2 AND keeper <> doc_id GROUP BY 1),
+    o AS (SELECT t.doc_id, tk, COALESCE(cps, []) AS cps FROM t LEFT JOIN cp USING (doc_id)),
+    k AS (SELECT doc_id, len(tk) AS n_tokens,
+                 list_filter(tk, (x, i) ->
+                     len(list_filter(cps, p -> p >= i - 7 AND p <= i)) = 0) AS kept
+          FROM o)
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(len(kept) AS BIGINT) AS n_kept_tokens,
+           CAST(n_tokens - len(kept) AS BIGINT) AS n_cut_tokens,
+           -- DuckDB's array_to_string([]) is NULL; Spark's concat_ws is ''
+           COALESCE(array_to_string(kept, ' '), '') AS kept_text
+    FROM k
+    """,
+    doc="Exact-substring span DEDUP CUT — the REMOVAL half of "
+    "q_dup_span_fraction (which only measures): every duplicated 8-gram "
+    "is kept in exactly one place under a deterministic KEEP-FIRST "
+    "policy (the min-doc_id holder of the gram keeps it; every other "
+    "doc masks the gram's 8 token positions), and each doc emits its "
+    "kept_text with counts — the Lee et al. 2022 exact-substring "
+    "dedup an LLM corpus pipeline applies BEFORE tokenization, as a "
+    "row transform rather than a row filter. Plan: ONE tokenize pass "
+    "(spread against the single-row-group fixture), gram stats "
+    "(distinct-doc count + min doc) as one partial-first agg on the "
+    "64-bit gram fingerprint, ONE co-shuffled join back (same "
+    "exchange), then per-doc mask assembly as pure array expressions — "
+    "cut positions collect to a per-DOC array (bounded by doc length, "
+    "the document-grain class), and the token filter tests membership "
+    "of a covering window, O(len·|cut starts|) per doc worst case — "
+    "the degenerate doc is exactly the one being mostly cut, and the "
+    "production prefilter (q_dup_span_fraction's drop_doc) removes it "
+    "first. Conservation (kept + cut == input, exact re-tokenize "
+    "round-trip) is pinned in tests/test_dedup.py.",
+    tags=("text", "dedup", "curation"),
+)
+def q_dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    g = toks.filter(F.size("tk") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tk) - 7),"
+                " i -> struct(i AS pos, xxhash64(concat_ws(' ', slice(tk, i, 8))) AS h))"
+            )
+        ).alias("u"),
+    ).select("doc_id", "u.pos", "u.h")
+    s = g.groupBy("h").agg(
+        F.countDistinct("doc_id").alias("nd"), F.min("doc_id").alias("keeper")
+    )
+    cp = (
+        g.join(s, "h")
+        .filter((F.col("nd") >= 2) & (F.col("keeper") != F.col("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("cps"))
+    )
+    o = toks.join(cp, "doc_id", "left").select(
+        "doc_id", "tk", F.coalesce("cps", F.expr("array()")).alias("cps")
+    )
+    k = o.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.expr(
+            "filter(tk, (x, i0) ->"
+            " size(filter(cps, p -> p >= i0 + 1 - 7 AND p <= i0 + 1)) = 0)"
+        ).alias("kept"),
+    )
+    return k.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.size("kept").cast("bigint").alias("n_kept_tokens"),
+        (F.col("n_tokens") - F.size("kept")).cast("bigint").alias("n_cut_tokens"),
+        F.concat_ws(" ", "kept").alias("kept_text"),
+    )

@@ -564,3 +564,39 @@ def test_linkage_score_finds_planted_parent(spark):
     for r in out:
         assert r["cand"] == r["dkey"], f"dirty {r['dkey']} linked to {r['cand']}"
         assert r["n_agree"] == 3
+
+
+def test_span_cut_keep_first_and_conservation(spark):
+    """Keep-first policy: the min-doc_id holder of a duplicated 8-gram
+    keeps its tokens; every other doc masks the gram's 8 positions.
+    Conservation: kept + cut token counts == input, and kept_text
+    re-tokenizes to exactly n_kept_tokens."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.text_queries import q_dedup_span_cut
+
+    block = "alpha beta gamma delta epsilon zeta eta theta"  # exactly 8 tokens
+    docs = [
+        (1, block + " own tail one two three four five six", "en", "s", 0),
+        (2, "lead " + block, "en", "s", 0),          # loses the block (keeper=1)
+        (3, block, "en", "s", 0),                    # fully cut
+        (4, "nothing shared with any other document here at all", "en", "s", 0),
+        (5, "tiny", "en", "s", 0),                   # < 8 tokens: no grams
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q_dedup_span_cut(spark, d).collect()}
+    # keeper keeps everything
+    assert out[1].n_cut_tokens == 0 and out[1].kept_text == docs[0][1]
+    # doc 2 masks the block's 8 tokens, keeps its unique lead
+    assert (out[2].n_tokens, out[2].n_kept_tokens, out[2].kept_text) == (9, 1, "lead")
+    # doc 3 is the block alone: fully cut, empty kept_text
+    assert (out[3].n_kept_tokens, out[3].kept_text) == (0, "")
+    # untouched docs pass through verbatim
+    assert out[4].kept_text == docs[3][1] and out[5].kept_text == "tiny"
+    for r in out.values():
+        assert r.n_kept_tokens + r.n_cut_tokens == r.n_tokens  # conservation
+        retok = [t for t in r.kept_text.split(" ") if t != ""]
+        assert len(retok) == r.n_kept_tokens

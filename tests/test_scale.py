@@ -248,6 +248,10 @@ _ALLOWED_PYTHON = {
     # per-partition Gram partials + the projection pass, both Arrow
     # mapInPandas (numpy matmuls; only d(d+1)+1 doubles hit the driver)
     "q_pca_project",
+    # per-cell GEMM over new ∪ touched-cell representatives, Arrow
+    # applyInPandas — the q_semantic_dedup pair stage on the
+    # incremental path
+    "q_incremental_semantic_dedup",
 }
 
 
