@@ -120,6 +120,8 @@ HEADLINE = [
     "q_cdc_chunks",
     "q_linkage_score",
     "q_quantile_norm",
+    "q_lorenz_curve",
+    "q_bpe_token_counts",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",
@@ -209,6 +211,8 @@ _POST_R01 = (
     "q_cdc_chunks",
     "q_linkage_score",
     "q_quantile_norm",
+    "q_lorenz_curve",
+    "q_bpe_token_counts",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",

@@ -119,8 +119,27 @@ def _range_key(df: DataFrame, child: Column) -> Column:
     )
 
 
+def range_bounds(
+    df: DataFrame, lead_cols: list[Column | str], partitions: int | None = None
+) -> list[list[float]]:
+    """Quantile boundaries for several leading order columns in ONE
+    sampling pass (``approxQuantile`` takes a column list) — pass each
+    result to the rank operators' ``bounds`` argument when a query runs
+    multiple global orders over the same frame (e.g. three NTILE
+    dimensions), so the per-operator boundary job collapses to one."""
+    n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    infos = _order_info(lead_cols)
+    probs = [i / n for i in range(1, n)]
+    err = max(1.0 / (4 * n), 1e-4)
+    proj = df.select(
+        *[_range_key(df, child).alias(f"__gr_rk{i}") for i, (_, child, _) in enumerate(infos)]
+    )
+    per_col = proj.approxQuantile([f"__gr_rk{i}" for i in range(len(infos))], probs, err)
+    return [sorted(set(b)) for b in per_col]
+
+
 def _with_buckets(
-    df: DataFrame, order_by, partitions: int | None
+    df: DataFrame, order_by, partitions: int | None, bounds: list[float] | None = None
 ) -> tuple[DataFrame, list[Column]]:
     """df + ``__gr_pid`` (deterministic range-bucket id, monotone along
     the global order) and the window sort columns."""
@@ -132,10 +151,12 @@ def _with_buckets(
     _, lead, lead_desc = info[0]
     n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     rk = _range_key(df, lead)
-    # One column-pruned sampling pass; ≤ n-1 doubles of driver state.
-    probs = [i / n for i in range(1, n)]
-    err = max(1.0 / (4 * n), 1e-4)
-    bounds = sorted(set(df.select(rk.alias("__gr_rk")).approxQuantile("__gr_rk", probs, err)))
+    if bounds is None:
+        # One column-pruned sampling pass; ≤ n-1 doubles of driver state.
+        probs = [i / n for i in range(1, n)]
+        err = max(1.0 / (4 * n), 1e-4)
+        bounds = df.select(rk.alias("__gr_rk")).approxQuantile("__gr_rk", probs, err)
+    bounds = sorted(set(bounds))
     if not bounds:  # empty input or all-null lead key
         return df.withColumn(_PID, F.lit(0)), sort_cols
     # Chained boolean sums, NOT a higher-order F.filter over a literal
@@ -174,10 +195,12 @@ def _offsets(counts: DataFrame, sum_cols: list[str]) -> DataFrame:
     )
 
 
-def _ranked(df: DataFrame, order_by, partitions: int | None) -> DataFrame:
+def _ranked(
+    df: DataFrame, order_by, partitions: int | None, bounds: list[float] | None = None
+) -> DataFrame:
     """df + ``__gr_rank`` (1-based bigint global row number) +
     ``__gr_total`` (bigint total row count), scale-safe plan."""
-    parted, sort_cols = _with_buckets(df, order_by, partitions)
+    parted, sort_cols = _with_buckets(df, order_by, partitions, bounds)
     counts = parted.groupBy(_PID).agg(F.count(F.lit(1)).alias(_CNT))
     offs = _offsets(counts, [_CNT]).select(
         _PID,
@@ -197,13 +220,14 @@ def global_rank(
     rank_col: str = "rank",
     partitions: int | None = None,
     total_col: str | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """df + ``rank_col`` = exact global ``ROW_NUMBER() OVER (ORDER BY
     order_by)`` (1-based, bigint), computed with deterministic range
     buckets + per-bucket offsets instead of a single-partition window.
     Pass ``total_col`` to also get the total row count (the ``COUNT(*)
     OVER ()`` companion) for free from the same bookkeeping aggregate."""
-    out = _ranked(df, order_by, partitions)
+    out = _ranked(df, order_by, partitions, bounds)
     extra = [F.col(_TOT).alias(total_col)] if total_col else []
     return out.select(*df.columns, F.col("__gr_rank").alias(rank_col), *extra)
 
@@ -213,6 +237,7 @@ def global_cumsum(
     order_by: list[Column | str],
     cols: list[str],
     partitions: int | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """df + ``<c>_cum`` (inclusive running total of ``c`` in global
     ``order_by`` order) + ``<c>_tot`` (grand total) for each ``c`` in
@@ -228,7 +253,7 @@ def global_cumsum(
         for out_name in (f"{c}_cum", f"{c}_tot"):
             if out_name in df.columns:
                 raise ValueError(f"global cumsum output column {out_name!r} already exists")
-    parted, sort_cols = _with_buckets(df, order_by, partitions)
+    parted, sort_cols = _with_buckets(df, order_by, partitions, bounds)
     psums = parted.groupBy(_PID).agg(*[F.sum(c).alias(f"__gr_s_{c}") for c in cols])
     offs = _offsets(psums, [f"__gr_s_{c}" for c in cols])
     w_local = (
@@ -251,6 +276,7 @@ def global_cummax(
     out_col: str,
     inclusive: bool = True,
     partitions: int | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """df + ``out_col`` = running ``MAX(col)`` in global ``order_by``
     order — ``inclusive=False`` gives the strictly-preceding frame
@@ -264,7 +290,7 @@ def global_cummax(
     """
     if out_col in df.columns:
         raise ValueError(f"global cummax output column {out_col!r} already exists")
-    parted, sort_cols = _with_buckets(df, order_by, partitions)
+    parted, sort_cols = _with_buckets(df, order_by, partitions, bounds)
     pmax = parted.groupBy(_PID).agg(F.max(col).alias("__gr_m"))
     one = F.pmod(F.col(_PID), F.lit(1))  # non-foldable constant, see _offsets
     w_prefix = Window.partitionBy(one).orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
@@ -287,6 +313,7 @@ def global_ntile(
     order_by: list[Column | str],
     bucket_col: str = "bucket",
     partitions: int | None = None,
+    bounds: list[float] | None = None,
 ) -> DataFrame:
     """df + ``bucket_col`` = exact ANSI ``NTILE(n) OVER (ORDER BY
     order_by)`` (int, 1..n): with N rows, q = N div n and r = N mod n,
@@ -295,7 +322,7 @@ def global_ntile(
     NTILE implementation (or partitioning) is in the loop."""
     if n <= 0:
         raise ValueError(f"ntile bucket count must be positive, got {n}")
-    out = _ranked(df, order_by, partitions)
+    out = _ranked(df, order_by, partitions, bounds)
     # Pure bigint arithmetic (DIV, never float division): exact at any N.
     # With q = N div n and r = N mod n, rows 1..r(q+1) fill the first r
     # (fat, q+1-row) buckets; the rest land in q-row buckets. When

@@ -103,12 +103,8 @@ def typed_gate_check(spark: SparkSession, name: str, sf_dir: str) -> str | None:
     from c_tran_data_pipeline_spark.plans import all_queries
 
     spec = all_queries()[name]
-    if spec.oracle is None:
-        sdf = spec.builder(spark, sf_dir).toPandas()
-        odf = None
-    else:
-        sdf = spec.builder(spark, sf_dir).toPandas()
-        odf = duckdb_connect(sf_dir).execute(spec.oracle).df()
+    sdf = spec.builder(spark, sf_dir).toPandas()
+    odf = None if spec.oracle is None else duckdb_connect(sf_dir).execute(spec.oracle).df()
     problems = []
     frames = [("spark", sdf)] + ([("oracle", odf)] if odf is not None else [])
     for side, df in frames:
@@ -159,6 +155,17 @@ if __name__ == "__main__":
 # query has an entry here, so a new rows-only query cannot land without
 # naming its proof.
 ROWS_ONLY_EVIDENCE: dict[str, str] = {
+    "q_bpe_merges": (
+        "tests/test_bpe.py::test_merge_table_matches_python_replay (the learned "
+        "merge table EQUALS an independent pure-Python BPE on the full fixture "
+        "corpus) + ::test_training_partition_invariant + "
+        "::test_merge_once_overlap_and_double_letter"
+    ),
+    "q_bpe_token_counts": (
+        "tests/test_bpe.py::test_encoding_matches_python_and_conserves (every "
+        "distinct word's subword sequence equals the python replay; subwords "
+        "concatenate back to word+</w>; per-doc counts consistent)"
+    ),
     "q_incremental_semantic_dedup": (
         "tests/test_incremental_semantic.py::test_planted_twins_all_caught_and_full_equivalence "
         "(batch-incremental keep flags EQUAL full-corpus semantic_dedup on the "

@@ -1049,3 +1049,59 @@ def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median_n_chars",
         )
     )
+
+
+@query(
+    "q_lorenz_curve",
+    r"""
+    WITH mass AS (
+        SELECT doc_id, CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, toks,
+               ROW_NUMBER() OVER (ORDER BY toks, doc_id) AS rank,
+               CAST(SUM(toks) OVER (ORDER BY toks, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks,
+               COUNT(*) OVER () AS n,
+               CAST(SUM(toks) OVER () AS BIGINT) AS total_toks
+        FROM mass
+    )
+    SELECT doc_id, CAST(rank AS BIGINT) AS rank, toks, cum_toks,
+           ROUND(CAST(rank AS DOUBLE) / n, 12) AS pop_share,
+           ROUND(CAST(cum_toks AS DOUBLE) / total_toks, 12) AS token_share
+    FROM r
+    """,
+    doc="Document-grain Lorenz curve of token mass: docs sorted ascending "
+    "by size, each row gives (population share, cumulative token share) "
+    "— the curve whose area gap IS the Gini that q_source_gini reports "
+    "at source grain, here at full document resolution (the 'what "
+    "fraction of the corpus budget do the smallest p%% of documents "
+    "carry' planning view behind length-balanced batch packing and "
+    "dedup-impact reports). Exact end to end: integer token counts, "
+    "integer cumulative sums, two final IEEE divisions rounded 12. "
+    "Plan: BOTH the global rank and the running total come from ONE "
+    "operators/rank.py global_cumsum pass (a constant-1 column's "
+    "running sum IS the row number, so no second boundary job and no "
+    "single-partition window anywhere); the (toks, doc_id) total order "
+    "makes the ROWS frame deterministic cross-engine.",
+    tags=("curation", "report", "window"),
+)
+def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import words
+    from c_tran_data_pipeline_spark.operators.rank import global_cumsum
+
+    mass = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id",
+        F.size(words("text")).cast("bigint").alias("toks"),
+        F.lit(1).cast("bigint").alias("ones"),
+    )
+    c = global_cumsum(mass, ["toks", "doc_id"], ["toks", "ones"])
+    return c.select(
+        "doc_id",
+        F.col("ones_cum").cast("bigint").alias("rank"),
+        "toks",
+        F.col("toks_cum").cast("bigint").alias("cum_toks"),
+        F.round(F.col("ones_cum").cast("double") / F.col("ones_tot"), 12).alias("pop_share"),
+        F.round(F.col("toks_cum").cast("double") / F.col("toks_tot"), 12).alias("token_share"),
+    )

@@ -2315,10 +2315,17 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Three exact ANSI quintile scores via operators/rank.py global_ntile
     # (range-partitioned rank arithmetic) — each dimension is one
     # balanced range shuffle of the customer-grain table, never a
-    # single-partition sort of it.
-    scored = global_ntile(agg, 5, ["recency_days", "custkey"], bucket_col="__r_nt")
-    scored = global_ntile(scored, 5, ["frequency", "custkey"], bucket_col="f_score")
-    scored = global_ntile(scored, 5, ["monetary_cents", "custkey"], bucket_col="m_score")
+    # single-partition sort of it. All three dimensions' bucket
+    # boundaries come from ONE sampling pass (range_bounds), so the
+    # boundary job doesn't triple.
+    from c_tran_data_pipeline_spark.operators.rank import range_bounds
+
+    b_r, b_f, b_m = range_bounds(agg, ["recency_days", "frequency", "monetary_cents"])
+    scored = global_ntile(agg, 5, ["recency_days", "custkey"], bucket_col="__r_nt", bounds=b_r)
+    scored = global_ntile(scored, 5, ["frequency", "custkey"], bucket_col="f_score", bounds=b_f)
+    scored = global_ntile(
+        scored, 5, ["monetary_cents", "custkey"], bucket_col="m_score", bounds=b_m
+    )
     return scored.select(
         "custkey",
         "recency_days",

@@ -91,6 +91,9 @@ _GATE_FIRST: tuple[str, ...] = (
     # (prepend new names here as they are registered)
     "q_incremental_semantic_dedup",
     "q_dedup_span_cut",
+    "q_lorenz_curve",
+    "q_bpe_merges",
+    "q_bpe_token_counts",
     # -- ROUND5_NEW_MARKER --
     # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
     #    covers the 10 above + the first ~40 of these; the remainder

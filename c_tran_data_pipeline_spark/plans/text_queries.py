@@ -1688,3 +1688,121 @@ def q_dedup_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens") - F.size("kept")).cast("bigint").alias("n_cut_tokens"),
         F.concat_ws(" ", "kept").alias("kept_text"),
     )
+
+
+_BPE_PARAMS = {"num_merges": 16, "min_pair_count": 2}
+
+
+def _bpe_cache_path(sf_dir: str) -> str:
+    """Per-(fixture, recipe) cache for the learned merge table — the
+    _IVFPQ_PARAMS pattern: params-hash + absolute fixture dir in the
+    path, fixture fingerprint in the payload, atomic tmp+rename
+    commit."""
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        _json.dumps({"sf_dir": os.path.abspath(sf_dir), "params": _BPE_PARAMS},
+                    sort_keys=True).encode()
+    ).hexdigest()[:10]
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", f"bpe_{base}_{tag}.json")
+
+
+def _bpe_fingerprint(sf_dir: str) -> dict:
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        st = os.stat(p)
+        return {"path": p, "mtime": st.st_mtime, "size": st.st_size}
+    except OSError:
+        return {"path": p}
+
+
+def _train_and_commit_bpe(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    import json as _json
+    import os
+
+    from c_tran_data_pipeline_spark.operators.bpe import bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    merges = bpe_train(spread(docs), **_BPE_PARAMS)
+    path = _bpe_cache_path(sf_dir)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.build-{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump({"merges": merges, "fixture": _bpe_fingerprint(sf_dir)}, f)
+    os.replace(tmp, path)
+    return merges
+
+
+def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, int]]:
+    """Cached merge table if fresh, else train+commit (read validates
+    the fixture fingerprint — a regenerated fixture forces retrain)."""
+    import json as _json
+
+    try:
+        with open(_bpe_cache_path(sf_dir)) as f:
+            rec = _json.load(f)
+        if rec.get("fixture") == _bpe_fingerprint(sf_dir):
+            return [(a, b, int(n)) for a, b, n in rec["merges"]]
+    except (OSError, ValueError):
+        pass
+    return _train_and_commit_bpe(spark, sf_dir)
+
+
+@query(
+    "q_bpe_merges",
+    None,  # iterative arg-max training — not SQL-expressible; the merge
+    # table is pinned EQUAL to a pure-Python BPE replay on the full
+    # fixture corpus in tests/test_bpe.py
+    doc="BPE tokenizer TRAINING (operators/bpe.py, Sennrich et al. "
+    "2016): learn 16 merges over the corpus — the subword-vocabulary "
+    "step every LLM data pipeline runs before token budgeting. The "
+    "corpus collapses to its distinct-word frequency table ONCE (the "
+    "only corpus-grain shuffle); each merge iteration is one "
+    "vocab-grain pair-count aggregate + a 1-row driver arg-max "
+    "(bounded state, the centroid-literal class) + a native array-fold "
+    "rewrite — no Python in any data path, iterations as an explicit "
+    "cost knob. Ties break (count DESC, pair lexicographic) so the "
+    "merge table is bit-reproducible across engines and "
+    "partitionings (partition-invariance pinned). Emits the learned "
+    "table: (merge_rank, left, right, pair_count).",
+    tags=("text", "tokenizer", "training"),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _train_and_commit_bpe(spark, sf_dir)
+    return spark.createDataFrame(
+        [(i + 1, a, b, n) for i, (a, b, n) in enumerate(merges)],
+        "merge_rank int, left string, right string, pair_count bigint",
+    )
+
+
+@query(
+    "q_bpe_token_counts",
+    None,  # merge-cascade application is iterative — rows-only; per-word
+    # encodings and per-doc counts are pinned vs the python replay +
+    # concatenation-conservation in tests/test_bpe.py
+    doc="BPE ENCODING at document grain (operators/bpe.py): apply the "
+    "learned merge cascade (read from the committed params-hash cache "
+    "the build query maintains — zero training jobs on this path, the "
+    "q_ann_ivfpq_search amortization split) and report (doc_id, n_words, "
+    "n_bpe_tokens) — the real token-budget signal (q_text_tokens' "
+    "whitespace count is the pre-tokenizer approximation). The cascade "
+    "applies over the DISTINCT-word table (each word encodes once — "
+    "the vocab-grain reduction training already uses) as chained "
+    "native array folds, then docs join the encoded vocab and sum "
+    "subword counts — one co-shuffled join + doc-keyed agg, no Python "
+    "anywhere. Conservation (subwords concatenate back to word+</w>) "
+    "and python-replay equality pinned in tests/test_bpe.py.",
+    tags=("text", "tokenizer"),
+)
+def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.bpe import bpe_token_counts
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    merges = _bpe_merges_for(spark, sf_dir)
+    return bpe_token_counts(docs, merges)
