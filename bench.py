@@ -122,6 +122,10 @@ HEADLINE = [
     "q_quantile_norm",
     "q_lorenz_curve",
     "q_bpe_token_counts",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_revenue",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",
@@ -213,6 +217,10 @@ _POST_R01 = (
     "q_quantile_norm",
     "q_lorenz_curve",
     "q_bpe_token_counts",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_revenue",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",

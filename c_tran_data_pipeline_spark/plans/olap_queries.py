@@ -2803,3 +2803,249 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             12,
         ).alias("z_score"),
     )
+
+
+@query(
+    "q_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+                AS BIGINT) AS potential_cents,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    doc="TPC-H Q6-shape revenue forecast: the pure pushdown showcase — "
+    "three range predicates and one conditional sum, no join anywhere. "
+    "The whole query is a single parquet scan whose PushedFilters carry "
+    "all three predicates (shipdate range, discount envelope, quantity "
+    "cap), one partial-first scalar agg, and one shuffle of exactly ONE "
+    "row — at 100 TB the scan is the query, which is why Q6 is the "
+    "canonical scan-throughput benchmark. Money is per-row IEEE "
+    "price×discount (identical both engines) integerized to cents and "
+    "summed exactly.",
+    tags=("olap", "agg", "pushdown"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("potential_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "q_market_share",
+    """
+    WITH sales AS (
+        SELECT year(o_orderdate) AS yr,
+               CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT) AS cents,
+               sn.n_name AS supp_nation
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region   ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        JOIN part     ON l_partkey = p_partkey
+        WHERE r_name = 'ASIA' AND p_type = 'ECONOMY'
+    )
+    SELECT yr,
+           CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT)
+               AS nation_cents,
+           CAST(SUM(cents) AS BIGINT) AS market_cents,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(cents), 12) AS mkt_share
+    FROM sales GROUP BY 1
+    """,
+    doc="TPC-H Q8-shape national market share: NATION_3's share of the "
+    "ASIA-market ECONOMY-part revenue by year — the 8-relation join "
+    "with a conditional-share aggregate (CASE inside both numerator and "
+    "denominator of ONE grouped pass; a second scan for the total would "
+    "double the fact work). Spark plan: every dim side broadcasts "
+    "(region→nation→customer defines the market, nation→supplier tags "
+    "the share side, part filters at its scan), so the only shuffle "
+    "pair is orders⋈lineitem on orderkey + the final ~7-group agg. "
+    "Integer-cents policy end to end; the share is one IEEE division "
+    "rounded 12.",
+    tags=("olap", "join", "agg", "multiway"),
+)
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    market_nations = (
+        n.join(F.broadcast(r.filter(F.col("r_name") == "ASIA")), n.n_regionkey == r.r_regionkey)
+        .select(F.col("n_nationkey").alias("mkt_nationkey"))
+    )
+    sales = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(market_nations), c.c_nationkey == F.col("mkt_nationkey"))
+        .join(F.broadcast(p.filter(F.col("p_type") == "ECONOMY")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            s.s_nationkey == F.col("sk"),
+        )
+        .select(
+            F.year("o_orderdate").alias("yr"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("bigint")
+            .alias("cents"),
+            "supp_nation",
+        )
+    )
+    is_n3 = F.when(F.col("supp_nation") == "NATION_3", F.col("cents")).otherwise(F.lit(0))
+    return sales.groupBy("yr").agg(
+        F.sum(is_n3).cast("bigint").alias("nation_cents"),
+        F.sum("cents").cast("bigint").alias("market_cents"),
+        F.round(F.sum(is_n3).cast("double") / F.sum("cents"), 12).alias("mkt_share"),
+    )
+
+
+@query(
+    "q_product_profit",
+    """
+    SELECT sn.n_name AS supp_nation, year(o_orderdate) AS yr, p_type,
+           CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                    - CAST(round(p_retailprice * 60) AS BIGINT)
+                      * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS profit_cents
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE p_name LIKE '%bolt%'
+    GROUP BY 1, 2, 3
+    """,
+    doc="TPC-H Q9-shape product-type profit (the fixture has no "
+    "partsupp, so unit cost is proxied as 60%% of p_retailprice — the "
+    "q_min_cost_supplier stand-in convention): profit = revenue − "
+    "cost·qty per line, grouped by supplier nation × year × part type, "
+    "part filter by name pattern. The plan lesson is the Q9 classic: a "
+    "LIKE on a DIM table prunes the fact via its broadcast join "
+    "(only '%bolt%' parts survive), revenue and cost fold in the SAME "
+    "projection (one fact pass), and the agg is partial-first on a "
+    "small (nation, year, type) grid. All money is exact integer "
+    "cents: the only IEEE ops are the per-row products, identical on "
+    "both engines before integerization.",
+    tags=("olap", "join", "agg", "multiway"),
+)
+def q_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_type", "p_retailprice")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    profit = (
+        li.join(F.broadcast(p.filter(F.col("p_name").like("%bolt%"))), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").alias("yr"),
+            "p_type",
+            (
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+                - F.round(F.col("p_retailprice") * 60).cast("bigint")
+                * F.round(F.col("l_quantity")).cast("bigint")
+            ).alias("line_profit"),
+        )
+    )
+    return profit.groupBy("supp_nation", "yr", "p_type").agg(
+        F.sum("line_profit").cast("bigint").alias("profit_cents")
+    )
+
+
+@query(
+    "q_returned_revenue",
+    """
+    WITH rev AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+                    AS BIGINT) AS lost_cents,
+               COUNT(*) AS n_lines
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY 1
+    )
+    SELECT c_custkey AS custkey, c_name, n_name AS nation, lost_cents, n_lines
+    FROM rev
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY lost_cents DESC, custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H Q10-shape returned-item reporting: the 20 customers who "
+    "returned the most revenue in one order-year — the "
+    "aggregate-then-decorate pattern: the fact side collapses to the "
+    "customer grain FIRST (returnflag + date filters pushed to both "
+    "scans, one orderkey shuffle, partial-first agg), and only the "
+    "surviving |customers| rows join the broadcast customer/nation "
+    "dims; the top-20 is TakeOrderedAndProject (no global sort). "
+    "Integer-cents revenue; the ORDER BY carries a custkey tie-break "
+    "so LIMIT is deterministic on both engines.",
+    tags=("olap", "join", "agg", "topk"),
+)
+def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            o.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li.l_orderkey == o.o_orderkey,
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(
+                F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("lost_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return (
+        rev.join(F.broadcast(c), rev.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select(
+            F.col("c_custkey").alias("custkey"), "c_name", F.col("n_name").alias("nation"),
+            "lost_cents", "n_lines",
+        )
+        .orderBy(F.col("lost_cents").desc(), F.col("custkey").asc())
+        .limit(20)
+    )

@@ -94,6 +94,10 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_lorenz_curve",
     "q_bpe_merges",
     "q_bpe_token_counts",
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_product_profit",
+    "q_returned_revenue",
     # -- ROUND5_NEW_MARKER --
     # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
     #    covers the 10 above + the first ~40 of these; the remainder
