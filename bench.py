@@ -126,6 +126,10 @@ HEADLINE = [
     "q_market_share",
     "q_product_profit",
     "q_returned_revenue",
+    "q_variant_props",
+    "q_quality_deciles",
+    "q_global_shuffle_shards",
+    "q_lm_mix_weights",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",
@@ -221,6 +225,10 @@ _POST_R01 = (
     "q_market_share",
     "q_product_profit",
     "q_returned_revenue",
+    "q_variant_props",
+    "q_quality_deciles",
+    "q_global_shuffle_shards",
+    "q_lm_mix_weights",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",

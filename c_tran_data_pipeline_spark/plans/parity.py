@@ -562,3 +562,56 @@ def q_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_variant_props",
+    """
+    WITH e AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+               json_valid(props) AS ok
+        FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k
+    FROM e GROUP BY 1
+    """,
+    doc="Semi-structured props via Spark 4's VARIANT type: "
+    "try_parse_json parses each props payload ONCE into the "
+    "binary-encoded variant (malformed payloads become NULL variants "
+    "instead of task failures — the PERMISSIVE-quarantine philosophy "
+    "at the cell level), then variant_get extracts the typed path from "
+    "the encoded form — repeated path reads decode the binary "
+    "encoding, where the legacy get_json_object RE-PARSES the JSON "
+    "string per call (the reference parses props with json.loads per "
+    "row, topic_consumer.py:106-165; this is that step as a columnar "
+    "one-parse plan). Per-type audit aggregate: parse success, "
+    "missing-key, and exact integer stats over $.k. Oracle: DuckDB "
+    "extracts the same paths from the JSON text — value-identical, "
+    "engine-native encodings on both sides.",
+    tags=("parity", "json", "variant"),
+)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events").select("event_type", "props")
+    v = e.select(
+        "event_type",
+        F.try_parse_json("props").alias("v"),
+    ).select(
+        "event_type",
+        F.col("v").isNotNull().alias("ok"),
+        F.variant_get("v", "$.k", "int").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("bigint").alias("n_parsed"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("bigint").alias("n_missing_k"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )

@@ -98,6 +98,8 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_market_share",
     "q_product_profit",
     "q_returned_revenue",
+    "q_variant_props",
+    "q_lm_mix_weights",
     # -- ROUND5_NEW_MARKER --
     # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
     #    covers the 10 above + the first ~40 of these; the remainder

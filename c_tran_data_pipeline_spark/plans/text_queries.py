@@ -1806,3 +1806,81 @@ def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     merges = _bpe_merges_for(spark, sf_dir)
     return bpe_token_counts(docs, merges)
+
+
+@query(
+    "q_lm_mix_weights",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1plus_fwd
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS n1plus_bwd FROM c12 GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n_bigram_types FROM c12),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(ln(
+                   greatest(c12 - 0.75, 0.0) / c1
+                   + (0.75 * n1plus_fwd / c1)
+                     * (CAST(n1plus_bwd AS DOUBLE) / n_bigram_types)
+               ), 9) AS DECIMAL(18,9)) AS lp
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2), nt
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS DECIMAL(18,6)) AS avg_lp
+        FROM scored GROUP BY 1
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               ROUND(CAST(SUM(avg_lp) AS DOUBLE) / COUNT(*), 9) AS mean_logp
+        FROM per_doc JOIN documents USING (doc_id) GROUP BY 1
+    ),
+    z AS (SELECT SUM(exp(mean_logp)) AS z FROM per_src)
+    SELECT source, n_docs, mean_logp,
+           ROUND(exp(mean_logp) / z, 9) AS mix_weight
+    FROM per_src, z
+    """,
+    doc="LM-likelihood-driven mixture weights — the DoReMi-flavored "
+    "composition built ON q_lm_score_kn's scoring: per-source mean "
+    "Kneser-Ney document log-likelihood (a fluency/cleanliness signal) "
+    "softmaxed into sampling weights, so cleaner sources upweight in "
+    "the next training mix (pairs with q_temperature_sample, which "
+    "weights by SIZE; this weights by QUALITY). Exactness: per-doc "
+    "scores re-use the full KN integerized-log pipeline; the source "
+    "mean sums the rounded per-doc DECIMALs exactly (never a "
+    "float-order-dependent AVG) before ONE IEEE division; the softmax "
+    "is exp of identical rounded inputs — libm agreement well inside "
+    "the round-9 canon. Composition note: the Spark side literally "
+    "CALLS the registered q_lm_score_kn builder — operator reuse, not "
+    "copy — then one |sources|-grain agg + a 1-row normalizer "
+    "broadcast.",
+    tags=("text", "lm", "curation"),
+)
+def q_lm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lm = q_lm_score_kn(spark, sf_dir).select("doc_id", "avg_logp_kn")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        lm.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_logp_kn").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_logp"),
+        )
+    )
+    z = per_src.agg(F.sum(F.exp("mean_logp")).alias("z"))
+    return per_src.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "mean_logp",
+        F.round(F.exp("mean_logp") / F.col("z"), 9).alias("mix_weight"),
+    )

@@ -200,6 +200,9 @@ _ALLOWED_SCALAR_BROADCAST = {
     # 1-row global max |F1·n2 − F2·n1| re-entering as the KS supremum
     # filter bound (replaced the former unpartitioned MAX window)
     "q_ks_test",
+    # composes q_lm_score_kn (its 1-row bigram-type scalar) + its own
+    # 1-row softmax normalizer over the |sources| aggregate
+    "q_lm_mix_weights",
 }
 
 

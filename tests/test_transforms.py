@@ -490,3 +490,33 @@ def test_kneser_ney_single_word_doc_no_crash(spark):
         out = {r.doc_id: r for r in q_lm_score_kn(spark, d).collect()}
     assert set(out) == {3}
     assert out[3].n_bigrams == 5
+
+
+def test_variant_props_malformed_and_missing(spark):
+    """VARIANT robustness the fixture can't exercise: malformed JSON
+    becomes a NULL variant (counted unparsed, not a task failure);
+    valid JSON without $.k counts missing; typed extraction stays
+    exact."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.parity import q_variant_props
+
+    rows = [
+        (1, "2001-01-01 00:00:00", 1, "ping", 1.0, '{"k": 7}'),
+        (2, "2001-01-01 00:00:01", 1, "ping", 1.0, "{not json"),
+        (3, "2001-01-01 00:00:02", 1, "ping", 1.0, '{"other": 1}'),
+        (4, "2001-01-01 00:00:03", 1, "ping", 1.0, '{"k": -3}'),
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).selectExpr(
+            "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id",
+            "event_type", "value", "props",
+        ).write.parquet(f"{d}/events.parquet")
+        out = {r.event_type: r for r in q_variant_props(spark, d).collect()}
+    r = out["ping"]
+    assert (r.n_events, r.n_parsed, r.n_missing_k) == (4, 3, 2)
+    assert (r.sum_k, r.min_k, r.max_k) == (4, -3, 7)
