@@ -130,6 +130,7 @@ HEADLINE = [
     "q_quality_deciles",
     "q_global_shuffle_shards",
     "q_lm_mix_weights",
+    "q_feature_hashing",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",
@@ -229,6 +230,7 @@ _POST_R01 = (
     "q_quality_deciles",
     "q_global_shuffle_shards",
     "q_lm_mix_weights",
+    "q_feature_hashing",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",

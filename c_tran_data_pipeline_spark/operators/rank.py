@@ -129,6 +129,8 @@ def range_bounds(
     dimensions), so the per-operator boundary job collapses to one."""
     n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     infos = _order_info(lead_cols)
+    if n <= 1:
+        return [[] for _ in infos]
     probs = [i / n for i in range(1, n)]
     err = max(1.0 / (4 * n), 1e-4)
     proj = df.select(
@@ -150,6 +152,8 @@ def _with_buckets(
     sort_cols = [w for w, _, _ in info]
     _, lead, lead_desc = info[0]
     n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n <= 1:  # one bucket: no boundaries, no sampling pass
+        return df.withColumn(_PID, F.lit(0)), sort_cols
     rk = _range_key(df, lead)
     if bounds is None:
         # One column-pruned sampling pass; ≤ n-1 doubles of driver state.

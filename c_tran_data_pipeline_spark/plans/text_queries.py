@@ -1884,3 +1884,65 @@ def q_lm_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mean_logp",
         F.round(F.exp("mean_logp") / F.col("z"), 9).alias("mix_weight"),
     )
+
+
+@query(
+    "q_feature_hashing",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents
+    ),
+    hashed AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5('fh:' || tok), 1, 15) AS BIGINT) % 64 AS bucket,
+               CASE WHEN CAST('0x' || substr(md5('fhs:' || tok), 1, 15) AS BIGINT) % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM toks
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(SUM(sign) AS BIGINT) AS weight
+    FROM hashed GROUP BY 1, 2
+    HAVING SUM(sign) <> 0
+    """,
+    doc="Feature hashing (the hashing trick, Weinberger et al. 2009): "
+    "each token hashes to one of 64 buckets with an independent ±1 "
+    "sign hash, per-doc bucket weights sum signed occurrences, zero "
+    "weights drop — the constant-memory text vectorizer that needs NO "
+    "vocabulary pass (the sign hash makes collisions cancel in "
+    "expectation, which is why production hashed vectorizers are "
+    "unbiased). Long-form (doc_id, bucket, weight) output: sparse by "
+    "construction AND list-free for the typed comparator. Plan: one "
+    "tokenize-explode projection (md5 bucket + salted md5 sign, the "
+    "cross-engine determinism trick every sampler here uses), one "
+    "partial-first agg on (doc_id, bucket) — the feature space is a "
+    "CONSTANT 64 whatever the corpus, which is the operator's entire "
+    "point at 100 TB: no vocab table, no second scan, no join.",
+    tags=("text", "features", "agg"),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    toks = d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
+    h = toks.select(
+        "doc_id",
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("tok"))), 1, 15), 16, 10)
+            .cast("bigint"),
+            F.lit(64),
+        ).cast("int").alias("bucket"),
+        F.when(
+            F.pmod(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("fhs:"), F.col("tok"))), 1, 15), 16, 10
+                ).cast("bigint"),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1)).alias("sign"),
+    )
+    return (
+        h.groupBy("doc_id", "bucket")
+        .agg(F.sum("sign").cast("bigint").alias("weight"))
+        .filter(F.col("weight") != 0)
+    )

@@ -177,3 +177,74 @@ def test_json_array_roundtrip_arbitrary_unicode(spark, tmp_path_factory, texts):
         return  # an empty array file round-trips to an empty frame
     back = read_json_records(spark, path, schema, multi_line=True)
     assert sorted(map(tuple, back.collect())) == sorted(enumerate(texts))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-50, 50), st.integers(0, 1_000_000)),
+        min_size=0, max_size=60, unique_by=lambda t: t[1],
+    ),
+    n=st.integers(1, 9),
+    parts=st.integers(1, 6),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_rank_and_ntile_match_window_forms(spark, rows, n, parts):
+    """Random (key, id) frames, random bucket counts and partition
+    counts: global_rank == ROW_NUMBER and global_ntile == NTILE under
+    the single-partition window forms — including duplicate keys (ties
+    broken by id), empty frames, and N < n."""
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile, global_rank
+
+    df = spark.createDataFrame(rows, "k int, id long") if rows else (
+        spark.range(0).selectExpr("CAST(id AS INT) k", "id")
+    )
+    w = Window.orderBy("k", "id")
+    exp_rank = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    got_rank = {
+        r["id"]: r["rank"] for r in global_rank(df, ["k", "id"], partitions=parts).collect()
+    }
+    assert got_rank == exp_rank
+    exp_nt = {r["id"]: r["b"] for r in df.select("id", F.ntile(n).over(w).alias("b")).collect()}
+    got_nt = {
+        r["id"]: r["bucket"]
+        for r in global_ntile(df, n, ["k", "id"], partitions=parts).collect()
+    }
+    assert got_nt == exp_nt
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(-30, 30), st.integers(0, 1_000_000), st.integers(-5, 5)),
+        min_size=1, max_size=50, unique_by=lambda t: t[1],
+    ),
+    parts=st.integers(1, 5),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_cumsum_cummax_match_window_forms(spark, rows, parts):
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.operators.rank import global_cummax, global_cumsum
+
+    df = spark.createDataFrame(rows, "k int, id long, v int")
+    w = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, 0)
+    wx = Window.orderBy("k", "id").rowsBetween(Window.unboundedPreceding, -1)
+    exp = {
+        r["id"]: (r["c"], r["m"])
+        for r in df.select(
+            "id", F.sum("v").over(w).alias("c"), F.max("v").over(wx).alias("m")
+        ).collect()
+    }
+    cs = {
+        r["id"]: r["v_cum"]
+        for r in global_cumsum(df, ["k", "id"], ["v"], partitions=parts).collect()
+    }
+    cm = {
+        r["id"]: r["pm"]
+        for r in global_cummax(
+            df, ["k", "id"], "v", "pm", inclusive=False, partitions=parts
+        ).collect()
+    }
+    for i, (c, m) in exp.items():
+        assert cs[i] == c and cm[i] == m
