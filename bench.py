@@ -131,6 +131,7 @@ HEADLINE = [
     "q_global_shuffle_shards",
     "q_lm_mix_weights",
     "q_feature_hashing",
+    "q_lm_heldout",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",
@@ -231,6 +232,7 @@ _POST_R01 = (
     "q_global_shuffle_shards",
     "q_lm_mix_weights",
     "q_feature_hashing",
+    "q_lm_heldout",
     "q_source_jsd",
     "q_semantic_dedup",
     "q_incremental_semantic_dedup",

@@ -101,6 +101,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_variant_props",
     "q_lm_mix_weights",
     "q_feature_hashing",
+    "q_lm_heldout",
     # -- ROUND5_NEW_MARKER --
     # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
     #    covers the 10 above + the first ~40 of these; the remainder

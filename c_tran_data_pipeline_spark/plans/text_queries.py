@@ -1946,3 +1946,118 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").cast("bigint").alias("weight"))
         .filter(F.col("weight") != 0)
     )
+
+
+@query(
+    "q_lm_heldout",
+    r"""
+    WITH split AS (
+        SELECT doc_id, source, text,
+               CASE WHEN CAST('0x' || substr(md5('split' || ':' || CAST(doc_id AS VARCHAR)), 1, 15)
+                         AS BIGINT) % 10000 < 9000
+                    THEN 'train' ELSE 'heldout' END AS part
+        FROM documents
+    ),
+    toks AS (SELECT doc_id, source, part,
+                    string_split_regex(trim(text), '\s+') AS w FROM split),
+    bg AS (
+        SELECT doc_id, source, part, u.w1 AS w1, u.w2 AS w2
+        FROM (SELECT doc_id, source, part,
+                     unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE part = 'train' GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1plus_fwd
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS n1plus_bwd FROM c12 GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n_bigram_types FROM c12),
+    held AS (SELECT source, w1, w2 FROM bg WHERE part = 'heldout'),
+    scored AS (
+        SELECT h.source,
+               CAST(round(ln(
+                   greatest(c12 - 0.75, 0.0) / c1
+                   + (0.75 * n1plus_fwd / c1)
+                     * (CAST(n1plus_bwd AS DOUBLE) / n_bigram_types)
+               ), 9) AS DECIMAL(18,9)) AS lp
+        FROM held h JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2), nt
+    ),
+    totals AS (SELECT source, COUNT(*) AS n_bigrams FROM held GROUP BY 1),
+    cov AS (SELECT source, COUNT(*) AS n_covered,
+                   ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS mean_logp_covered
+            FROM scored GROUP BY 1)
+    SELECT t.source AS source, t.n_bigrams,
+           COALESCE(c.n_covered, 0) AS n_covered,
+           ROUND(1.0 - COALESCE(c.n_covered, 0) * 1.0 / t.n_bigrams, 9) AS oov_bigram_rate,
+           c.mean_logp_covered
+    FROM totals t LEFT JOIN cov c USING (source)
+    """,
+    doc="Leakage-free LM evaluation — the protocol q_lm_score_kn "
+    "deliberately does NOT follow (it scores in-sample, as a quality "
+    "FILTER): Kneser-Ney counts train on the hash_split 90%% train "
+    "side ONLY (the same salted-md5 split q_train_split pins, so no "
+    "document straddles the boundary across engines or reruns), the "
+    "10%% heldout side is scored against those counts, and the "
+    "UNAVOIDABLE out-of-vocabulary mass is REPORTED (per-source OOV "
+    "bigram rate) rather than smoothed over — covered-bigram mean "
+    "log-likelihood + coverage is the honest pair of numbers for "
+    "comparing sources. Plan: the train/heldout split is one "
+    "projection (no second scan: both sides come from the same bigram "
+    "explode, filtered); count tables partial-agg first; heldout "
+    "scoring is the same co-shuffled join cascade as q_lm_score_kn "
+    "with exact DECIMAL means.",
+    tags=("text", "lm", "eval"),
+)
+def q_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.curation import hash_split
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    split = hash_split(d, key="doc_id")
+    base = spread(split).select(
+        "doc_id", "source",
+        F.when(F.col("split") == "train", F.lit("train")).otherwise(F.lit("heldout")).alias("part"),
+        F.split(F.trim("text"), r"\s+").alias("w"),
+    )
+    bg = base.select(
+        "source", "part",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN"
+                " transform(sequence(1, size(w)-1),"
+                " i -> struct(w[i-1] AS w1, w[i] AS w2))"
+                " ELSE CAST(array() AS array<struct<w1:string,w2:string>>) END"
+            )
+        ).alias("u"),
+    ).select("source", "part", "u.w1", "u.w2")
+    train = bg.filter(F.col("part") == "train")
+    held = bg.filter(F.col("part") == "heldout").select("source", "w1", "w2")
+    c12 = train.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c1"), F.count(F.lit(1)).alias("n1plus_fwd")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1plus_bwd"))
+    ntypes = c12.agg(F.count(F.lit(1)).alias("n_bigram_types"))
+    D = F.lit(0.75)
+    p = F.greatest(F.col("c12") - D, F.lit(0.0)) / F.col("c1") + (
+        D * F.col("n1plus_fwd") / F.col("c1")
+    ) * (F.col("n1plus_bwd").cast("double") / F.col("n_bigram_types"))
+    scored = (
+        held.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(ntypes))
+        .select("source", F.round(F.log(p), 9).cast("decimal(18,9)").alias("lp"))
+    )
+    totals = held.groupBy("source").agg(F.count(F.lit(1)).alias("n_bigrams"))
+    cov = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_covered"),
+        F.round(F.sum("lp").cast("double") / F.count(F.lit(1)), 6).alias("mean_logp_covered"),
+    )
+    return totals.join(cov, "source", "left").select(
+        "source",
+        "n_bigrams",
+        F.coalesce("n_covered", F.lit(0)).alias("n_covered"),
+        F.round(
+            1.0 - F.coalesce("n_covered", F.lit(0)).cast("double") / F.col("n_bigrams"), 9
+        ).alias("oov_bigram_rate"),
+        "mean_logp_covered",
+    )

@@ -203,6 +203,9 @@ _ALLOWED_SCALAR_BROADCAST = {
     # composes q_lm_score_kn (its 1-row bigram-type scalar) + its own
     # 1-row softmax normalizer over the |sources| aggregate
     "q_lm_mix_weights",
+    # 1-row train-side bigram-type total re-entering as the Pcont
+    # denominator (the q_lm_score_kn scalar, heldout-eval variant)
+    "q_lm_heldout",
 }
 
 
