@@ -720,3 +720,33 @@ def test_lsh_candidate_volume_subquadratic_with_auto_banding(spark):
         f"auto {growth_auto:.1f}× vs fixed {growth_fixed:.1f}× — adaptive banding "
         f"is not reducing candidate volume ({counts_auto} vs {counts_fixed})"
     )
+
+
+def test_max_partition_bytes_splits_scans(spark, tmp_path):
+    """The spill-sizing lever SCALE.md prescribes: a single large
+    parquet file splits into ~size/maxPartitionBytes scan tasks when
+    the knob shrinks — partitions are bounded by BYTES, not by file
+    count, so executor memory sizing survives however the upstream
+    writer rolled its files."""
+    import os
+
+    p = str(tmp_path / "wide")
+    spark.range(400_000).selectExpr(
+        "id", "repeat(uuid(), 4) AS pad"
+    ).coalesce(1).write.parquet(p)
+    fsize = sum(
+        os.path.getsize(os.path.join(p, f)) for f in os.listdir(p) if f.endswith(".parquet")
+    )
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024 * 1024))  # 1 MiB
+        n_small = spark.read.parquet(p).rdd.getNumPartitions()
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(1 << 30))  # 1 GiB
+        n_big = spark.read.parquet(p).rdd.getNumPartitions()
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
+    # with the cap lifted, the bytes-per-core heuristic governs (a
+    # handful of tasks); with a 1 MiB cap the same file must split into
+    # ≳ size/limit tasks — strictly more, scaling with the byte budget
+    assert n_small > n_big
+    assert n_small >= max(2, fsize // (2 * 1024 * 1024))  # ≳ size/limit tasks

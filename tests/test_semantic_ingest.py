@@ -110,3 +110,17 @@ def test_replay_is_idempotent(spark, staged, tmp_path):
     for k, r in rep.items():
         if k in before:
             assert r["keep"] is False and r["component"] == k
+
+
+def test_checkpoint_prevents_reprocessing(spark, staged):
+    """The exactly-once-effect lever the replay test deliberately
+    bypassed: a second availableNow run over the SAME checkpoint sees
+    no new files, processes zero batches, and leaves both the flags
+    ledger and the store untouched."""
+    store, inp, root, _, _, _ = staged
+    flags1 = _run(spark, store, inp, root, "ckpt").count()
+    store1 = {r["vec_id"] for r in read_semantic_store(spark, store)[0].select("vec_id").collect()}
+    flags2 = _run(spark, store, inp, root, "ckpt").count()  # same tag = same checkpoint
+    store2 = {r["vec_id"] for r in read_semantic_store(spark, store)[0].select("vec_id").collect()}
+    assert flags2 == flags1  # ledger unchanged — nothing re-appended
+    assert store2 == store1
