@@ -181,7 +181,14 @@ def dedup_clusters(
         # probe-then-collect double scan (measured ~0.9 s on
         # q_dedup_clusters at sf0.1).
         narrow = pairs.select(F.col(src), F.col(dst))
-        rows = narrow.limit(local_threshold + 1).collect()
+        # localCheckpoint BEFORE collect: truncating the lineage keeps
+        # Catalyst's union constraint rewriter out of the collect path —
+        # Spark 4.1.2's UnionBase.rewriteConstraints throws
+        # NoSuchElementException on some self-referencing union + Arrow
+        # grouped-map lineages when the bounded pair list is collected
+        # directly (hit via semantic_dedup). The checkpointed frame is
+        # ≤ threshold+1 rows, so materializing it is the probe itself.
+        rows = narrow.limit(local_threshold + 1).localCheckpoint(eager=True).collect()
         if len(rows) <= local_threshold:
             return _local_components_rows(
                 pairs.sparkSession, rows, dict(narrow.dtypes)[src]

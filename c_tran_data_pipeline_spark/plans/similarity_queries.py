@@ -1143,12 +1143,24 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"embeddings.vec_id reaches {max_id}; planted-twin offset "
             "1_000_000 would collide with real vectors — raise the offset"
         )
-    twins = emb.filter(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.expr(
-            "transform(cast(embedding AS array<double>),"
-            " (x, i) -> x + 0.01 * ((i % 3) - 1))"
-        ).alias("embedding"),
+    # The twin side reads its OWN scan (fresh attribute ids): a union
+    # whose branches share one relation instance trips Spark 4.1.2's
+    # UnionBase.rewriteConstraints (NoSuchElementException: key not
+    # found) when the downstream Arrow grouped-map lineage is
+    # materialized — an independent scan sidesteps the buggy
+    # constraint rewrite without disabling constraint propagation
+    # session-wide.
+    twins = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 10 == 0)
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr(
+                "transform(cast(embedding AS array<double>),"
+                " (x, i) -> x + 0.01 * ((i % 3) - 1))"
+            ).alias("embedding"),
+        )
     )
     corpus = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("embedding")).unionByName(twins)
     from c_tran_data_pipeline_spark.operators.pq import deterministic_sample
@@ -1287,12 +1299,18 @@ def q_incremental_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"embeddings.vec_id reaches {max_id}; planted-twin offset "
             "1_000_000 would collide with real vectors — raise the offset"
         )
-    base = emb.filter(F.col("vec_id") % 10 < p["base_mod"])
-    twins = base.filter(F.col("vec_id") % 20 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"),
-        F.expr("transform(embedding, (x, i) -> x + 0.001 * ((i % 3) - 1))").alias(
-            "embedding"
-        ),
+    # twins from an INDEPENDENT scan — the q_semantic_dedup
+    # rewriteConstraints workaround (same-relation union branches)
+    twins = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+        .filter((F.col("vec_id") % 10 < p["base_mod"]) & (F.col("vec_id") % 20 == 0))
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.expr("transform(embedding, (x, i) -> x + 0.001 * ((i % 3) - 1))").alias(
+                "embedding"
+            ),
+        )
     )
     new_batch = emb.filter(F.col("vec_id") % 10 >= p["base_mod"]).unionByName(twins)
     path = _sem_store_path(sf_dir)
