@@ -65,13 +65,16 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # threshold). Rolling this forward each round keeps every query's
 # evidence ≤ 2 rounds old.
 #
-# Round-4 registered 60 new queries — 10 more than the 50-row gate
-# budget. The tail ten (k-hop BFS, random walk, CMS heavy hitters,
-# pagerank, canonical dedup, bloom prefilter, phrase search, constraint
-# audit, linear interpolation, pruned BM25 —
-# the earliest wave-2 registrations, each already verified by full
-# oracle-corpus runs at BOTH SFs recorded in VERIFICATION.md) roll to
-# the round-5 gate; they must LEAD round 5's list.
+# Round-5 gate budget (50 rows): the ten round-4 registrations that
+# rolled past round 4's budget LEAD (VERDICT r4 item 3), then the
+# round-5 registrations (no prior evidence by construction), then the
+# oldest stale cohort (r01-only evidence) fills the remainder. The
+# whole registry is ALSO re-verified every session by full oracle-CLI
+# sweeps at sf0.01 (twice, back-to-back — flake check) and sf0.1,
+# recorded in VERIFICATION.md; driver rows are the belt-and-suspenders
+# layer being rotated. ROUND-6 ROTATION: new r6 registrations first,
+# then the remaining r01 cohort below the 50-row fold, then the r02
+# cohort.
 _GATE_FIRST: tuple[str, ...] = (
     # ROUND-5 ORDER. 1) The ten round-4 registrations that rolled past
     # the 50-row gate budget (never driver-gated; verified by oracle-CLI
