@@ -44,8 +44,9 @@ a TOTAL order (include a unique tie-break column) or ranks within ties
 are plan-dependent on any engine.
 
 Construction cost: building the plan triggers ONE boundary-sampling
-job over the leading key column (column-pruned). Cache the input first
-if it is expensive to recompute.
+job over the leading key column (column-pruned). The operator persists
+its input (MEMORY_AND_DISK) so the sampling, bookkeeping, and ranked
+branches evaluate the input lineage once — see ``_materialize``.
 
 Reference parity: the C-Tran pipeline has no global-order operator (its
 reports sort ≤ day-grain aggregates); these back the training-data
@@ -61,6 +62,7 @@ import re
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 #: Internal column names — chosen greppable so the structural plan gate
 #: can classify the bounded counts-window by its aggregate key.
@@ -70,41 +72,53 @@ _OFF = "__gr_off"
 _TOT = "__gr_total"
 _RESERVED = (_PID, _CNT, _OFF, _TOT, "__gr_rank")
 
-_SORT_SUFFIX = re.compile(r"^(?P<child>.+?) (?P<dir>ASC|DESC) NULLS (?:FIRST|LAST)$")
+_SORT_SUFFIX = re.compile(
+    r"^(?P<child>.+?) (?P<dir>ASC|DESC) NULLS (?P<nulls>FIRST|LAST)$"
+)
 
 
-def _order_info(order_by) -> list[tuple[Column, Column, bool]]:
+def _order_info(order_by) -> list[tuple[Column, Column, bool, bool]]:
     """Normalize order_by elements to (window sort Column, child
-    Column, is_desc). Accepts "name", ("name", "asc"|"desc"), a plain
-    Column, or a Column built with .asc()/.desc()/F.desc (parsed from
-    its SQL string form)."""
+    Column, is_desc, nulls_first). Accepts "name", ("name",
+    "asc"|"desc"), a plain Column, or a Column built with
+    .asc()/.desc()/F.desc/.asc_nulls_last()/... (parsed from its SQL
+    string form). nulls_first tracks the requested NULL placement
+    (defaults: ASC→FIRST, DESC→LAST, matching Spark and ANSI) so the
+    bucket assignment sends null lead keys to the same end of the
+    global order the in-bucket window will."""
     out = []
     for e in order_by:
         if isinstance(e, str):
-            out.append((F.col(e), F.col(e), False))
+            out.append((F.col(e), F.col(e), False, True))
             continue
         if isinstance(e, tuple):
             name, d = e
             desc = d.lower() == "desc"
             c = F.col(name)
-            out.append((c.desc() if desc else c.asc(), F.col(name), desc))
+            out.append((c.desc() if desc else c.asc(), F.col(name), desc, not desc))
             continue
         s = str(e)  # Column<'quality DESC NULLS LAST'> / Column<'id'>
         inner = s[len("Column<'"):-2] if s.startswith("Column<'") else s
         m = _SORT_SUFFIX.match(inner)
         if m:
             child = F.expr(m.group("child"))
-            out.append((e, child, m.group("dir") == "DESC"))
+            out.append(
+                (e, child, m.group("dir") == "DESC", m.group("nulls") == "FIRST")
+            )
         else:
-            out.append((e, e, False))
+            out.append((e, e, False, True))
     return out
 
 
 def _range_key(df: DataFrame, child: Column) -> Column:
     """A DOUBLE expression monotone in ``child``'s sort order, for
     quantile-boundary sampling. Strings map through their first 7
-    bytes (hex→decimal) — monotone in Spark's binary collation;
-    longer shared prefixes just share a bucket."""
+    bytes (hex→decimal, RIGHT-PADDED to 14 hex digits so short strings
+    key below every longer extension — without the pad, 'aa' keys as
+    0x6161 > 'b' as 0x62 although 'aa' < 'b' in binary collation) —
+    monotone (non-strict) in Spark's binary collation; longer shared
+    prefixes just share a bucket. 14 hex digits = 56 bits, exactly
+    representable in a double."""
     dt = df.select(child.alias("__p")).schema[0].dataType
     if isinstance(dt, T.NumericType | T.BooleanType):
         return child.cast("double")
@@ -113,7 +127,9 @@ def _range_key(df: DataFrame, child: Column) -> Column:
     if isinstance(dt, T.TimestampType | T.TimestampNTZType):
         return F.unix_micros(child.cast("timestamp")).cast("double")
     if isinstance(dt, T.StringType):
-        return F.conv(F.substring(F.hex(child), 1, 14), 16, 10).cast("double")
+        return F.conv(
+            F.rpad(F.substring(F.hex(child), 1, 14), 14, "0"), 16, 10
+        ).cast("double")
     raise ValueError(
         f"global rank needs a numeric/string/date/timestamp leading order column, got {dt}"
     )
@@ -131,13 +147,36 @@ def range_bounds(
     infos = _order_info(lead_cols)
     if n <= 1:
         return [[] for _ in infos]
+    df = _materialize(df)  # same cache entry the operator call will hit
     probs = [i / n for i in range(1, n)]
     err = max(1.0 / (4 * n), 1e-4)
     proj = df.select(
-        *[_range_key(df, child).alias(f"__gr_rk{i}") for i, (_, child, _) in enumerate(infos)]
+        *[
+            _range_key(df, child).alias(f"__gr_rk{i}")
+            for i, (_, child, _, _) in enumerate(infos)
+        ]
     )
     per_col = proj.approxQuantile([f"__gr_rk{i}" for i in range(len(infos))], probs, err)
     return [sorted(set(b)) for b in per_col]
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    """Persist the operator input so the three plan branches every rank
+    operator builds (boundary sampling, per-bucket bookkeeping
+    aggregate, final ranked join) evaluate the input lineage ONCE
+    instead of once per branch — at 100 TB a 3× corpus re-scan (or a
+    3× re-evaluation of an expensive scoring projection, as in
+    q_quality_deciles) is real money. MEMORY_AND_DISK so oversized
+    inputs spill instead of recomputing; Spark's CacheManager matches
+    by canonicalized plan, so a caller that persists the same frame
+    (or calls ``range_bounds`` then an operator on it) shares ONE cache
+    entry. Chained calls (q_rfm_segments' three NTILEs) each persist
+    their own level, cutting the otherwise-exponential lineage
+    re-execution to one pass per level. Entries are narrow projections
+    by call-site convention; cleanup is left to Spark's ContextCleaner
+    (an explicit unpersist inside a lazy operator would race the
+    caller's collect)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 def _with_buckets(
@@ -149,8 +188,9 @@ def _with_buckets(
         if c in df.columns:
             raise ValueError(f"global rank/cumsum reserves column name {c!r}")
     info = _order_info(order_by)
-    sort_cols = [w for w, _, _ in info]
-    _, lead, lead_desc = info[0]
+    sort_cols = [w for w, _, _, _ in info]
+    _, lead, lead_desc, lead_nulls_first = info[0]
+    df = _materialize(df)
     n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if n <= 1:  # one bucket: no boundaries, no sampling pass
         return df.withColumn(_PID, F.lit(0)), sort_cols
@@ -169,15 +209,19 @@ def _with_buckets(
     # aggregate + self-join this operator builds (Spark 4.1.2); plain
     # comparisons codegen fine and are one WholeStageCodegen span.
     if lead_desc:
-        # bucket grows as the key shrinks; NULLS LAST → last bucket
+        # bucket grows as the key shrinks
         terms = [(rk <= F.lit(float(b))).cast("int") for b in bounds]
         bucket = sum(terms[1:], terms[0])
-        bucket = F.when(rk.isNull(), F.lit(len(bounds))).otherwise(bucket)
     else:
-        # comparisons with a NULL key are NULL → coalesce to bucket 0,
-        # matching ASC NULLS FIRST
         terms = [(rk >= F.lit(float(b))).cast("int") for b in bounds]
-        bucket = F.coalesce(sum(terms[1:], terms[0]), F.lit(0))
+        bucket = sum(terms[1:], terms[0])
+    # NULL lead keys: comparisons with NULL are NULL, so place nulls
+    # explicitly at the end the in-bucket window will sort them to —
+    # bucket 0 for NULLS FIRST, the last bucket for NULLS LAST
+    # (defaults: ASC→FIRST, DESC→LAST; approxQuantile already ignores
+    # nulls, so the boundaries never see them).
+    null_bucket = F.lit(0) if lead_nulls_first else F.lit(len(bounds))
+    bucket = F.when(rk.isNull(), null_bucket).otherwise(bucket)
     return df.withColumn(_PID, bucket), sort_cols
 
 

@@ -1018,14 +1018,19 @@ def semantic_dedup(
             nlist=nlist, iters=iters, key=key, vec=vec, dim=dim,
         )
         probes = _probe_cells(v, cents, min(nprobe, nlist))
-    assigned = df.select(F.col(key), v.alias("__v"), probes.alias("__cells")).select(
-        F.col(key),
-        "__v",
-        F.element_at("__cells", 1).alias("cell"),
-        "__cells",
+    # ONE assignment pass: the probe expression costs O(nlist·dim) per
+    # row, so it must not evaluate twice (once for blocking, once for
+    # the output's primary cell). posexplode tags each probe with its
+    # rank — pos 0 IS the primary cell, recovered by filter instead of
+    # a second centroid-distance evaluation (measured ~0.7 s at sf0.1,
+    # nlist=16). Re-landed after 86be68f hardened the planted-twin
+    # unions against the Spark 4.1.2 UnionBase.rewriteConstraints bug
+    # the first landing tripped.
+    blocked = df.select(F.col(key), v.alias("__v"), probes.alias("__cells")).select(
+        F.col(key), "__v", F.posexplode("__cells").alias("__pos", "bcell")
     )
-    blocked = assigned.select(
-        F.col(key), "__v", F.explode("__cells").alias("bcell")
+    assigned = blocked.filter(F.col("__pos") == 0).select(
+        F.col(key), "__v", F.col("bcell").alias("cell")
     )
 
     # Pair stage: one numpy GEMM per cell (grouped-map Arrow) instead of

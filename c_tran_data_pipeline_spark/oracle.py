@@ -287,6 +287,20 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     ),
 }
 
+# Round-6 golden sweep (VERDICT r5 item 4): EVERY rows-only query now has
+# a committed full-output golden (tests/goldens/<name>_sf0.01.json) pinned
+# by tests/test_goldens_rowsonly.py — prepend that proof to each entry
+# that predates the sweep so the inventory names it.
+for _n in sorted(ROWS_ONLY_EVIDENCE):
+    # (q_frame_sample / q_multimodal_features pin their goldens via
+    # tests/test_multimodal.py::test_registered_query_matches_golden)
+    if "matches_golden" not in ROWS_ONLY_EVIDENCE[_n]:
+        ROWS_ONLY_EVIDENCE[_n] = (
+            "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
+            f"(ALL sf0.01 output rows equal the committed golden tests/goldens/"
+            f"{_n}_sf0.01.json) + " + ROWS_ONLY_EVIDENCE[_n]
+        )
+
 
 def write_inventory(path: str = "QUERIES.md") -> None:
     """Generate the query-inventory doc from the registry (run:

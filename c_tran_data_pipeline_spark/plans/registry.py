@@ -56,156 +56,74 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # order. The gate records rows for exactly the first 50 names of
 # ``all_queries()`` ordering per round (a hard cap or time budget), so
 # dict ordering decides which queries get hard evidence each round.
-# Round-3 closed the never-gated backlog (all 144 queries have a row);
-# from round 4 on the list ROTATES STALE EVIDENCE per VERDICT.md r3
-# item 3: this round's new registrations lead (evidence-free by
-# construction), then every query whose only driver row is from r01
-# (44 — code has changed since), then the oldest r02 rows prioritizing
-# queries whose plan changed this round (q_hybrid_search's hot-token
-# threshold). Rolling this forward each round keeps every query's
-# evidence ≤ 2 rounds old.
-#
-# Round-5 gate budget (50 rows): the ten round-4 registrations that
-# rolled past round 4's budget LEAD (VERDICT r4 item 3), then the
-# round-5 registrations (no prior evidence by construction), then the
-# oldest stale cohort (r01-only evidence) fills the remainder. The
-# whole registry is ALSO re-verified every session by full oracle-CLI
-# sweeps at sf0.01 (twice, back-to-back — flake check) and sf0.1,
-# recorded in VERIFICATION.md; driver rows are the belt-and-suspenders
-# layer being rotated. ROUND-6 ROTATION: new r6 registrations first,
-# then the remaining r01 cohort below the 50-row fold, then the r02
-# cohort.
+# Round 3 closed the never-gated backlog; from round 4 on the list
+# ROTATES STALE EVIDENCE (VERDICT.md r3 item 3): each round gates the
+# 50 queries whose latest driver row is oldest, with new registrations
+# (evidence-free by construction) leading.
 _GATE_FIRST: tuple[str, ...] = (
-    # ROUND-5 ORDER. 1) The ten round-4 registrations that rolled past
-    # the 50-row gate budget (never driver-gated; verified by oracle-CLI
-    # runs at both SFs in VERIFICATION.md and by the r4 judge) — they
-    # LEAD, per VERDICT.md r4 item 3:
-    "q_khop_reach",
-    "q_random_walk",
-    "q_cms_heavy_hitters",
-    "q_pagerank",
-    "q_dedup_canonical",
-    "q_bloom_prefilter_join",
-    "q_phrase_search",
-    "q_constraint_audit",
-    "q_interpolate_linear",
-    "q_bm25_rank_pruned",
-    # 2) round-5 registrations (no prior evidence by construction):
-    # (prepend new names here as they are registered)
-    "q_incremental_semantic_dedup",
-    "q_dedup_span_cut",
-    "q_lorenz_curve",
-    "q_bpe_merges",
-    "q_bpe_token_counts",
-    "q_forecast_revenue",
-    "q_market_share",
-    "q_product_profit",
-    "q_returned_revenue",
-    "q_variant_props",
-    "q_lm_mix_weights",
-    "q_feature_hashing",
-    "q_lm_heldout",
-    # -- ROUND5_NEW_MARKER --
-    # 3) r01-only evidence (stale 4 rounds): the driver's 50-row budget
-    #    covers the 10 above + the first ~40 of these; the remainder
-    #    plus the r02/r04 cohorts rotate next round. Every name below
-    #    is ALSO re-verified by oracle-CLI/pytest runs each session —
-    #    driver rows are the belt-and-suspenders layer being rotated.
-    "q_window_hourly",
-    "q_profile_events",
-    "q_text_tokens",
-    "q_text_langid",
-    "q_text_quality",
-    "q_text_fingerprint",
-    "q_train_split",
-    "q_stratified_sample",
-    "q_domain_cap",
-    "q_corpus_prep",
-    "q_corpus_prep_neardup",
-    "q_incremental_ingest",
-    "q_dedup_exact",
-    "q_dedup_ngram_jaccard",
-    "q_dedup_minhash_sig",
-    "q_dedup_minhash_lsh",
-    "q_dedup_clusters",
-    "q_dedup_simhash_pairs",
-    "q_binary_meta",
-    "q_multimodal_features",
-    "q_asof_prev_purchase",
-    "q_asof_tolerance",
-    "q_range_join_follows",
-    "q_rollup_pricing",
-    "q_cube_order_matrix",
-    "q_grouping_sets_shipping",
-    "q_approx_distinct",
-    "q_set_ops_cohorts",
-    "q_percentiles",
+    # ROUND-6 ROTATION (VERDICT.md r5 item 6: "Round 6's 50 rows should
+    # be the 50 oldest-evidence queries"). Order: any round-6
+    # registrations lead (evidence-free by construction, prepend at the
+    # marker), then the 17 queries whose ONLY driver row is r01 (four
+    # rounds stale), then the oldest r02 cohort (alphabetical) fills the
+    # 50-row budget — q_hotspot_grid and q_kernel_smooth (the r5 bench
+    # drifts) land inside the fold. The 17 remaining r02 names plus the
+    # r03 cohort rotate in round 7. The whole registry is ALSO
+    # re-verified each session by full oracle-CLI sweeps (VERIFICATION.md);
+    # driver rows are the belt-and-suspenders layer being rotated.
+    # -- ROUND6_NEW_MARKER --
+    # r01-only evidence (stale since round 1):
+    "q_antijoin_absent",
     "q_approx_percentiles",
-    "q_running_total",
-    "q_asof_next_purchase",
-    "q_region_revenue",
     "q_asof_nearest_purchase",
-    "q_vocab_topk",
-    "q_tfidf_top_terms",
+    "q_asof_next_purchase",
+    "q_breadcrumb_conform",
+    "q_conform_validate",
+    "q_distinct_tuples",
+    "q_enrich_merge",
+    "q_first_wins_dedup",
     "q_flagship_hotspot",
     "q_flagship_hotspot_pm",
-    "q_conform_validate",
-    "q_breadcrumb_conform",
-    "q_distinct_tuples",
-    "q_first_wins_dedup",
-    "q_antijoin_absent",
-    "q_enrich_merge",
-    # 4) round-4 driver-gated names (freshest evidence, r04 rows):
-    "q_lm_score_kn",
-    "q_lsh_quality",
-    "q_dataset_card",
-    "q_incremental_cdc",
-    "q_survival_curve",
-    "q_semantic_dedup",
-    "q_cdc_chunks",
-    "q_linkage_score",
-    "q_quantile_norm",
-    "q_source_jsd",
-    "q_mann_whitney",
-    "q_cramers_v",
-    "q_conversion_latency",
-    "q_dup_span_fraction",
-    "q_yoy_growth",
-    "q_modal_priority",
-    "q_interarrival_stats",
-    "q_user_entropy",
-    "q_session_ngrams",
-    "q_chi2_independence",
-    "q_rfm_segments",
-    "q_ks_test",
-    "q_large_orders",
-    "q_top_supplier_share",
-    "q_clustering_coeff",
-    "q_repeated_ngrams",
-    "q_zipf_fit",
-    "q_autocorr_daily",
-    "q_theilsen_trend",
-    "q_trimmed_mean",
-    "q_attribution",
-    "q_pca_project",
-    "q_assoc_rules",
-    "q_cusum_changepoint",
-    "q_image_ahash_neardup",
-    "q_sssp_weighted",
-    "q_corr_matrix",
-    "q_degree_assortativity",
-    "q_dedup_prefix_filter",
-    "q_benford_audit",
-    "q_seasonal_index",
-    "q_kcore",
-    "q_event_transitions",
-    "q_sorted_neighborhood",
-    "q_region_trend",
-    "q_label_prop",
-    "q_skyline_orders",
-    "q_mmr_rerank",
-    "q_hits",
-    "q_triangle_count",
+    "q_percentiles",
+    "q_region_revenue",
+    "q_running_total",
+    "q_set_ops_cohorts",
+    "q_tfidf_top_terms",
+    "q_vocab_topk",
+    # oldest r02 cohort (alphabetical):
+    "q_ann_ivf_topk",
+    "q_ann_lsh_buckets",
+    "q_ann_lsh_topk",
+    "q_ann_mrl_topk",
+    "q_ann_neardup",
+    "q_ann_neardup_lsh",
+    "q_ann_pq_topk",
+    "q_ann_topk",
+    "q_ann_topk_arrow",
+    "q_ann_topk_int8",
+    "q_boilerplate_scrub",
+    "q_chunk_documents",
+    "q_cohort_retention",
+    "q_dataset_fingerprint",
+    "q_decontaminate",
+    "q_decontaminate_semantic",
+    "q_dedup_containment",
+    "q_dedup_simhash",
+    "q_dow_profile",
+    "q_funnel_steps",
+    "q_fuzzy_pairs",
+    "q_group_moments",
+    "q_hotspot_grid",
+    "q_hybrid_search",
+    "q_incremental_agg",
+    "q_kernel_smooth",
+    "q_label_centroids",
+    "q_length_histogram",
+    "q_lm_score",
+    "q_longest_sessions",
+    "q_mad_outliers",
+    "q_order_priority_semijoin",
+    "q_pack_sequences",
 )
 
 

@@ -16,8 +16,10 @@ Composition, not new machinery:
   flags ledger, and COMMIT the grown store by the tmp-directory +
   swap recipe (write to ``<store>.build-<pid>``, which still READS the
   old committed directory — never overwrite a directory a lazy plan is
-  reading — then rmtree+rename; the sidecar-last marker inside makes a
-  torn swap refuse to load rather than serve half a store).
+  reading — then rename-aside + rename-in + delete-aside, so SOME
+  committed store survives a crash at every point; the sidecar-last
+  marker inside makes a torn swap refuse to load rather than serve
+  half a store, and the next run promotes the aside copy back).
 - delivery: at-least-once with an idempotent effect — a REPLAYED batch
   re-dedups vectors whose copies are already stored, every row pairs
   with its own stored copy (component anchored by a representative),
@@ -62,6 +64,13 @@ def semantic_ingest_stream(
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
+        # Crash recovery: a failure between the swap's two renames leaves
+        # only the aside copy — promote it back before reading. (If BOTH
+        # exist, the committed path wins and the aside is a stale leftover
+        # cleaned at the next swap.)
+        old = f"{store_path}.old"
+        if not os.path.exists(store_path) and os.path.exists(old):
+            os.rename(old, store_path)
         reps, cents, meta = read_semantic_store(spark, store_path)
         flags, updated = incremental_semantic_dedup(
             batch_df, reps, cents, threshold=threshold, nprobe=nprobe
@@ -69,11 +78,21 @@ def semantic_ingest_stream(
         flags.write.mode("append").parquet(flags_path)
         # Build the next store version while the old one is still the
         # committed read source, then swap whole (sidecar-last commit
-        # inside write_semantic_store + directory rename here).
+        # inside write_semantic_store + directory rename here). The old
+        # store is renamed ASIDE first — never rmtree'd before the new
+        # one is in place — so a crash at any point leaves a committed
+        # store on disk: before the aside-rename the old path is live;
+        # between the two renames the .old copy survives for manual
+        # (or next-run) restore; only after the new store is committed
+        # does the aside copy get deleted.
         tmp = f"{store_path}.build-{os.getpid()}-{batch_id}"
         write_semantic_store(updated, cents, tmp, meta=meta)
-        shutil.rmtree(store_path, ignore_errors=True)
+        old = f"{store_path}.old"
+        shutil.rmtree(old, ignore_errors=True)  # stale aside from a prior crash
+        if os.path.exists(store_path):
+            os.rename(store_path, old)
         os.rename(tmp, store_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     return (
         new_vectors.writeStream.foreachBatch(process)

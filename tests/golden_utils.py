@@ -24,6 +24,24 @@ SORT_KEYS = {
     "q_image_ahash_neardup": ["a1", "a2"],
     "q_mmr_rerank": ["query_id", "mmr_rank"],
     "q_pca_project": ["vec_id"],
+    # round-6 sweep (VERDICT r5 item 4): every remaining rows-only query
+    # gets the full-output treatment.
+    "q_ann_ivf_search": ["query_id", "rank"],
+    "q_ann_ivf_topk": ["query_id", "rank"],
+    "q_ann_ivfpq_build": ["centroid_id"],
+    "q_ann_ivfpq_search": ["query_id", "rank"],
+    "q_ann_ivfpq_topk": ["query_id", "rank"],
+    "q_ann_lsh_topk": ["query_id", "rank"],
+    "q_ann_neardup_lsh": ["d1", "d2"],
+    "q_ann_pq_search": ["query_id", "rank"],
+    "q_ann_pq_topk": ["query_id", "rank"],
+    "q_approx_distinct": ["event_type"],
+    "q_approx_percentiles": ["event_type"],
+    "q_audio_features": ["asset_id"],
+    "q_bpe_merges": ["merge_rank"],
+    "q_bpe_token_counts": ["doc_id"],
+    "q_incremental_semantic_dedup": ["vec_id"],
+    "q_pack_sequences": ["shard", "pack_seq"],
 }
 
 

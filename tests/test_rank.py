@@ -67,6 +67,49 @@ def test_empty_input_and_guards(keyed, spark):
         global_ntile(keyed, 0, ["k", "id"])
 
 
+def test_string_lead_key_variable_length(spark):
+    """Variable-length string lead keys: binary collation says
+    'aa' < 'b', but the un-padded hex-prefix key inverted them
+    (key('aa')=0x6161 > key('b')=0x62) — the range key must right-pad
+    to fixed width or bucket assignment silently breaks global order."""
+    vals = ["aa", "b", "a", "", "ba", "ab", "z", "aaa", "B", "0", "zz", "y"]
+    df = spark.createDataFrame([(v,) for v in vals], "s string")
+    w = Window.orderBy("s")
+    exp = {r["s"]: r["rn"] for r in df.select("s", F.row_number().over(w).alias("rn")).collect()}
+    got = {r["s"]: r["rank"] for r in global_rank(df, ["s"], partitions=5).collect()}
+    assert got == exp
+
+
+def test_null_placement_honors_nulls_token(spark):
+    """Non-default NULL orderings (asc_nulls_last / desc_nulls_first)
+    must bucket null lead keys at the same global end the in-bucket
+    window sorts them to — previously the token was parsed and
+    discarded, so nulls landed at the default end's rank."""
+    rows = [(i, None if i % 5 == 0 else i % 7) for i in range(50)]
+    df = spark.createDataFrame(rows, "id int, v int")
+    for order in (
+        [F.col("v").asc_nulls_last(), F.col("id").asc()],
+        [F.col("v").desc_nulls_first(), F.col("id").asc()],
+    ):
+        w = Window.orderBy(*order)
+        exp = {
+            r["id"]: r["rn"]
+            for r in df.select("id", F.row_number().over(w).alias("rn")).collect()
+        }
+        got = {r["id"]: r["rank"] for r in global_rank(df, order, partitions=4).collect()}
+        assert got == exp, str(order[0])
+
+
+def test_input_materialized_once(keyed):
+    """The operator persists its input: the executed plan must read the
+    input through InMemoryTableScan in every branch, so expensive
+    scoring projections aren't re-evaluated per branch."""
+    df = global_rank(keyed, ["k", "id"], partitions=13)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
 def test_global_cumsum_matches_range_window(keyed, spark):
     """Inclusive running totals + grand totals over a unique-key grid
     equal the single-partition SUM ... OVER (ORDER BY) form."""

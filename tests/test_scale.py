@@ -308,8 +308,11 @@ _BOUNDED_GLOBAL_WINDOW_NOTES = {
     "q_cramers_v": (r"sum\(n_obs#\d+L\)", "contingency-cell grid"),
     "q_chi2_independence": (r"sum\(n_obs#\d+L\)", "contingency-cell grid"),
     # Lorenz rank over the per-SOURCE token-mass aggregate (|sources|
-    # rows — a bounded categorical stratum table)
-    "q_source_gini": (r"row_number\(\)", "source strata"),
+    # rows — a bounded categorical stratum table). Pinned to the
+    # source-grain toks order column (like q_survival_curve's dur_days)
+    # so a second, unbounded global row_number added to this query
+    # would still fail the gate.
+    "q_source_gini": (r"row_number\(\) windowspecdefinition\(toks#\d+L ASC", "source strata"),
     # skyline grid-prune bucket table: ceil(range(x)/width) aggregated
     # rows — bounded by the VALUE DOMAIN, not the row count
     "q_skyline_orders": (r"max\(__bymax#\d+", "price-bucket grid"),

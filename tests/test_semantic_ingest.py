@@ -112,6 +112,28 @@ def test_replay_is_idempotent(spark, staged, tmp_path):
             assert r["keep"] is False and r["component"] == k
 
 
+def test_swap_crash_recovery(spark, staged):
+    """The swap is rename-aside + rename-in + delete-aside, so a crash
+    between the two renames (store gone, only the .old aside present —
+    the exact window the old rmtree-first recipe destroyed the last
+    committed copy in) must self-heal: the next run promotes the aside
+    back and ingests normally."""
+    import os
+    import shutil
+
+    store, inp, root, batch_a, batch_b, _ = staged
+    os.rename(store, f"{store}.old")  # simulate the torn-swap window
+    flags = _run(spark, store, inp, root, "crash")
+    assert not os.path.exists(f"{store}.old")  # aside cleaned after commit
+    assert flags.count() == batch_a.count() + batch_b.count()
+    # a stale aside NEXT TO a committed store is ignored (committed wins)
+    shutil.copytree(store, f"{store}.old")
+    reps_before = read_semantic_store(spark, store)[0].count()
+    flags2 = _run(spark, store, inp, root, "crash2")
+    assert flags2.count() == batch_a.count() + batch_b.count()
+    assert read_semantic_store(spark, store)[0].count() == reps_before
+
+
 def test_checkpoint_prevents_reprocessing(spark, staged):
     """The exactly-once-effect lever the replay test deliberately
     bypassed: a second availableNow run over the SAME checkpoint sees
