@@ -34,7 +34,6 @@ from pyspark.sql.window import Window
 
 from c_tran_data_pipeline_spark.operators.similarity import (
     _as_double,
-    _bucket_expr,
     _l2sq,
 )
 
@@ -63,78 +62,63 @@ def train_pq(
     vec: str = "embedding",
 ) -> Codebooks:
     """Per-subspace codebooks: subspace j covers dims [j·dsub, (j+1)·dsub).
-    Same deterministic recipe as the IVF quantizer (md5-LSH-seeded
-    k-means, ``iters`` Lloyd steps) — but all m subspaces train in the
-    SAME jobs: the corpus explodes once into (j, sub-vector) rows and
-    each seed/assign/mean step is one scan + one (j, centroid) aggregate,
-    so training costs O(iters) corpus scans total, not O(m·iters) (the
-    per-subspace loop this replaced spent ~10 s of pure job overhead on
-    24 tiny collects at sf0.1). Assignment dispatches per-subspace
-    literal codebooks through a CASE on j — only the matched branch
-    evaluates, so per-row cost is still one ksub-way nearest-centroid.
-    Codebooks land driver-side (m×ksub×dsub floats ≈ KBs at any corpus
-    size) and re-enter every downstream plan as literals — encode and
-    search never join a centroid table."""
+    Same deterministic recipe as the IVF quantizer — md5-LSH-seeded
+    k-means, ``iters`` Lloyd steps — run DRIVER-SIDE on a bounded
+    deterministic sample (the _kmeans_rows treatment): one hash-order
+    top-k collects at most ``_TRAIN_PER_CENTROID × ksub`` full vectors,
+    then every subspace's seed/assign/mean refinement is numpy on the
+    driver. Quantizer quality needs a bounded sample, not the corpus
+    (the faiss PQ training shape), so training is ONE bounded job
+    instead of 1+iters distributed aggregates whose per-job plan
+    compile dominated at small SF. Codebooks land driver-side
+    (m×ksub×dsub floats ≈ KBs at any corpus size) and re-enter every
+    downstream plan as literals — encode and search never join a
+    centroid table. Deterministic: hash-ordered key-tie-broken sample,
+    key-sorted rows, pure-function sign seed, float64 numpy."""
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     import math
 
-    dsub = dim // m
-    v = _as_double(F.col(vec))
-    # Persist the exploded sub-vectors for the duration of training: the
-    # seed pass + every Lloyd step reads them, so without this each step
-    # re-scans (and re-explodes) the full corpus — the classic k-means
-    # caching lever (Spark MLlib warns on uncached input for the same
-    # reason). MEMORY_AND_DISK default; unpersisted before returning.
-    sub = df.select(
-        F.posexplode(
-            F.array(*[F.slice(v, j * dsub + 1, dsub) for j in range(m)])
-        ).alias("j", "__v")
-    ).persist()
-    try:
-        planes = max(1, math.ceil(math.log2(max(ksub, 2))))
-        seeded = sub.select(
-            "j", "__v", _bucket_expr(F.col("__v"), planes, dim=dsub).alias("centroid_id")
-        )
-        books = _collect_books(seeded, m, dsub)
-        for _ in range(iters):
-            assigned = sub.select(
-                "j", "__v", _nearest_by_subspace(F.col("__v"), books).alias("centroid_id")
-            )
-            books = _collect_books(assigned, m, dsub)
-        return books
-    finally:
-        sub.unpersist()
+    import numpy as np
 
-
-def _nearest_by_subspace(v: Column, books: Codebooks) -> Column:
-    """Nearest sub-centroid id, codebook chosen by the row's subspace j —
-    a CASE chain over single-Literal codebooks (short-circuit
-    evaluation: one book's distances per row, not m books'). Ties break
-    to the lowest centroid id (first minimum of the id-ordered scores),
-    matching encode_pq's positional convention."""
-    expr = None
-    for j, book in enumerate(books):
-        scores = _sub_scores(v, books[j])
-        branch = F.element_at(_cid_lit(book), F.array_position(scores, F.array_min(scores)).cast("int"))
-        expr = F.when(F.col("j") == j, branch) if expr is None else expr.when(
-            F.col("j") == j, branch
-        )
-    return expr
-
-
-def _collect_books(assigned: DataFrame, m: int, dsub: int) -> Codebooks:
-    """Element-wise mean per (subspace, centroid) — ONE HashAggregate of
-    dsub scalar AVGs over all subspaces, collected as m×ksub×dsub floats."""
-    aggd = assigned.groupBy("j", "centroid_id").agg(
-        *[F.avg(F.col("__v")[d]).alias(f"_m{d}") for d in range(dsub)]
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _TRAIN_PER_CENTROID,
+        _sign_value,
     )
-    books: Codebooks = [[] for _ in range(m)]
-    for r in aggd.collect():
-        books[r["j"]].append(
-            (int(r["centroid_id"]), [float(r[f"_m{d}"]) for d in range(dsub)])
-        )
-    return [sorted(b) for b in books]
+
+    dsub = dim // m
+    cap = _TRAIN_PER_CENTROID * ksub
+    proj = df.select(F.col(key).alias("__k"), _as_double(F.col(vec)).alias("__vv")).filter(
+        F.col("__vv").isNotNull()
+    )
+    rows = proj.orderBy(F.xxhash64(F.col("__k")), F.col("__k")).limit(cap).collect()
+    if not rows:
+        return [[] for _ in range(m)]
+    rows.sort(key=lambda r: r["__k"])
+    V = np.array([r["__vv"] for r in rows], dtype=np.float64)
+    planes = max(1, math.ceil(math.log2(max(ksub, 2))))
+    signs = np.array(
+        [[_sign_value(j, t) for t in range(dsub)] for j in range(planes)], dtype=np.float64
+    )
+    books: Codebooks = []
+    for j in range(m):
+        S = V[:, j * dsub : (j + 1) * dsub]
+        assign = (((S @ signs.T) > 0.0).astype(np.int64) << np.arange(planes)).sum(axis=1)
+
+        def _means(a):
+            return [(int(c), S[a == c].mean(axis=0)) for c in np.unique(a)]
+
+        cents = _means(assign)
+        for _ in range(iters):
+            C = np.stack([c for _, c in cents])
+            ids = np.array([cid for cid, _ in cents])
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # first argmin = lowest centroid id (id-sorted cents), the
+            # same tie-break the distributed assigner used (lowest centroid id)
+            assign = ids[np.argmin(d2, axis=1)]
+            cents = _means(assign)
+        books.append([(cid, [float(x) for x in mv]) for cid, mv in cents])
+    return books
 
 
 def _book_lit(book: list[tuple[int, list[float]]]) -> Column:

@@ -419,6 +419,12 @@ def kmeans_centroids(
     return df.sparkSession.createDataFrame(rows, schema)
 
 
+#: Bounded training-sample cap: at most this many vectors per centroid
+#: reach the driver-side Lloyd loop — the faiss IVF guideline (39-256
+#: points per centroid suffice for a usable partition of space).
+_TRAIN_PER_CENTROID = 256
+
+
 def _kmeans_rows(
     df: DataFrame,
     nlist: int,
@@ -427,38 +433,59 @@ def _kmeans_rows(
     vec: str,
     dim: int | None,
 ) -> list[tuple[int, list[float]]]:
-    """Lloyd loop returning the centroid table as plain driver-side rows
-    (nlist×dim doubles ≈ KBs at any scale — always collectable). Keeping
-    it driver-side lets every consumer embed the centroids as literal
-    expressions instead of a join, so assignment never shuffles the
-    corpus and each refinement step re-scans the corpus exactly once."""
+    """Bounded-sample driver-side Lloyd, returning the centroid table as
+    plain rows (nlist×dim doubles ≈ KBs at any scale). The trainer
+    collects at most ``_TRAIN_PER_CENTROID × nlist`` vectors — chosen by
+    a deterministic hash-order top-k (one TakeOrdered job, never a full
+    sort) — and runs the seed + Lloyd refinement in numpy on the driver.
+    This is the faiss IVF training shape: clustering quality needs a
+    bounded sample, not the corpus, so training is ONE bounded job
+    instead of 1+iters distributed aggregate jobs (whose per-job plan
+    compile dominated at small SF: measured 4.3 s for 550 vectors,
+    nlist=16 — pure overhead). Assignment of the full corpus remains
+    distributed via centroid-literal projections (_cell_scores).
+
+    Deterministic: the sample is hash-ordered with a key tie-break,
+    rows are key-sorted before training, the seed is the same
+    md5-derived hyperplane sign matrix the distributed path used
+    (_sign_value is a pure function of (plane, dim)), and float64
+    numpy arithmetic is reproducible — same corpus in, same centroids
+    out, on every run and partitioning."""
     import math
 
+    import numpy as np
+
     planes = max(1, math.ceil(math.log2(max(nlist, 2))))
-    # Persist the projected vectors for the duration of training: seed +
-    # each Lloyd step otherwise re-scans the corpus (k-means caching
-    # lever, cf. train_pq). Only the vector column is cached.
-    base = df.select(F.col(key), _as_double(F.col(vec)).alias("__vv")).persist()
-    try:
-        assigned = hyperplane_lsh_buckets(base, planes=planes, key=key, vec="__vv", dim=dim).select(
-            F.col("__vv").alias("__v"), F.col("bucket").alias("centroid_id")
-        )
-        rows = _collect_means(assigned, dim)
-        for _ in range(iters):
-            assigned = base.select(
-                F.col("__vv").alias("__v"), _nearest_cell(F.col("__vv"), rows).alias("centroid_id")
-            )
-            rows = _collect_means(assigned, dim)
-        return rows
-    finally:
-        base.unpersist()
-
-
-def _collect_means(assigned: DataFrame, dim: int | None) -> list[tuple[int, list[float]]]:
-    return sorted(
-        (int(r["centroid_id"]), [float(x) for x in r["centroid"]])
-        for r in _centroid_means(assigned, dim).collect()
+    cap = _TRAIN_PER_CENTROID * nlist
+    proj = df.select(F.col(key).alias("__k"), _as_double(F.col(vec)).alias("__vv")).filter(
+        F.col("__vv").isNotNull()
     )
+    rows = proj.orderBy(F.xxhash64(F.col("__k")), F.col("__k")).limit(cap).collect()
+    if not rows:
+        return []
+    rows.sort(key=lambda r: r["__k"])  # collect order is not a contract
+    V = np.array([r["__vv"] for r in rows], dtype=np.float64)
+    d = dim if dim is not None else V.shape[1]
+    # Seed: the deterministic hyperplane-LSH buckets (bit_j = proj_j > 0,
+    # bucket = Σ bit_j·2^j) — the numpy twin of _bucket_expr.
+    signs = np.array(
+        [[_sign_value(j, t) for t in range(d)] for j in range(planes)], dtype=np.float64
+    )
+    assign = (((V @ signs.T) > 0.0).astype(np.int64) << np.arange(planes)).sum(axis=1)
+
+    def _means(a):
+        return [(int(c), V[a == c].mean(axis=0)) for c in np.unique(a)]
+
+    cents = _means(assign)
+    for _ in range(iters):
+        C = np.stack([c for _, c in cents])
+        ids = np.array([cid for cid, _ in cents])
+        d2 = ((V[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin ties resolve to the FIRST (= lowest centroid id, cents
+        # are id-sorted) — same tie-break as array_min over struct(d,cid)
+        assign = ids[np.argmin(d2, axis=1)]
+        cents = _means(assign)
+    return [(int(c), [float(x) for x in m]) for c, m in cents]
 
 
 def _l2sq(v: Column, c: Column) -> Column:
@@ -996,8 +1023,17 @@ def semantic_dedup(
     assignment costs O(nlist·dim) per row, so nlist is a real knob, not
     free. Driver state is the nlist×dim centroid literal plus the
     bounded pair list — never vectors."""
+    from pyspark.storagelevel import StorageLevel
+
     from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
 
+    # Persist the input once: the k-means training iterations, the
+    # blocked pair stage, and the final assignment join each evaluate
+    # the input lineage otherwise (a union + transform corpus re-ran
+    # ~4x in q_semantic_dedup). MEMORY_AND_DISK spills at corpus scale;
+    # CacheManager plan-matching also routes a train_df DERIVED from
+    # df (deterministic_sample) through the same cache entry.
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     v = _as_double(F.col(vec))
     if nlist <= 1:
         # degenerate single cell = no blocking (exact all-pairs) — the

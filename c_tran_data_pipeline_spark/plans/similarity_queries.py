@@ -798,6 +798,10 @@ _IVFPQ_PARAMS = {
     "iters": 2,
     "dim": 64,
     "train_sample_mod": 4,
+    # cache-buster: centroids depend on the trainer implementation, so a
+    # trainer change MUST invalidate persisted indexes built before it
+    # (driver-lloyd-v2 = bounded-sample numpy Lloyd, round 6)
+    "trainer": "driver-lloyd-v2",
 }
 
 
@@ -1183,6 +1187,7 @@ _SEM_STORE_PARAMS = {
     "nprobe": 2,
     "train_sample_mod": 4,
     "base_mod": 8,  # base corpus = vec_id % 10 < base_mod
+    "trainer": "driver-lloyd-v2",  # see _IVFPQ_PARAMS — cache-buster
 }
 
 
