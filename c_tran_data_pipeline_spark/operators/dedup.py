@@ -542,6 +542,11 @@ def prefix_filter_jaccard_pairs(
     (doc, shingle). All equi-joins, no cross product anywhere."""
     from pyspark.sql.window import Window
 
+    # NOT persisted deliberately: the index feeds five branches, but it
+    # is a cheap shuffle-less projection and LARGER than its input — at
+    # any scale, re-tokenizing five column-pruned scans beats writing +
+    # re-reading the exploded rows (measured: persisting moved sf0.1
+    # from 3.0 to 3.4 s; the cost lives in the joins, not the explode).
     idx = shingle_index(df, payload, key, n)
     sizes = idx.groupBy(key).agg(F.count(F.lit(1)).alias("n_shingles"))
     dfreq = idx.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
