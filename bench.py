@@ -140,6 +140,7 @@ HEADLINE = [
     "q_dataset_card",
     "q_lm_score_kn",
     "q_lsh_quality",
+    "q_dsir_weights",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -241,6 +242,7 @@ _POST_R01 = (
     "q_dataset_card",
     "q_lm_score_kn",
     "q_lsh_quality",
+    "q_dsir_weights",
 )
 
 

@@ -1105,3 +1105,92 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("ones_cum").cast("double") / F.col("ones_tot"), 12).alias("pop_share"),
         F.round(F.col("toks_cum").cast("double") / F.col("toks_tot"), 12).alias("token_share"),
     )
+
+
+@query(
+    "q_dsir_weights",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+               CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
+        FROM (SELECT doc_id, lang,
+                     unnest(string_split_regex(trim(text), '\s+')) AS w
+              FROM documents)
+    ),
+    bucket AS (SELECT b, SUM(is_t) AS ct, COUNT(*) AS cr FROM toks GROUP BY 1),
+    tot AS (SELECT SUM(ct) AS nt, SUM(cr) AS nr FROM bucket),
+    lw AS (
+        SELECT b, ln((ct + 1.0) / (nt + 1024.0))
+                - ln((cr + 1.0) / (nr + 1024.0)) AS lw
+        FROM bucket, tot
+    ),
+    per_doc AS (
+        SELECT doc_id, SUM(lw) AS s, COUNT(*) AS n_words
+        FROM toks JOIN lw USING (b) GROUP BY 1
+    )
+    SELECT doc_id, n_words,
+           ROUND(s / n_words, 6) AS dsir_weight,
+           NTILE(10) OVER (ORDER BY ROUND(s / n_words, 6) DESC, doc_id) AS decile
+    FROM per_doc
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): "
+    "score every raw document by how much its hashed-unigram profile "
+    "looks like the TARGET distribution (here: the English slice — the "
+    "stand-in for 'high-quality domain') vs the full raw crawl, the "
+    "importance-resampling selector behind data-mixture curation. "
+    "Features are md5-hashed word buckets (B=1024, the cross-engine "
+    "md5-bucket identity); per-bucket add-1-smoothed log-ratios "
+    "lw[b] = ln p_target(b) − ln p_raw(b) stay DOUBLE deliberately — "
+    "the integerized-micro-unit recipe is WRONG here: with 2·B ln "
+    "evaluations, engine-libm ULP differences straddle a round(ln·1e6) "
+    "boundary with ~1e-3 probability (observed at sf0.1), while raw "
+    "doubles keep the cross-engine divergence at ~1e-14 per bucket and "
+    "~1e-12 on the per-doc MEAN — six orders inside the final "
+    "ROUND(·,6). Output adds the exact NTILE(10) decile over "
+    "(weight DESC, doc_id) — the resampling cut a curation pipeline "
+    "thresholds on. Spark plan: one tokenize+hash explode, a 1024-row "
+    "(value-domain-bounded) bucket aggregate joined back as a "
+    "BROADCAST, totals as a 1-row broadcast scalar, and the decile via "
+    "operators/rank.py global_ntile — no single-partition window, no "
+    "full-vocab state, driver state ≤ B rows at any corpus size.",
+    tags=("curation", "text", "training", "window"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import words
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile
+
+    B = 1024
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("int").alias("is_t"),
+        F.explode(words("text")).alias("w"),
+    ).select(
+        "doc_id",
+        "is_t",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint") % B
+        ).alias("b"),
+    )
+    bucket = toks.groupBy("b").agg(F.sum("is_t").alias("ct"), F.count(F.lit(1)).alias("cr"))
+    tot = bucket.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    lw = bucket.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("nt") + float(B)))
+            - F.log((F.col("cr") + 1.0) / (F.col("nr") + float(B)))
+        ).alias("lw"),
+    )
+    per_doc = (
+        toks.join(F.broadcast(lw), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lw").alias("s"), F.count(F.lit(1)).alias("n_words"))
+    )
+    scored = per_doc.select(
+        "doc_id",
+        "n_words",
+        F.round(F.col("s") / F.col("n_words"), 6).alias("dsir_weight"),
+    )
+    return global_ntile(
+        scored, 10, [F.col("dsir_weight").desc(), F.col("doc_id").asc()], bucket_col="decile"
+    )

@@ -167,6 +167,9 @@ _ALLOWED_NESTED_LOOP = {
 # NestedLoopJoin in the plan must be a BuildRight Cross), so a real
 # all-pairs join sneaking into these queries still fails the test.
 _ALLOWED_SCALAR_BROADCAST = {
+    # 1-row target/raw token-total scalars re-entering the per-bucket
+    # smoothed log-ratio projection
+    "q_dsir_weights",
     # 1-row basket-count scalar N for the lift denominator
     "q_assoc_rules",
     # 1-row digit-total scalar for observed_p / chi-square terms

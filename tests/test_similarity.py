@@ -97,6 +97,30 @@ def test_kmeans_centroids_shape(spark):
     assert all(len(r.centroid) == 64 for r in cents)
 
 
+def test_kmeans_training_partition_invariant(spark):
+    """The driver-side bounded-sample trainer must give BIT-IDENTICAL
+    centroids regardless of how its input is partitioned: the sample is
+    a deterministic hash-order top-k with a key tie-break, rows are
+    key-sorted before numpy touches them, and the Lloyd loop is pure
+    float64 — so repartitioning can't move a single bit. Same property
+    for the PQ codebook trainer."""
+    from c_tran_data_pipeline_spark.operators.pq import train_pq
+    from c_tran_data_pipeline_spark.operators.similarity import _kmeans_rows
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    a = _kmeans_rows(emb, nlist=8, iters=2, key="vec_id", vec="embedding", dim=64)
+    b = _kmeans_rows(
+        emb.repartition(7, "vec_id"), nlist=8, iters=2,
+        key="vec_id", vec="embedding", dim=64,
+    )
+    assert a == b
+    pa = train_pq(emb, m=8, ksub=16, dim=64, iters=2)
+    pb = train_pq(emb.repartition(5), m=8, ksub=16, dim=64, iters=2)
+    assert pa == pb
+
+
 def test_cosine_topk_arrow_matches_jvm_path(spark):
     """The BLAS (mapInPandas GEMM) and JVM (zip_with fold) exact top-k
     must return identical neighbors and ranks — either physical strategy
