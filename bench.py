@@ -141,6 +141,7 @@ HEADLINE = [
     "q_lm_score_kn",
     "q_lsh_quality",
     "q_dsir_weights",
+    "q_dsir_resample",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -243,6 +244,7 @@ _POST_R01 = (
     "q_lm_score_kn",
     "q_lsh_quality",
     "q_dsir_weights",
+    "q_dsir_resample",
 )
 
 

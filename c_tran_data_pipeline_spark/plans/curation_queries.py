@@ -1107,10 +1107,9 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_dsir_weights",
-    r"""
-    WITH toks AS (
+#: Shared DuckDB CTE: hashed-unigram DSIR scoring to the per-doc grain
+#: (mirrors _dsir_scored; both q_dsir_* oracles build on it).
+_DSIR_SQL_CTE = r"""    WITH toks AS (
         SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
                CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) % 1024 AS b
         FROM (SELECT doc_id, lang,
@@ -1127,37 +1126,15 @@ def q_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_doc AS (
         SELECT doc_id, SUM(lw) AS s, COUNT(*) AS n_words
         FROM toks JOIN lw USING (b) GROUP BY 1
-    )
-    SELECT doc_id, n_words,
-           ROUND(s / n_words, 6) AS dsir_weight,
-           NTILE(10) OVER (ORDER BY ROUND(s / n_words, 6) DESC, doc_id) AS decile
-    FROM per_doc
-    """,
-    doc="DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): "
-    "score every raw document by how much its hashed-unigram profile "
-    "looks like the TARGET distribution (here: the English slice — the "
-    "stand-in for 'high-quality domain') vs the full raw crawl, the "
-    "importance-resampling selector behind data-mixture curation. "
-    "Features are md5-hashed word buckets (B=1024, the cross-engine "
-    "md5-bucket identity); per-bucket add-1-smoothed log-ratios "
-    "lw[b] = ln p_target(b) − ln p_raw(b) stay DOUBLE deliberately — "
-    "the integerized-micro-unit recipe is WRONG here: with 2·B ln "
-    "evaluations, engine-libm ULP differences straddle a round(ln·1e6) "
-    "boundary with ~1e-3 probability (observed at sf0.1), while raw "
-    "doubles keep the cross-engine divergence at ~1e-14 per bucket and "
-    "~1e-12 on the per-doc MEAN — six orders inside the final "
-    "ROUND(·,6). Output adds the exact NTILE(10) decile over "
-    "(weight DESC, doc_id) — the resampling cut a curation pipeline "
-    "thresholds on. Spark plan: one tokenize+hash explode, a 1024-row "
-    "(value-domain-bounded) bucket aggregate joined back as a "
-    "BROADCAST, totals as a 1-row broadcast scalar, and the decile via "
-    "operators/rank.py global_ntile — no single-partition window, no "
-    "full-vocab state, driver state ≤ B rows at any corpus size.",
-    tags=("curation", "text", "training", "window"),
-)
-def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    )"""
+
+
+def _dsir_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_words, dsir_weight): the shared DSIR scoring pipeline
+    behind q_dsir_weights (decile report) and q_dsir_resample
+    (Gumbel-top-k selection) — see q_dsir_weights' doc for semantics
+    and the double-vs-integerized-log rationale."""
     from c_tran_data_pipeline_spark.functions.text import words
-    from c_tran_data_pipeline_spark.operators.rank import global_ntile
 
     B = 1024
     docs = spread(load_table(spark, sf_dir, "documents"))
@@ -1186,11 +1163,94 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sum("lw").alias("s"), F.count(F.lit(1)).alias("n_words"))
     )
-    scored = per_doc.select(
+    return per_doc.select(
         "doc_id",
         "n_words",
         F.round(F.col("s") / F.col("n_words"), 6).alias("dsir_weight"),
     )
+
+
+
+@query(
+    "q_dsir_weights",
+    _DSIR_SQL_CTE
+    + """
+    SELECT doc_id, n_words,
+           ROUND(s / n_words, 6) AS dsir_weight,
+           NTILE(10) OVER (ORDER BY ROUND(s / n_words, 6) DESC, doc_id) AS decile
+    FROM per_doc
+    """,
+    doc="DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): "
+    "score every raw document by how much its hashed-unigram profile "
+    "looks like the TARGET distribution (here: the English slice — the "
+    "stand-in for 'high-quality domain') vs the full raw crawl, the "
+    "importance-resampling selector behind data-mixture curation. "
+    "Features are md5-hashed word buckets (B=1024, the cross-engine "
+    "md5-bucket identity); per-bucket add-1-smoothed log-ratios "
+    "lw[b] = ln p_target(b) − ln p_raw(b) stay DOUBLE deliberately — "
+    "the integerized-micro-unit recipe is WRONG here: with 2·B ln "
+    "evaluations, engine-libm ULP differences straddle a round(ln·1e6) "
+    "boundary with ~1e-3 probability (observed at sf0.1), while raw "
+    "doubles keep the cross-engine divergence at ~1e-14 per bucket and "
+    "~1e-12 on the per-doc MEAN — six orders inside the final "
+    "ROUND(·,6). Output adds the exact NTILE(10) decile over "
+    "(weight DESC, doc_id) — the resampling cut a curation pipeline "
+    "thresholds on. Spark plan: one tokenize+hash explode, a 1024-row "
+    "(value-domain-bounded) bucket aggregate joined back as a "
+    "BROADCAST, totals as a 1-row broadcast scalar, and the decile via "
+    "operators/rank.py global_ntile — no single-partition window, no "
+    "full-vocab state, driver state ≤ B rows at any corpus size.",
+    tags=("curation", "text", "training", "window"),
+)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile
+
+    scored = _dsir_scored(spark, sf_dir)
     return global_ntile(
         scored, 10, [F.col("dsir_weight").desc(), F.col("doc_id").asc()], bucket_col="decile"
+    )
+
+
+@query(
+    "q_dsir_resample",
+    _DSIR_SQL_CTE
+    + """
+    SELECT doc_id,
+           ROUND(s / n_words, 6) AS dsir_weight,
+           ROUND(ROUND(s / n_words, 6)
+                 - ln(-ln((CAST('0x' || substr(md5('gmb:' || CAST(doc_id AS VARCHAR)), 1, 12)
+                                AS BIGINT) + 0.5) / 281474976710656.0)), 6) AS sample_key
+    FROM per_doc
+    ORDER BY sample_key DESC, doc_id
+    LIMIT 100
+    """,
+    doc="The SELECTION half of DSIR (Xie et al. 2023 §2: sample ∝ "
+    "exp(importance weight) without replacement): Gumbel-top-k — "
+    "key_i = w_i + Gumbel_i, take the k largest — draws exactly that "
+    "distribution, and the Gumbel noise here is DETERMINISTIC: "
+    "u_i = (md5-bucket('gmb:'||doc_id) + 0.5) / 2^48 (48 hash bits + "
+    "the half-offset fit a double exactly; the salt decouples the draw "
+    "from every other md5 use of doc_id), g_i = −ln(−ln(u_i)) — so the "
+    "sample is reproducible across engines, runs, and partitionings "
+    "with no RNG state, the same salted-hash discipline as "
+    "q_train_split. Keys are ROUND(·,6) with a doc_id tie-break, so "
+    "the top-k cutoff cannot straddle an engine-libm ULP. Spark plan: "
+    "the shared _dsir_scored pipeline + ONE TakeOrdered(k) — no "
+    "window, no global sort (top-k heaps merge per partition), "
+    "k·row driver state. Budget k=100 docs.",
+    tags=("curation", "text", "training", "sample"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    scored = _dsir_scored(spark, sf_dir)
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("gmb:"), F.col("doc_id").cast("string"))), 1, 12),
+        16,
+        10,
+    ).cast("bigint")
+    u = (h + F.lit(0.5)) / F.lit(float(1 << 48))
+    key = F.round(F.col("dsir_weight") - F.log(-F.log(u)), 6)
+    return (
+        scored.select("doc_id", "dsir_weight", key.alias("sample_key"))
+        .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
+        .limit(100)
     )

@@ -168,8 +168,9 @@ _ALLOWED_NESTED_LOOP = {
 # all-pairs join sneaking into these queries still fails the test.
 _ALLOWED_SCALAR_BROADCAST = {
     # 1-row target/raw token-total scalars re-entering the per-bucket
-    # smoothed log-ratio projection
+    # smoothed log-ratio projection (shared _dsir_scored pipeline)
     "q_dsir_weights",
+    "q_dsir_resample",
     # 1-row basket-count scalar N for the lift denominator
     "q_assoc_rules",
     # 1-row digit-total scalar for observed_p / chi-square terms
