@@ -142,6 +142,7 @@ HEADLINE = [
     "q_lsh_quality",
     "q_dsir_weights",
     "q_dsir_resample",
+    "q_length_bucket_padding",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -245,6 +246,7 @@ _POST_R01 = (
     "q_lsh_quality",
     "q_dsir_weights",
     "q_dsir_resample",
+    "q_length_bucket_padding",
 )
 
 

@@ -1254,3 +1254,61 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sample_key").desc(), F.col("doc_id").asc())
         .limit(100)
     )
+
+
+@query(
+    "q_length_bucket_padding",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, len(string_split_regex(trim(text), '\s+')) AS n_words
+        FROM documents
+    ),
+    b AS (
+        SELECT doc_id, n_words,
+               NTILE(8) OVER (ORDER BY n_words, doc_id) AS bucket
+        FROM toks
+    )
+    SELECT bucket, COUNT(*) AS n_docs,
+           MAX(n_words) AS max_len,
+           CAST(SUM(n_words) AS BIGINT) AS total_tokens,
+           ROUND(1.0 - SUM(n_words) / (1.0 * COUNT(*) * MAX(n_words)), 6)
+               AS pad_waste
+    FROM b GROUP BY 1
+    """,
+    doc="Length-bucketed batching planner: split the corpus into 8 exact "
+    "length octiles (NTILE over (n_words, doc_id) — deterministic "
+    "cross-engine bucket boundaries) and report, per bucket, the "
+    "padding waste of batching its documents together (1 − real tokens "
+    "/ padded-to-bucket-max tokens) — the number that decides whether "
+    "length bucketing is worth the shuffle before a training run "
+    "(uniform batching pads everything to the GLOBAL max; the octile "
+    "rows expose how much of that waste bucketing recovers; pairs with "
+    "q_pack_sequences, which eliminates padding entirely by packing). "
+    "Exact oracle: tokens are integer counts, the waste ratio is one "
+    "IEEE expression rounded 6. Spark plan: one tokenize projection, "
+    "the octile via operators/rank.py global_ntile (range buckets + "
+    "prefix offsets — no single-partition window), one 8-group "
+    "aggregate.",
+    tags=("curation", "training", "window", "report"),
+)
+def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import words
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.array_size(words("text")).alias("n_words"))
+    b = global_ntile(toks, 8, ["n_words", "doc_id"], bucket_col="bucket")
+    per = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max("n_words").alias("max_len"),
+        F.sum("n_words").cast("bigint").alias("total_tokens"),
+    )
+    return per.select(
+        "bucket",
+        "n_docs",
+        "max_len",
+        "total_tokens",
+        F.round(
+            1.0 - F.col("total_tokens") / (1.0 * F.col("n_docs") * F.col("max_len")), 6
+        ).alias("pad_waste"),
+    )
