@@ -143,6 +143,7 @@ HEADLINE = [
     "q_dsir_weights",
     "q_dsir_resample",
     "q_length_bucket_padding",
+    "q_audio_dsp",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -247,6 +248,7 @@ _POST_R01 = (
     "q_dsir_weights",
     "q_dsir_resample",
     "q_length_bucket_padding",
+    "q_audio_dsp",
 )
 
 

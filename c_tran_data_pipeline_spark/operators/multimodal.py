@@ -378,6 +378,81 @@ def extract_audio_features(assets: DataFrame, codec: str = "wav") -> DataFrame:
     return assets.select("asset_id", "payload").mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
 
 
+AUDIO_DSP_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("zcr", T.DoubleType()),
+        T.StructField("dominant_hz", T.DoubleType()),
+        T.StructField("spectral_centroid_hz", T.DoubleType()),
+        T.StructField("rolloff85_hz", T.DoubleType()),
+    ]
+)
+
+#: FFT analysis window (samples of channel 0). Fixed so the spectrum —
+#: and therefore the features — never depends on clip length beyond the
+#: window, and the per-row cost is O(W log W) regardless of duration.
+_DSP_WINDOW = 4096
+
+
+def extract_audio_dsp(assets: DataFrame, codec: str = "wav") -> DataFrame:
+    """Real DSP features from the decoded PCM (numpy rFFT — no external
+    DSP lib): zero-crossing rate, dominant frequency, spectral centroid,
+    and the 85% spectral-rolloff frequency, per clip, over channel 0 of
+    the first ``_DSP_WINDOW`` samples.
+
+    Determinism: the ZCR numerator is an exact integer sign-change
+    count; the spectral features come from one numpy float64 rFFT over
+    a fixed-length window of exact int16 inputs — bit-reproducible
+    across partitionings and batch sizes on a given platform (pinned by
+    a full-output golden + an independent numpy replay test; the DC bin
+    is excluded so silence/offset doesn't masquerade as signal).
+    Undecodable payloads yield NULL features, the same audit-trail
+    convention as extract_audio_features."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols = ("asset_id", "n_samples", "zcr", "dominant_hz",
+                    "spectral_centroid_hz", "rolloff85_hz")
+            out = {k: [] for k in cols}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                dec = _decode_audio_bytes(payload, codec)
+                if dec is None or dec[2] != 2 or dec[3] == 0:
+                    for k in cols[1:]:
+                        out[k].append(None)
+                    continue
+                rate, ch, _, n, pcm = dec
+                x = np.frombuffer(pcm, dtype="<i2")[::ch].astype(np.float64)
+                out["n_samples"].append(n)
+                # exact integer sign-change count over the full clip
+                s = np.sign(x)
+                nz = s != 0
+                sv = s[nz]
+                crossings = int((sv[1:] != sv[:-1]).sum()) if sv.size > 1 else 0
+                out["zcr"].append(round(crossings / max(len(x) - 1, 1), 6))
+                w = x[:_DSP_WINDOW]
+                mag = np.abs(np.fft.rfft(w))
+                freqs = np.fft.rfftfreq(len(w), d=1.0 / rate)
+                mag[0] = 0.0  # exclude DC: offset is not pitch
+                tot = float(mag.sum())
+                if tot <= 0.0:
+                    out["dominant_hz"].append(0.0)
+                    out["spectral_centroid_hz"].append(0.0)
+                    out["rolloff85_hz"].append(0.0)
+                    continue
+                out["dominant_hz"].append(round(float(freqs[int(mag.argmax())]), 6))
+                out["spectral_centroid_hz"].append(
+                    round(float((freqs * mag).sum() / tot), 6)
+                )
+                roll = int(np.searchsorted(np.cumsum(mag), 0.85 * tot))
+                out["rolloff85_hz"].append(round(float(freqs[min(roll, len(freqs) - 1)]), 6))
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, AUDIO_DSP_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # REAL image decode path — stdlib PNG (zlib inflate + the five PNG row
 # filters from the public spec). Like WAV, this needs no external codec:

@@ -243,6 +243,12 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "pure-Python recomputation from the raw PCM bytes, including the "
         "exact-integer RMS; malformed payloads yield NULL features)"
     ),
+    "q_audio_dsp": (
+        "tests/test_multimodal.py::test_audio_dsp_recovers_generation_frequency "
+        "(FFT dominant frequency recovers each seeded sine's generation "
+        "frequency to within one bin; ZCR matches the analytic 2f/rate; every "
+        "value equals an independent numpy replay from the raw WAV bytes)"
+    ),
     "q_approx_distinct": (
         "tests/test_olap.py::test_approx_distinct_error_bound (HLL++ estimate "
         "within 3×rsd of exact COUNT DISTINCT per group)"

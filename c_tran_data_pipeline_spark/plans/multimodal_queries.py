@@ -195,6 +195,48 @@ def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_audio_dsp",
+    None,  # UDF decode + FFT — rows-only driver check; dominant-frequency
+    # recovery + numpy-replay equality in tests/test_multimodal.py, full
+    # output pinned by a committed golden
+    doc="Real spectral analysis over the real decode path "
+    "(operators/multimodal.py extract_audio_dsp): per clip, "
+    "zero-crossing rate (exact integer sign-change count), dominant "
+    "frequency, spectral centroid, and 85% spectral rolloff from ONE "
+    "numpy float64 rFFT over a fixed 4096-sample window of channel-0 "
+    "PCM — no external DSP library. The fixtures are seeded pure sines, "
+    "so the dominant-frequency column RECOVERS each clip's generation "
+    "frequency to within one FFT bin (asserted in pytest) — the "
+    "feature extraction is verifiably physical, not a hash of bytes. "
+    "Arrow-batched mapInPandas; fixed window keeps per-row cost "
+    "O(W log W) regardless of clip length.",
+    tags=("multimodal", "udf"),
+)
+def q_audio_dsp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        extract_audio_dsp,
+        make_wav,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        make_wav(200 + int(i) % 300, rate=8000, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    return extract_audio_dsp(assets)
+
+
+@query(
     "q_image_ahash_neardup",
     None,  # UDF decode seam — rows-only driver check; exactness in pytest
     doc="Perceptual image dedup end to end: synthesize fake-codec "

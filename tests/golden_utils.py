@@ -38,6 +38,7 @@ SORT_KEYS = {
     "q_approx_distinct": ["event_type"],
     "q_approx_percentiles": ["event_type"],
     "q_audio_features": ["asset_id"],
+    "q_audio_dsp": ["asset_id"],
     "q_bpe_merges": ["merge_rank"],
     "q_bpe_token_counts": ["doc_id"],
     "q_incremental_semantic_dedup": ["vec_id"],

@@ -249,6 +249,8 @@ _ALLOWED_PYTHON = {
     "q_frame_sample",
     # REAL WAV synthesis + decode, both Arrow mapInPandas
     "q_audio_features",
+    # REAL WAV synthesis + numpy-rFFT DSP features, both Arrow mapInPandas
+    "q_audio_dsp",
     # greedy MMR over per-query BOUNDED candidate groups (N=15), Arrow
     # applyInPandas — the sequential-within-group rerank seam
     "q_mmr_rerank",
