@@ -144,6 +144,8 @@ HEADLINE = [
     "q_dsir_resample",
     "q_length_bucket_padding",
     "q_audio_dsp",
+    "q_late_shipment_priority",
+    "q_dominant_supplier",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -249,6 +251,8 @@ _POST_R01 = (
     "q_dsir_resample",
     "q_length_bucket_padding",
     "q_audio_dsp",
+    "q_late_shipment_priority",
+    "q_dominant_supplier",
 )
 
 

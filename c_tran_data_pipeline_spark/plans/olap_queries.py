@@ -3049,3 +3049,125 @@ def q_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lost_cents").desc(), F.col("custkey").asc())
         .limit(20)
     )
+
+
+@query(
+    "q_late_shipment_priority",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    """,
+    doc="TPC-H Q12-shape late-shipment priority split (the fixture carries "
+    "no l_shipmode/l_commitdate, so 'late' = shipped >30 days after the "
+    "order date and the mode axis is l_returnflag; reference analog: the "
+    "priority CASE-split of TPCH Q12). Shape under test: a large-large "
+    "equi-join whose filter CORRELATES the two sides (l_shipdate > "
+    "o_orderdate + 30d can only run post-join), plus Q12's classic "
+    "derived-predicate trick — the join-dependent filter implies "
+    "o_orderdate < 1997-12-02, which we add explicitly so BOTH parquet "
+    "scans prune (l_shipdate window pushes to lineitem natively). Both "
+    "conditional counts come out of one partial-first HashAggregate on a "
+    "3-value key; the orderkey shuffle is the only wide exchange and AQE "
+    "coalesces it. At 100 TB this is a sort-merge/shuffle-hash join on "
+    "the natural key with both scans pruned to one ship-year.",
+    tags=("olap", "join", "agg"),
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_orderdate"
+    )
+    li = li.filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    # Derived predicate: l_shipdate < 1998-01-01 AND l_shipdate > o_orderdate+30d
+    # => o_orderdate < 1998-01-01 - 30d. Semantically redundant; exists only so
+    # the orders scan prunes instead of reading all years.
+    o = o.filter(F.col("o_orderdate") < F.lit("1997-12-02").cast("timestamp"))
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_dominant_supplier",
+    """
+    WITH pair AS (
+      SELECT l_partkey, l_suppkey,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS pair_qty
+      FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_partkey, CAST(SUM(pair_qty) AS BIGINT) AS tot_qty,
+             COUNT(*) AS n_suppliers
+      FROM pair GROUP BY 1
+    )
+    SELECT s_suppkey, s_name,
+           COUNT(*) AS n_dominant_parts,
+           CAST(SUM(pair_qty) AS DOUBLE) AS dominated_qty
+    FROM pair JOIN tot USING (l_partkey)
+    JOIN supplier ON l_suppkey = s_suppkey
+    WHERE pair_qty * n_suppliers > 2 * tot_qty
+    GROUP BY 1, 2
+    """,
+    doc="TPC-H Q20-shape dominant-supplier detection (the fixture has no "
+    "partsupp, so Q20's correlated availqty > 0.5*SUM(l_quantity) "
+    "threshold becomes: a supplier dominates a part when its shipped "
+    "quantity exceeds 2x the part's fair share — pair_qty*n_suppliers > "
+    "2*tot_qty, scale-invariant because both sides grow linearly with "
+    "data volume). Shape under test: Q20's signature nested-aggregate "
+    "correlated filter driving a semi-join chain — the selective part "
+    "name filter broadcasts into the lineitem scan as a semi-join "
+    "BEFORE any aggregation, the (part,supplier) grain collapses "
+    "map-side-first, the per-part total is a second tiny re-aggregation "
+    "of the already-collapsed pair table (never a second fact scan), "
+    "and only dominant pairs touch the broadcast supplier dim. "
+    "l_quantity is integral (1..50) so all sums/threshold comparisons "
+    "are exact BIGINT on both engines — no decimal-overflow rounding "
+    "risk from decimal(38)*count multiplication.",
+    tags=("olap", "join", "agg", "semijoin"),
+)
+def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", "l_quantity")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    small = p.filter(F.col("p_name").like("small%")).select("p_partkey")
+    pair = (
+        li.join(F.broadcast(small), li.l_partkey == small.p_partkey, "left_semi")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("pair_qty"))
+    )
+    tot = pair.groupBy("l_partkey").agg(
+        F.sum("pair_qty").cast("bigint").alias("tot_qty"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    dominant = pair.join(tot, "l_partkey").filter(
+        F.col("pair_qty") * F.col("n_suppliers") > 2 * F.col("tot_qty")
+    )
+    return (
+        dominant.join(F.broadcast(s), dominant.l_suppkey == s.s_suppkey)
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominant_parts"),
+            F.sum("pair_qty").cast("double").alias("dominated_qty"),
+        )
+    )
