@@ -146,6 +146,8 @@ HEADLINE = [
     "q_audio_dsp",
     "q_late_shipment_priority",
     "q_dominant_supplier",
+    "q_ccnet_buckets",
+    "q_quality_classifier",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -253,6 +255,8 @@ _POST_R01 = (
     "q_audio_dsp",
     "q_late_shipment_priority",
     "q_dominant_supplier",
+    "q_ccnet_buckets",
+    "q_quality_classifier",
 )
 
 

@@ -291,6 +291,14 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_packing_deterministic_across_partitionings (bin-packing "
         "invariants and cross-partitioning determinism)"
     ),
+    "q_quality_classifier": (
+        "tests/test_classifier.py::test_training_is_partition_invariant "
+        "(bit-identical weight trajectory at 3 vs 32 partitions — the "
+        "decimal-grain gradient contract) + ::test_matches_pure_python_replay "
+        "(distributed trajectory equals an independent driver-side replay) + "
+        "::test_loss_decreases_monotonically + "
+        "::test_uninformative_feature_learns_near_zero_weight"
+    ),
 }
 
 # Round-6 golden sweep (VERDICT r5 item 4): EVERY rows-only query now has

@@ -1312,3 +1312,65 @@ def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
             1.0 - F.col("total_tokens") / (1.0 * F.col("n_docs") * F.col("max_len")), 6
         ).alias("pad_waste"),
     )
+
+
+@query(
+    "q_quality_classifier",
+    None,
+    doc="GPT-3/LLaMA-style learned quality filter (Brown et al. 2020 "
+    "App. A; Touvron et al. 2023 §2), trained to DISTILL an expensive "
+    "quality rule into cheap features: weak labels come from the "
+    "Gopher-class repetition rule (Rae et al. 2021 §A1.1 uses absolute "
+    "duplicate-fraction thresholds; here y=1 when the doc's "
+    "duplicated-token fraction exceeds 0.5 — the 'junk' class), and "
+    "the model is logistic regression over four features the label "
+    "definition never sees (log1p token count, stopword ratio, mean "
+    "word length, vowel ratio — the last is deliberately uninformative "
+    "to show a near-zero learned weight). Output is "
+    "the full training trajectory — one row per (iteration, feature) "
+    "with the post-update weight and the iteration-entry mean log-loss "
+    "— which is deterministic BIT-FOR-BIT across partitionings because "
+    "every gradient/loss contribution rounds to a 12-dp grain and sums "
+    "as exact DECIMAL (operators/classifier.py). Not SQL-expressible "
+    "(iterative optimization); evidence: golden + partition-invariance "
+    "+ pure-Python replay equality + monotone-loss tests. Plan: ONE "
+    "cached 5-column projection; each iteration is a width-6 "
+    "partial-first aggregate (map-side combine, single-row exchange); "
+    "driver state = 5 doubles. At 100 TB the same gradient contract "
+    "feeds mini-batch GD or L-BFGS; nothing at data grain ever leaves "
+    "the executors.",
+    tags=("curation", "quality", "ml"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import (
+        dup_token_fraction,
+        mean_word_len,
+        stopword_ratio,
+        token_count,
+    )
+    from c_tran_data_pipeline_spark.operators.classifier import logreg_train, standardize
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
+    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
+    feats = docs.select(
+        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_len("text").alias("mean_wlen"),
+        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
+        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
+    )
+    feature_cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
+    std, _ = standardize(feats, feature_cols)
+    std = std.persist()
+    try:
+        traj = logreg_train(std, feature_cols, "label", iters=12, lr=1.0)
+    finally:
+        std.unpersist()
+    rows = [
+        (t["iteration"], feat, float(wt), float(t["loss"]))
+        for t in traj
+        for feat, wt in sorted(t["weights"].items())
+    ]
+    return spark.createDataFrame(
+        rows, "iteration INT, feature STRING, weight DOUBLE, loss DOUBLE"
+    )

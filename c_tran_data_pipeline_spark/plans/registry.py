@@ -72,6 +72,10 @@ _GATE_FIRST: tuple[str, ...] = (
     # re-verified each session by full oracle-CLI sweeps (VERIFICATION.md);
     # driver rows are the belt-and-suspenders layer being rotated.
     # -- ROUND6_NEW_MARKER --
+    "q_quality_classifier",
+    "q_ccnet_buckets",
+    "q_late_shipment_priority",
+    "q_dominant_supplier",
     "q_audio_dsp",
     "q_length_bucket_padding",
     "q_dsir_resample",

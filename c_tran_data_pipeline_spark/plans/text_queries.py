@@ -2061,3 +2061,87 @@ def q_lm_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("oov_bigram_rate"),
         "mean_logp_covered",
     )
+
+
+@query(
+    "q_ccnet_buckets",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+    bg AS (
+        SELECT doc_id, u.w1 AS w1, u.w2 AS w2
+        FROM (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                     i -> {'w1': w[i], 'w2': w[i+1]})) AS u FROM toks)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY 1, 2),
+    c1 AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1plus_fwd
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, COUNT(*) AS n1plus_bwd FROM c12 GROUP BY 1),
+    nt AS (SELECT COUNT(*) AS n_bigram_types FROM c12),
+    scored AS (
+        SELECT doc_id,
+               CAST(round(ln(
+                   greatest(c12 - 0.75, 0.0) / c1
+                   + (0.75 * n1plus_fwd / c1)
+                     * (CAST(n1plus_bwd AS DOUBLE) / n_bigram_types)
+               ), 9) AS DECIMAL(18,9)) AS lp
+        FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1) JOIN cont USING (w2), nt
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 6) AS avg_logp_kn
+        FROM scored GROUP BY 1
+    ),
+    tiled AS (
+        SELECT doc_id, avg_logp_kn,
+               NTILE(3) OVER (ORDER BY avg_logp_kn DESC, doc_id) AS tile
+        FROM per_doc
+    )
+    SELECT source,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+           COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(CAST(avg_logp_kn AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 9) AS mean_logp
+    FROM tiled JOIN documents USING (doc_id)
+    GROUP BY 1, 2
+    """,
+    doc="CCNet-style perplexity bucketing (Wenzek et al. 2020: web-crawl "
+    "docs split into head/middle/tail by LM perplexity terciles, with "
+    "'head' = most-fluent third kept for LM pretraining): per-doc "
+    "Kneser-Ney log-likelihood (the registered q_lm_score_kn builder is "
+    "CALLED, not copied — same composition contract as "
+    "q_lm_mix_weights), global terciles via operators/rank.py's exact "
+    "scale-safe global_ntile (deterministic total order: score DESC "
+    "then doc_id — no single-partition window, no engine-NTILE "
+    "dependence), then a |sources|x3-grain composition report. The "
+    "per-(source,bucket) mean sums rounded per-doc DECIMALs exactly "
+    "before ONE IEEE division (float-order independent). At 100 TB: "
+    "the KN scoring is the dominant cost (count-table shuffles at "
+    "bigram grain); the tercile assignment adds one boundary-sampling "
+    "pass plus a bucket-grain counts exchange — never a global sort.",
+    tags=("text", "lm", "curation"),
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile
+
+    lm = q_lm_score_kn(spark, sf_dir).select("doc_id", "avg_logp_kn")
+    tiled = global_ntile(
+        lm, 3, [F.col("avg_logp_kn").desc(), F.col("doc_id").asc()], bucket_col="tile"
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return (
+        tiled.join(src, "doc_id")
+        .groupBy("source", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(
+                F.sum(F.col("avg_logp_kn").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                9,
+            ).alias("mean_logp"),
+        )
+    )

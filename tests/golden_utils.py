@@ -43,6 +43,7 @@ SORT_KEYS = {
     "q_bpe_token_counts": ["doc_id"],
     "q_incremental_semantic_dedup": ["vec_id"],
     "q_pack_sequences": ["shard", "pack_seq"],
+    "q_quality_classifier": ["iteration", "feature"],
 }
 
 

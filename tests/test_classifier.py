@@ -1,0 +1,142 @@
+"""Distributed logistic-regression quality classifier
+(operators/classifier.py + q_quality_classifier).
+
+The load-bearing property is DETERMINISM: per-row gradient/loss
+contributions round to a 12-dp grain and sum as exact DECIMAL, so the
+trained trajectory must be bit-identical under any partitioning. On
+top of that: the trajectory must match an independent pure-Python
+replay (same rounding discipline, math.exp/log instead of JVM libm),
+the loss must decrease monotonically, and the deliberately
+uninformative feature must learn a near-zero weight.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import ROUND_HALF_UP, Decimal
+
+import pytest
+from pyspark.sql import functions as F
+
+from c_tran_data_pipeline_spark.operators.classifier import logreg_train, standardize
+from tests.conftest import SF_ORACLE
+
+
+def _features(spark, n_parts):
+    from c_tran_data_pipeline_spark.functions.text import (
+        dup_token_fraction,
+        mean_word_len,
+        stopword_ratio,
+        token_count,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("text").repartition(n_parts)
+    feats = docs.select(
+        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_len("text").alias("mean_wlen"),
+        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
+    )
+    cols = ["log_tokens", "stop_ratio", "mean_wlen"]
+    std, stats = standardize(feats, cols)
+    return std, cols, stats
+
+
+def test_training_is_partition_invariant(spark):
+    """Bit-identical weights whether the data sits in 3 or 32 partitions
+    — the whole point of the decimal-grain gradient contract."""
+    t7 = logreg_train(_features(spark, 3)[0], ["log_tokens", "stop_ratio", "mean_wlen"],
+                      "label", iters=5, lr=1.0)
+    t32 = logreg_train(_features(spark, 32)[0], ["log_tokens", "stop_ratio", "mean_wlen"],
+                       "label", iters=5, lr=1.0)
+    for a, b in zip(t7, t32):
+        assert a["loss"] == b["loss"]  # exact, not approx
+        for k in a["weights"]:
+            assert a["weights"][k] == b["weights"][k]
+
+
+def test_loss_decreases_monotonically(spark):
+    std, cols, _ = _features(spark, 8)
+    traj = logreg_train(std, cols, "label", iters=8, lr=1.0)
+    losses = [t["loss"] for t in traj]
+    assert losses[0] == pytest.approx(math.log(2), abs=1e-6)  # null model
+    assert all(b < a for a, b in zip(losses, losses[1:]))
+    assert losses[-1] < 0.45  # the label is genuinely learnable
+
+
+def _round12(x: float) -> Decimal:
+    # Mirror Spark's round(double, 12): HALF_UP at 12 dp on the shortest
+    # decimal representation of the double (repr(float) == Java
+    # Double.toString up to formatting).
+    return Decimal(repr(x)).quantize(Decimal("1e-12"), rounding=ROUND_HALF_UP)
+
+
+def test_matches_pure_python_replay(spark):
+    """The distributed trajectory equals an independent driver-side
+    replay of the same algorithm (math.exp/log vs JVM libm — agreement
+    well inside 1e-6 after the 12-dp contribution rounding)."""
+    std, cols, _ = _features(spark, 8)
+    traj = logreg_train(std, cols, "label", iters=4, lr=1.0)
+
+    rows = std.select(*cols, "label").collect()
+    x = [[float(r[c]) for c in cols] for r in rows]
+    y = [float(r["label"]) for r in rows]
+    n, d = len(rows), len(cols)
+    w, b = [0.0] * d, 0.0
+    eps = 1e-12
+    for it in range(4):
+        g = [Decimal(0)] * d
+        gb = Decimal(0)
+        ls = Decimal(0)
+        for xi, yi in zip(x, y):
+            z = b + sum(w[j] * xi[j] for j in range(d))
+            p = 1.0 / (1.0 + math.exp(-z))
+            pc = min(max(p, eps), 1.0 - eps)
+            err = p - yi
+            for j in range(d):
+                g[j] += _round12(err * xi[j])
+            gb += _round12(err)
+            ls += _round12(-(yi * math.log(pc) + (1.0 - yi) * math.log(1.0 - pc)))
+        assert traj[it]["loss"] == pytest.approx(float(ls) / n, abs=1e-6)
+        for j in range(d):
+            w[j] -= 1.0 * float(g[j]) / n
+        b -= 1.0 * float(gb) / n
+        for j, c in enumerate(cols):
+            assert traj[it]["weights"][c] == pytest.approx(w[j], abs=1e-6)
+        assert traj[it]["weights"]["__bias__"] == pytest.approx(b, abs=1e-6)
+
+
+def test_standardize_moments_and_zero_variance(spark):
+    df = spark.createDataFrame(
+        [(1.0, 5.0), (2.0, 5.0), (3.0, 5.0), (6.0, 5.0)], "a double, c double"
+    )
+    std, stats = standardize(df, ["a", "c"])
+    mu, sd = stats["a"]
+    assert mu == pytest.approx(3.0, abs=1e-9)
+    assert sd == pytest.approx(math.sqrt(3.5), abs=1e-9)  # population std
+    # zero-variance column passes through unscaled (std treated as 1)
+    assert stats["c"] == (5.0, 1.0)
+    vals = sorted(r["c"] for r in std.collect())
+    assert vals == [0.0, 0.0, 0.0, 0.0]
+    a_vals = [r["a"] for r in std.select("a").collect()]
+    assert max(a_vals) == pytest.approx((6.0 - 3.0) / math.sqrt(3.5), abs=1e-9)
+
+
+def test_uninformative_feature_learns_near_zero_weight(spark):
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    rows = all_queries()["q_quality_classifier"].builder(spark, SF_ORACLE).collect()
+    final = {r.feature: r.weight for r in rows if r.iteration == 12}
+    assert abs(final["log_tokens"]) > 1.0  # the real signal
+    assert abs(final["vowel_ratio"]) < 0.15  # the planted noise feature
+    losses = sorted({(r.iteration, r.loss) for r in rows})
+    assert losses[-1][1] < 0.45
+
+
+def test_validation_errors(spark):
+    df = spark.createDataFrame([(1.0, 1)], "a double, label int")
+    with pytest.raises(ValueError, match="iters"):
+        logreg_train(df, ["a"], "label", iters=0)
+    with pytest.raises(ValueError, match="empty"):
+        logreg_train(df.filter(F.lit(False)), ["a"], "label")

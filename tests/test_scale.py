@@ -210,6 +210,10 @@ _ALLOWED_SCALAR_BROADCAST = {
     # 1-row train-side bigram-type total re-entering as the Pcont
     # denominator (the q_lm_score_kn scalar, heldout-eval variant)
     "q_lm_heldout",
+    # composes q_lm_score_kn — inherits ONLY its 1-row bigram-type
+    # scalar; the tercile assignment itself (global_ntile) is
+    # equi-join-only
+    "q_ccnet_buckets",
 }
 
 
