@@ -148,6 +148,8 @@ HEADLINE = [
     "q_dominant_supplier",
     "q_ccnet_buckets",
     "q_quality_classifier",
+    "q_classifier_filter",
+    "q_dp_counts",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -257,6 +259,8 @@ _POST_R01 = (
     "q_dominant_supplier",
     "q_ccnet_buckets",
     "q_quality_classifier",
+    "q_classifier_filter",
+    "q_dp_counts",
 )
 
 

@@ -299,6 +299,12 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_loss_decreases_monotonically + "
         "::test_uninformative_feature_learns_near_zero_weight"
     ),
+    "q_classifier_filter": (
+        "tests/test_classifier.py::test_filter_scores_match_trained_weights "
+        "(per-doc junk_prob EQUALS the sigmoid of the independently trained "
+        "trajectory's final weights; keep == junk_prob < 0.5; determinism "
+        "inherited from the partition-invariant training contract)"
+    ),
 }
 
 # Round-6 golden sweep (VERDICT r5 item 4): EVERY rows-only query now has

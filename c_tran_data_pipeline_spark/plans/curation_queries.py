@@ -1374,3 +1374,137 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "iteration INT, feature STRING, weight DOUBLE, loss DOUBLE"
     )
+
+
+@query(
+    "q_classifier_filter",
+    None,
+    doc="The learned quality filter APPLIED (the second half of the "
+    "GPT-3 recipe, Brown et al. 2020 App. A: train the classifier, "
+    "then keep documents by score): trains the same deterministic "
+    "logistic regression as q_quality_classifier (label = Gopher-style "
+    "repetition rule), then scores EVERY document in one distributed "
+    "pass with the frozen weights and emits doc_id, junk_prob (round "
+    "9), and the keep flag at the 0.5 posterior. Training is "
+    "bit-deterministic (decimal-grain gradients), scoring is a pure "
+    "per-row projection of frozen driver-side constants — so the "
+    "output is golden-pinnable end to end. Plan: the cached 5-column "
+    "training projection (one scan + 12 width-6 aggregates), then ONE "
+    "more scan for scoring — no join, no shuffle; the weights enter "
+    "as literals, so the scoring stage is whole-stage-codegen over the "
+    "parquet scan. At 100 TB the scoring pass is embarrassingly "
+    "parallel and the filter predicate pushes into downstream reads.",
+    tags=("curation", "quality", "ml"),
+)
+def q_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import (
+        dup_token_fraction,
+        mean_word_len,
+        stopword_ratio,
+        token_count,
+    )
+    from c_tran_data_pipeline_spark.operators.classifier import logreg_train, standardize
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
+    feats = docs.select(
+        "doc_id",
+        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_len("text").alias("mean_wlen"),
+        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
+        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
+    )
+    feature_cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
+    std, _ = standardize(feats, feature_cols)
+    std = std.persist()
+    try:
+        traj = logreg_train(std, feature_cols, "label", iters=12, lr=1.0)
+        w = traj[-1]["weights"]
+        z = F.lit(w["__bias__"])
+        for c in feature_cols:
+            z = z + F.lit(w[c]) * F.col(c)
+        junk = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        # The persist only accelerates the 12 training aggregates; the
+        # returned plan recomputes from the parquet scan, so unpersisting
+        # before the caller collects is safe.
+        out = std.select(
+            "doc_id",
+            F.round(junk, 9).alias("junk_prob"),
+            (junk < 0.5).alias("keep"),
+        )
+    finally:
+        std.unpersist()
+    return out
+
+
+@query(
+    "q_dp_counts",
+    r"""
+    WITH per AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(LEAST(len(string_split_regex(trim(text), '\s+')), 512))
+                  AS BIGINT) AS clipped_tokens
+      FROM documents GROUP BY 1
+    ), seeded AS (
+      SELECT source, n_docs, clipped_tokens,
+        CAST(CAST('0x' || substr(md5('dp:count:' || source), 1, 13) AS BIGINT)
+             AS DOUBLE) / 4503599627370496.0 - 0.5 AS u1,
+        CAST(CAST('0x' || substr(md5('dp:tokens:' || source), 1, 13) AS BIGINT)
+             AS DOUBLE) / 4503599627370496.0 - 0.5 AS u2
+      FROM per
+    )
+    SELECT source,
+           CAST(1.0 AS DOUBLE) AS epsilon,
+           ROUND(n_docs - (1.0 / 1.0) * sign(u1)
+                 * ln(greatest(1.0 - 2.0 * abs(u1), 1e-15)), 6) AS noisy_n_docs,
+           ROUND(clipped_tokens - (512.0 / 1.0) * sign(u2)
+                 * ln(greatest(1.0 - 2.0 * abs(u2), 1e-15)), 6) AS noisy_tokens
+    FROM seeded
+    """,
+    doc="Differentially-private dataset-card statistics (Dwork et al. "
+    "2006 Laplace mechanism): per-source document counts and "
+    "CLIPPED token totals (per-doc contribution capped at 512 — the "
+    "standard DP-SQL bounded-contribution clamp that makes the token "
+    "sum's sensitivity 512 instead of unbounded) published with "
+    "Laplace(sensitivity/epsilon) noise at epsilon=1. The noise is "
+    "DETERMINISTIC — inverse-CDF transform of a uniform derived from "
+    "md5(salt||source) (13 hex digits = 52 bits, exact in a double), "
+    "the same keyed-hash-randomness idiom as q_train_split — so the "
+    "release is reproducible, cross-engine exact-oracle-able, and "
+    "stable under recomputation (a re-released card doesn't leak a "
+    "second noise draw: the privacy budget is spent ONCE per salt). "
+    "Plan: one partial-first agg at source grain; the noise transform "
+    "is a per-row projection over |sources| rows. At 100 TB nothing "
+    "but the bounded source-grain table leaves the aggregate.",
+    tags=("curation", "privacy"),
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import token_count
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    per = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.least(token_count("text"), F.lit(512)).cast("bigint"))
+        .cast("bigint")
+        .alias("clipped_tokens"),
+    )
+
+    def _uniform(salt: str) -> F.Column:
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), F.col("source"))), 1, 13), 16, 10)
+        return h.cast("double") / F.lit(4503599627370496.0) - F.lit(0.5)
+
+    def _laplace(u: F.Column, sensitivity: float, eps: float) -> F.Column:
+        return (
+            -F.lit(sensitivity / eps)
+            * F.signum(u)
+            * F.log(F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(u), F.lit(1e-15)))
+        )
+
+    u1, u2 = _uniform("dp:count:"), _uniform("dp:tokens:")
+    return per.select(
+        "source",
+        F.lit(1.0).alias("epsilon"),
+        F.round(F.col("n_docs") + _laplace(u1, 1.0, 1.0), 6).alias("noisy_n_docs"),
+        F.round(F.col("clipped_tokens") + _laplace(u2, 512.0, 1.0), 6).alias("noisy_tokens"),
+    )

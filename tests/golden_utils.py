@@ -44,6 +44,7 @@ SORT_KEYS = {
     "q_incremental_semantic_dedup": ["vec_id"],
     "q_pack_sequences": ["shard", "pack_seq"],
     "q_quality_classifier": ["iteration", "feature"],
+    "q_classifier_filter": ["doc_id"],
 }
 
 

@@ -140,3 +140,50 @@ def test_validation_errors(spark):
         logreg_train(df, ["a"], "label", iters=0)
     with pytest.raises(ValueError, match="empty"):
         logreg_train(df.filter(F.lit(False)), ["a"], "label")
+
+
+def test_filter_scores_match_trained_weights(spark):
+    """q_classifier_filter's per-doc scores are exactly the sigmoid of
+    the final trained weights (recomputed here independently via
+    q_quality_classifier's trajectory output)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    traj = all_queries()["q_quality_classifier"].builder(spark, SF_ORACLE).collect()
+    w = {r.feature: r.weight for r in traj if r.iteration == 12}
+    scored = all_queries()["q_classifier_filter"].builder(spark, SF_ORACLE)
+    assert scored.count() == scored.select("doc_id").distinct().count()
+    # Rebuild the standardized features the same way and score in Python.
+    std, cols, _ = _features_with_ids(spark)
+    rows = {r["doc_id"]: r for r in std.collect()}
+    got = {r.doc_id: (r.junk_prob, r.keep) for r in scored.collect()}
+    assert set(got) == set(rows)
+    for doc_id, r in rows.items():
+        z = w["__bias__"] + sum(w[c] * float(r[c]) for c in cols)
+        p = 1.0 / (1.0 + math.exp(-z))
+        jp, keep = got[doc_id]
+        assert jp == pytest.approx(round(p, 9), abs=1e-6)
+        assert keep == (p < 0.5)
+
+
+def _features_with_ids(spark):
+    from c_tran_data_pipeline_spark.functions.text import (
+        dup_token_fraction,
+        mean_word_len,
+        stopword_ratio,
+        token_count,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
+    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
+    feats = docs.select(
+        "doc_id",
+        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_len("text").alias("mean_wlen"),
+        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
+        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
+    )
+    cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
+    std, stats = standardize(feats, cols)
+    return std, cols, stats
