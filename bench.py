@@ -150,6 +150,7 @@ HEADLINE = [
     "q_quality_classifier",
     "q_classifier_filter",
     "q_dp_counts",
+    "q_dedup_lines",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -261,6 +262,7 @@ _POST_R01 = (
     "q_quality_classifier",
     "q_classifier_filter",
     "q_dp_counts",
+    "q_dedup_lines",
 )
 
 

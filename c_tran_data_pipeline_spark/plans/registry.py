@@ -72,6 +72,7 @@ _GATE_FIRST: tuple[str, ...] = (
     # re-verified each session by full oracle-CLI sweeps (VERIFICATION.md);
     # driver rows are the belt-and-suspenders layer being rotated.
     # -- ROUND6_NEW_MARKER --
+    "q_dedup_lines",
     "q_dp_counts",
     "q_classifier_filter",
     "q_quality_classifier",

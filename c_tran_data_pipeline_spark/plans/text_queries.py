@@ -2145,3 +2145,86 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logp"),
         )
     )
+
+
+@query(
+    "q_dedup_lines",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+    s AS (SELECT doc_id, tk,
+                 unnest(generate_series(0, CAST(ceil(len(tk)/10.0) AS BIGINT) - 1)) AS seg_idx
+          FROM t WHERE len(tk) >= 1),
+    g AS (SELECT doc_id, seg_idx,
+                 array_to_string(tk[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
+          FROM s),
+    w AS (SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS keep_ok FROM g GROUP BY 1),
+    k AS (SELECT doc_id, seg_idx, seg FROM g JOIN w USING (seg)
+          WHERE doc_id * 1048576 + seg_idx = keep_ok),
+    r AS (SELECT doc_id, COUNT(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
+          FROM k GROUP BY 1)
+    SELECT t.doc_id,
+           CAST(ceil(len(tk)/10.0) AS BIGINT) AS n_segments,
+           CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_kept_segments,
+           COALESCE(kept_text, '') AS kept_text
+    FROM t LEFT JOIN r USING (doc_id)
+    """,
+    doc="Line-grain dedup with document REASSEMBLY (the RefinedWeb/CCNet "
+    "line-dedup shape, on a fixture whose text has no newlines: 'lines' "
+    "are consecutive 10-word segments). Every distinct segment survives "
+    "at exactly ONE position corpus-wide — first occurrence wins, "
+    "ordered by (doc_id, seg_idx) via the encoded occurrence key "
+    "doc_id*2^20+seg_idx (fixture docs are ≤ 2^20 segments; a 100 TB "
+    "deployment widens the shift or keeps the struct-min form) — and "
+    "each doc re-concatenates its kept segments in position order. "
+    "Differs from q_dedup_span_cut in GRAIN and ALIGNMENT: span-cut "
+    "masks any duplicated sliding 8-gram (position-free), line-dedup "
+    "removes whole aligned segments — the cheaper pass real pipelines "
+    "run first (CCNet dedups paragraphs before anything sees a shingle "
+    "index). Plan: ONE tokenize+explode pass at segment grain, winner "
+    "election as a partial-first agg on the segment's 64-bit xxhash64 "
+    "fingerprint (the q_dedup_span_cut collision budget note applies; "
+    "the oracle groups by the segment string itself), ONE join back on "
+    "the same fingerprint (AQE reuses the exchange), then doc-grain "
+    "reassembly via sort_array(collect_list(struct)) — bounded by doc "
+    "length, the document-grain class. Docs losing every segment still "
+    "emit a row (left join back to the doc grain, kept_text='').",
+    tags=("text", "dedup", "curation"),
+)
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
+    )
+    segs = toks.filter(F.size("tk") >= 1).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(tk)/10.0) AS INT) - 1),"
+                " j -> struct(j AS seg_idx, concat_ws(' ', slice(tk, j*10+1, 10)) AS seg))"
+            )
+        ).alias("u"),
+    ).select(
+        "doc_id",
+        F.col("u.seg_idx").alias("seg_idx"),
+        F.col("u.seg").alias("seg"),
+        F.xxhash64("u.seg").alias("h"),
+        (F.col("doc_id") * F.lit(1048576) + F.col("u.seg_idx")).alias("ok"),
+    )
+    winners = segs.groupBy("h").agg(F.min("ok").alias("keep_ok"))
+    kept = segs.join(winners, "h").filter(F.col("ok") == F.col("keep_ok"))
+    re = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("kept_text"),
+    )
+    return toks.join(re, "doc_id", "left").select(
+        "doc_id",
+        F.ceil(F.size("tk") / F.lit(10.0)).cast("bigint").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_segments"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

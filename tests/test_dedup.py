@@ -600,3 +600,42 @@ def test_span_cut_keep_first_and_conservation(spark):
         assert r.n_kept_tokens + r.n_cut_tokens == r.n_tokens  # conservation
         retok = [t for t in r.kept_text.split(" ") if t != ""]
         assert len(retok) == r.n_kept_tokens
+
+
+def test_dedup_lines_first_wins_and_reassembly(spark):
+    """Line-grain (10-word segment) dedup: a segment survives at its
+    FIRST (doc_id, seg_idx) occurrence only — across docs, across
+    positions, and within one doc — and each doc reassembles its kept
+    segments in position order."""
+    import tempfile
+
+    from c_tran_data_pipeline_spark.plans.text_queries import q_dedup_lines
+
+    A = " ".join(f"a{i}" for i in range(10))
+    B = " ".join(f"b{i}" for i in range(10))
+    C = " ".join(f"c{i}" for i in range(10))
+    docs = [
+        (1, f"{A} {B}", "en", "s", 0),          # first holder of A (pos 0) and B (pos 1)
+        (2, f"{B} {A}", "en", "s", 0),          # both segments lose: fully removed
+        (3, A, "en", "s", 0),                   # single repeated segment: removed
+        (4, "u0 u1 u2 u3 u4 u5 u6 u7 u8 u9 tail1 tail2 tail3", "en", "s", 0),
+        (5, "x y z", "en", "s", 0),             # short tail-only doc, unique: kept
+        (6, f"{C} {C}", "en", "s", 0),          # within-doc dup: second copy removed
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            docs, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.parquet(f"{d}/documents.parquet")
+        out = {r.doc_id: r for r in q_dedup_lines(spark, d).collect()}
+    assert len(out) == 6  # every doc emits a row, even fully-removed ones
+    assert (out[1].n_segments, out[1].n_kept_segments) == (2, 2)
+    assert out[1].kept_text == docs[0][1]
+    assert (out[2].n_kept_segments, out[2].kept_text) == (0, "")
+    assert (out[3].n_kept_segments, out[3].kept_text) == (0, "")
+    # unique doc passes through verbatim incl. the 3-word tail segment
+    assert (out[4].n_segments, out[4].kept_text) == (2, docs[3][1])
+    assert (out[5].n_segments, out[5].kept_text) == (1, "x y z")
+    # within-doc duplicate: first copy kept, second removed
+    assert (out[6].n_segments, out[6].n_kept_segments, out[6].kept_text) == (2, 1, C)
+    for r in out.values():
+        assert 0 <= r.n_kept_segments <= r.n_segments
