@@ -151,6 +151,7 @@ HEADLINE = [
     "q_classifier_filter",
     "q_dp_counts",
     "q_dedup_lines",
+    "q_image_phash_neardup",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -263,6 +264,7 @@ _POST_R01 = (
     "q_classifier_filter",
     "q_dp_counts",
     "q_dedup_lines",
+    "q_image_phash_neardup",
 )
 
 

@@ -738,6 +738,73 @@ def image_ahash(assets: DataFrame, codec: str = "fake", grid: int = 8) -> DataFr
     return assets.select("asset_id", "payload").mapInPandas(batches, AHASH_SCHEMA)
 
 
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("asset_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+    ]
+)
+
+
+def image_phash(assets: DataFrame, codec: str = "fake", size: int = 32) -> DataFrame:
+    """DCT perceptual hash (pHash, the imagehash-library recipe): decode
+    → nearest-neighbor downsample of frame 0 to ``size×size`` → 2-D
+    orthonormal DCT-II (two numpy matmuls against a precomputed cosine
+    basis — no scipy on this image) → keep the 8×8 LOW-FREQUENCY block
+    → threshold each coefficient at the block median → 64-bit
+    fingerprint packed row-major MSB-first, sign-wrapped for LongType.
+    The median is taken over all 64 coefficients INCLUDING the DC term
+    (imagehash semantics; the DC bit is then near-constant — a known,
+    documented quirk of that recipe). Where aHash thresholds raw pixels
+    (so any pixel near the mean flips its bit under tiny noise), pHash
+    thresholds low-frequency energy: high-frequency perturbations —
+    re-encode dither, sharpening, small paste-overs — leave the 8×8
+    block nearly fixed, which is why production image-dedup stacks run
+    pHash as the precision tier above aHash. Same Arrow mapInPandas
+    contract as image_ahash: payloads never transit the driver,
+    undecodable rows yield NULL hashes for the downstream audit."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        n = size
+        # Orthonormal DCT-II basis: C[k,m] = s_k·cos(π(2m+1)k/2n),
+        # s_0=√(1/n), s_k=√(2/n) — C @ g @ C.T is the 2-D transform.
+        k = np.arange(n).reshape(-1, 1)
+        m = np.arange(n).reshape(1, -1)
+        C = np.sqrt(2.0 / n) * np.cos(np.pi * (2 * m + 1) * k / (2 * n))
+        C[0, :] = np.sqrt(1.0 / n)
+
+        for pdf in it:
+            out = {key: [] for key in ("asset_id", "phash", "width", "height")}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                out["asset_id"].append(aid)
+                dec = _decode_image_bytes(payload, codec)
+                if dec is None or dec[0] < 1 or dec[1] < 1:
+                    out["phash"].append(None)
+                    out["width"].append(None)
+                    out["height"].append(None)
+                    continue
+                w, h, _n, px = dec
+                a = np.frombuffer(px[: w * h], dtype=np.uint8).reshape(h, w)
+                ys = (np.arange(n) * h) // n
+                xs = (np.arange(n) * w) // n
+                g = a[np.ix_(ys, xs)].astype(np.float64)
+                low = (C @ g @ C.T)[:8, :8]
+                bits = (low > np.median(low)).astype(np.uint8).reshape(-1)
+                hv = int.from_bytes(np.packbits(bits).tobytes(), "big")
+                if hv >= 1 << 63:  # wrap to signed 64-bit for LongType
+                    hv -= 1 << 64
+                out["phash"].append(hv)
+                out["width"].append(w)
+                out["height"].append(h)
+            yield pd.DataFrame(out)
+
+    return assets.select("asset_id", "payload").mapInPandas(batches, PHASH_SCHEMA)
+
+
 def ahash_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "asset_id",

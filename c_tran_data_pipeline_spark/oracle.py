@@ -271,6 +271,17 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "all-pairs at hamming<=3) + ::test_ahash_single_pixel_neardup "
         "(perturbed sampled pixel stays within the hamming budget)"
     ),
+    "q_image_phash_neardup": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
+        "(the full sf0.01 pair list equals the committed golden) + "
+        "tests/test_multimodal.py::test_image_phash_matches_independent_dct_replay "
+        "(hash bits vs an O(n^4) direct-DCT replay sharing no basis code) + "
+        "::test_phash_brightness_shift_invariant + "
+        "::test_phash_robust_where_ahash_drifts (threshold-crossing edits stay "
+        "within the pairing budget under pHash, break it under aHash) + "
+        "::test_phash_pairs_lossless_vs_bruteforce (banded pairs == brute-force "
+        "all-pairs at hamming<=3)"
+    ),
     "q_pca_project": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
         "500 sf0.01 sign-canonicalized projections equal the committed golden, "

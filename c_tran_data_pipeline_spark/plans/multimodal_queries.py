@@ -283,3 +283,60 @@ def q_image_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
     return ahash_neardup_pairs(image_ahash(assets))
+
+
+@query(
+    "q_image_phash_neardup",
+    None,  # UDF decode seam — rows-only driver check; exactness in pytest
+    doc="DCT perceptual-hash image dedup under NOISE — the precision "
+    "tier q_image_ahash_neardup sits below: clusters of 8 consecutive "
+    "docs share a base image, but each member is PERTURBED (16 pixels "
+    "±2, member-keyed RNG), so cluster members are NOT byte-identical "
+    "and raw-pixel hashing would drift; the 8×8 low-frequency DCT "
+    "block barely moves, so pHash (operators/multimodal.py "
+    "image_phash: numpy cosine-basis matmuls inside Arrow mapInPandas) "
+    "still collapses each cluster while unrelated MT19937 images stay "
+    "~32 bits apart. Pairing reuses the 4×16-bit pigeonhole banding "
+    "(ahash_neardup_pairs, hash_col='phash'): candidates from band "
+    "equi-joins, exact popcount(xor) ≤ 3 verification, precision 1.0 "
+    "by construction. pytest pins the hash against an independent "
+    "O(n⁴) DCT replay, brightness-shift invariance, noise robustness "
+    "vs aHash, and banding == brute-force parity; full output is "
+    "golden-pinned.",
+    tags=("multimodal", "dedup"),
+)
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_phash,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        from c_tran_data_pipeline_spark.operators.multimodal import _pack_header
+
+        def img(seed: int, member: int) -> bytes:
+            # Cluster-keyed MT19937 base (independent across clusters,
+            # shared within), then a member-keyed high-frequency
+            # perturbation: 16 pixels nudged ±2. aHash flips any bit
+            # whose pixel sits near the grid mean; the 8×8 DCT block
+            # this query hashes moves by O(noise/32²) per coefficient.
+            body = np.random.RandomState(seed).randint(0, 256, 32 * 32, dtype=np.int64)
+            jit = np.random.RandomState(100_000 + seed * 8 + member)
+            idx = jit.choice(32 * 32, size=16, replace=False)
+            body[idx] = np.clip(body[idx] + jit.choice([-2, 2], size=16), 0, 255)
+            return _pack_header(32, 32, 1) + body.astype(np.uint8).tobytes()
+
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [img(int(i) // 8, int(i) % 8) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    return ahash_neardup_pairs(image_phash(assets), hash_col="phash")

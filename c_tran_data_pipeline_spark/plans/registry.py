@@ -73,6 +73,7 @@ _GATE_FIRST: tuple[str, ...] = (
     # driver rows are the belt-and-suspenders layer being rotated.
     # -- ROUND6_NEW_MARKER --
     "q_dedup_lines",
+    "q_image_phash_neardup",
     "q_dp_counts",
     "q_classifier_filter",
     "q_quality_classifier",

@@ -45,6 +45,7 @@ SORT_KEYS = {
     "q_pack_sequences": ["shard", "pack_seq"],
     "q_quality_classifier": ["iteration", "feature"],
     "q_classifier_filter": ["doc_id"],
+    "q_image_phash_neardup": ["a1", "a2"],
 }
 
 

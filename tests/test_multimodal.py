@@ -505,3 +505,138 @@ def test_audio_dsp_recovers_generation_frequency(spark):
         assert r["rolloff85_hz"] == round(float(freqs[min(roll, len(freqs) - 1)]), 6)
         # centroid of a pure tone sits near the tone (leakage pulls it up)
         assert r["spectral_centroid_hz"] > 0
+
+
+def _phash_replay(payload: bytes, size: int = 32) -> int:
+    """Independent pHash: direct O(n^4) DCT-II double sum (no shared
+    basis-matrix code with the operator)."""
+    import math
+
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.operators.multimodal import _decode_image_bytes
+
+    w, h, _n, px = _decode_image_bytes(payload, "fake")
+    a = np.frombuffer(px[: w * h], dtype=np.uint8).reshape(h, w)
+    g = a[np.ix_((np.arange(size) * h) // size, (np.arange(size) * w) // size)].astype(float)
+    low = np.empty((8, 8))
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for y in range(size):
+                for x in range(size):
+                    s += (
+                        g[y, x]
+                        * math.cos(math.pi * (2 * y + 1) * u / (2 * size))
+                        * math.cos(math.pi * (2 * x + 1) * v / (2 * size))
+                    )
+            su = math.sqrt((1.0 if u == 0 else 2.0) / size)
+            sv = math.sqrt((1.0 if v == 0 else 2.0) / size)
+            low[u, v] = su * sv * s
+    hv = 0
+    for bit in (low > np.median(low)).reshape(-1):
+        hv = (hv << 1) | int(bit)
+    return hv - (1 << 64) if hv >= 1 << 63 else hv
+
+
+def test_image_phash_matches_independent_dct_replay(spark):
+    from c_tran_data_pipeline_spark.operators.multimodal import image_phash, make_fake_image
+
+    rows = [(i, make_fake_image(32 + i % 9, 24 + i % 5, 1, seed=i)) for i in range(8)]
+    rows.append((99, b"not an image"))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r.asset_id: (r.phash, r.width, r.height) for r in image_phash(df).collect()}
+    assert got[99] == (None, None, None)
+    for aid, payload in rows[:-1]:
+        assert got[aid][0] == _phash_replay(payload), aid
+    assert got[0][1:] == (32, 24)
+
+
+def test_phash_brightness_shift_invariant(spark):
+    """A uniform brightness shift moves ONLY the DC coefficient; the
+    median over the 8x8 block and every AC bit are untouched, so the
+    pHashes are identical — same invariance class as aHash, pinned so a
+    refactor can't silently break the orthonormal scaling."""
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _pack_header,
+        image_phash,
+    )
+
+    import numpy as np
+
+    body = np.random.RandomState(7).randint(0, 200, 32 * 32, dtype=np.int64)  # +20 can't clip
+    base = _pack_header(32, 32, 1) + body.astype(np.uint8).tobytes()
+    shifted = _pack_header(32, 32, 1) + (body + 20).astype(np.uint8).tobytes()
+    df = spark.createDataFrame([(1, base), (2, shifted)], "asset_id long, payload binary")
+    got = {r.asset_id: r.phash for r in image_phash(df).collect()}
+    assert got[1] == got[2]
+
+
+def test_phash_robust_where_ahash_drifts(spark):
+    """The reason pHash exists: aHash thresholds 64 SAMPLED raw pixels
+    at their mean, so single-pixel edits that cross that threshold flip
+    bits one-for-one; pHash thresholds low-frequency ENERGY, where the
+    same edits smear to O(Δ/32) per coefficient. Push the 6
+    nearest-to-mean sampled pixels across the aHash threshold (±40 from
+    the original grid mean): aHash drifts past the ≤3-bit pairing
+    budget (all 6 bits flip), pHash stays inside it, and unrelated
+    images stay ~32 bits apart (no false collapse)."""
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _pack_header,
+        image_ahash,
+        image_phash,
+    )
+
+    def ham(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    grid = np.add.outer(((np.arange(8) * 32) // 8) * 32, (np.arange(8) * 32) // 8).reshape(-1)
+    rows = []
+    for seed in range(6):
+        body = np.random.RandomState(seed).randint(30, 226, 32 * 32, dtype=np.int64)
+        rows.append((seed * 2, _pack_header(32, 32, 1) + body.astype(np.uint8).tobytes()))
+        g = body[grid].astype(float)
+        mean = g.mean()
+        victims = grid[np.argsort(np.abs(g - mean))[:6]]
+        noisy = body.copy()
+        # cross the threshold with margin: below-mean pixels jump to
+        # mean+40, above-mean to mean-40 (the 6 edits drift the grid
+        # mean by ≤ 40·6/64 ≈ 4 < 40, so every victim bit flips)
+        noisy[victims] = np.where(
+            body[victims] <= mean, np.clip(mean + 40, 0, 255), np.clip(mean - 40, 0, 255)
+        ).astype(np.int64)
+        rows.append((seed * 2 + 1, _pack_header(32, 32, 1) + noisy.astype(np.uint8).tobytes()))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    ph = {r.asset_id: r.phash for r in image_phash(df).collect()}
+    ah = {r.asset_id: r.ahash for r in image_ahash(df).collect()}
+    p_dist = [ham(ph[2 * s], ph[2 * s + 1]) for s in range(6)]
+    a_dist = [ham(ah[2 * s], ah[2 * s + 1]) for s in range(6)]
+    assert all(d <= 3 for d in p_dist), p_dist
+    assert all(d > 3 for d in a_dist), a_dist  # same edits break the aHash budget
+    # unrelated images stay far apart under pHash (no false collapse)
+    assert ham(ph[0], ph[2]) > 10
+
+
+def test_phash_pairs_lossless_vs_bruteforce(spark):
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        ahash_neardup_pairs,
+        image_phash,
+        make_fake_image,
+    )
+
+    rows = [(i, make_fake_image(24, 24, 1, seed=i // 4)) for i in range(40)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    hashes = image_phash(df)
+    got = {(r.a1, r.a2, r.hamming) for r in ahash_neardup_pairs(hashes, hash_col="phash").collect()}
+    hv = {r.asset_id: r.phash for r in hashes.collect()}
+    want = set()
+    ids = sorted(hv)
+    for i, x in enumerate(ids):
+        for y in ids[i + 1 :]:
+            h = bin((hv[x] ^ hv[y]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                want.add((x, y, h))
+    assert got == want
+    assert any(h == 0 for _, _, h in got), "planted identical clusters must pair"
