@@ -152,6 +152,7 @@ HEADLINE = [
     "q_dp_counts",
     "q_dedup_lines",
     "q_image_phash_neardup",
+    "q_tokenizer_fertility",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -265,6 +266,7 @@ _POST_R01 = (
     "q_dp_counts",
     "q_dedup_lines",
     "q_image_phash_neardup",
+    "q_tokenizer_fertility",
 )
 
 

@@ -282,6 +282,14 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_phash_pairs_lossless_vs_bruteforce (banded pairs == brute-force "
         "all-pairs at hamming<=3)"
     ),
+    "q_tokenizer_fertility": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
+        "(the full per-source sf0.01 report equals the committed golden) + "
+        "tests/test_bpe.py::test_fertility_consistent_with_doc_grain_encode "
+        "(source-grain sums equal the doc-grain encode re-aggregated "
+        "driver-side; fertility >= 1; fractions in range) — the underlying "
+        "encode is itself pinned to the pure-Python replay"
+    ),
     "q_pca_project": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
         "500 sf0.01 sign-canonicalized projections equal the committed golden, "

@@ -74,6 +74,7 @@ _GATE_FIRST: tuple[str, ...] = (
     # -- ROUND6_NEW_MARKER --
     "q_dedup_lines",
     "q_image_phash_neardup",
+    "q_tokenizer_fertility",
     "q_dp_counts",
     "q_classifier_filter",
     "q_quality_classifier",

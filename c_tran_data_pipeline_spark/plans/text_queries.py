@@ -2228,3 +2228,54 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_segments"),
         F.coalesce("kept_text", F.lit("")).alias("kept_text"),
     )
+
+
+@query(
+    "q_tokenizer_fertility",
+    None,  # BPE merge cascade is iterative — rows-only; aggregation
+    # equality vs the doc-grain encode and the fertility lower bound are
+    # pinned in tests/test_bpe.py; full output golden-pinned
+    doc="Tokenizer FERTILITY report by source — the metric a tokenizer "
+    "eval actually publishes (HF tokenizers docs, XLM-R paper): "
+    "subwords-per-word (fertility), bytes-per-token (compression), and "
+    "the unsplit-word fraction, per source, under the committed cached "
+    "BPE merge table (zero training jobs on this path — the "
+    "q_bpe_token_counts amortization split). High fertility on one "
+    "source = the vocabulary underfits it; the number that decides "
+    "whether a 100 TB mixture needs a bigger vocab or per-source "
+    "sampling. Plan: the doc-grain encode (distinct-word cascade + one "
+    "co-shuffled join) feeds ONE source-grain partial-first aggregate; "
+    "byte lengths ride the same scan. Fertility ≥ 1 by construction "
+    "(every word emits ≥ 1 subword).",
+    tags=("text", "tokenizer", "curation"),
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.bpe import bpe_encode_words
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text", "source"))
+    merges = _bpe_merges_for(spark, sf_dir)
+    doc_words = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    vocab = doc_words.select("word").distinct()
+    encoded = bpe_encode_words(vocab, merges).select(
+        "word",
+        F.size("tokens").alias("n_sub"),
+        F.length(F.encode("word", "utf-8")).alias("n_bytes"),
+    )
+    return (
+        doc_words.join(encoded, "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_sub").cast("bigint").alias("n_tokens"),
+            F.round(F.sum("n_sub") / F.count(F.lit(1)), 6).alias("fertility"),
+            # +1 byte/word: the </w> marker is part of the token stream
+            F.round(
+                (F.sum("n_bytes") + F.count(F.lit(1))) / F.sum("n_sub"), 6
+            ).alias("bytes_per_token"),
+            F.round(
+                F.sum((F.col("n_sub") == 1).cast("int")) / F.count(F.lit(1)), 6
+            ).alias("unsplit_frac"),
+        )
+    )

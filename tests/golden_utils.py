@@ -46,6 +46,7 @@ SORT_KEYS = {
     "q_quality_classifier": ["iteration", "feature"],
     "q_classifier_filter": ["doc_id"],
     "q_image_phash_neardup": ["a1", "a2"],
+    "q_tokenizer_fertility": ["source"],
 }
 
 

@@ -133,3 +133,35 @@ def test_merge_once_overlap_and_double_letter(spark):
     assert out[0] == ["aa", "a"]
     out2 = [list(r["m"]) for r in df.select(_merge_once(F.col("syms"), "a", "b").alias("m")).collect()]
     assert out2[1] == ["ab", "ab"]
+
+
+def test_fertility_consistent_with_doc_grain_encode(spark):
+    """q_tokenizer_fertility's source-grain sums equal the doc-grain
+    encode (q_bpe_token_counts) re-aggregated by source driver-side,
+    and fertility ≥ 1 / unsplit_frac ∈ [0,1] hold by construction."""
+    from c_tran_data_pipeline_spark.plans.text_queries import (
+        q_bpe_token_counts,
+        q_tokenizer_fertility,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.source: r for r in q_tokenizer_fertility(spark, sf).collect()}
+    doc_counts = {r.doc_id: r for r in q_bpe_token_counts(spark, sf).collect()}
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf, "documents").select("doc_id", "source").collect()
+    }
+    want_words: dict = {}
+    want_tokens: dict = {}
+    for doc_id, r in doc_counts.items():
+        s = src[doc_id]
+        want_words[s] = want_words.get(s, 0) + r.n_words
+        want_tokens[s] = want_tokens.get(s, 0) + r.n_bpe_tokens
+    assert set(got) == set(want_words)
+    for s, r in got.items():
+        assert (r.n_words, r.n_tokens) == (want_words[s], want_tokens[s]), s
+        assert r.fertility == round(r.n_tokens / r.n_words, 6)
+        assert r.fertility >= 1.0
+        assert 0.0 <= r.unsplit_frac <= 1.0
+        assert r.bytes_per_token > 0
