@@ -153,6 +153,7 @@ HEADLINE = [
     "q_dedup_lines",
     "q_image_phash_neardup",
     "q_tokenizer_fertility",
+    "q_audio_mfcc",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -267,6 +268,7 @@ _POST_R01 = (
     "q_dedup_lines",
     "q_image_phash_neardup",
     "q_tokenizer_fertility",
+    "q_audio_mfcc",
 )
 
 

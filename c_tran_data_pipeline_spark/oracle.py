@@ -282,6 +282,15 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_phash_pairs_lossless_vs_bruteforce (banded pairs == brute-force "
         "all-pairs at hamming<=3)"
     ),
+    "q_audio_mfcc": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
+        "(ALL 500 sf0.01 MFCC vectors equal the committed golden) + "
+        "tests/test_multimodal.py::test_audio_mfcc_matches_formula_replay "
+        "(every coefficient equals an independent from-the-formula "
+        "python/numpy recomputation — HTK mel points, triangular weights, "
+        "orthonormal DCT-II — and the sine fixtures' mel energy peaks in "
+        "the filter containing the generation tone)"
+    ),
     "q_tokenizer_fertility": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
         "(the full per-source sf0.01 report equals the committed golden) + "

@@ -340,3 +340,46 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
     return ahash_neardup_pairs(image_phash(assets), hash_col="phash")
+
+
+@query(
+    "q_audio_mfcc",
+    None,  # UDF decode + FFT — rows-only driver check; mel/DCT replay
+    # equality in tests/test_multimodal.py, full output golden-pinned
+    doc="MFCC feature vectors over the real WAV decode path "
+    "(operators/multimodal.py extract_audio_mfcc): 20 HTK-scale mel "
+    "filters over the rFFT power spectrum, log, orthonormal DCT-II, "
+    "first 13 coefficients — the canonical speech/audio-ML feature "
+    "(Davis & Mermelstein 1980) a 100 TB audio corpus materializes "
+    "next to each clip for dedup blocking and quality filtering; "
+    "q_audio_dsp's scalars are the audit-grain companion. Filterbank/"
+    "DCT bases build once per distinct (rate, window) and cache inside "
+    "the Arrow batch iterator; per-row cost is one rFFT + two small "
+    "matmuls. pytest pins every value against an independent "
+    "from-the-formula numpy replay and checks mel-energy physicality "
+    "(a pure sine's energy concentrates in the filter containing its "
+    "frequency); full output is golden-pinned.",
+    tags=("multimodal", "udf"),
+)
+def q_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        extract_audio_mfcc,
+        make_wav,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [
+                        make_wav(200 + int(i) % 300, rate=8000, seed=int(i))
+                        for i in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    return extract_audio_mfcc(assets)

@@ -75,6 +75,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_dedup_lines",
     "q_image_phash_neardup",
     "q_tokenizer_fertility",
+    "q_audio_mfcc",
     "q_dp_counts",
     "q_classifier_filter",
     "q_quality_classifier",

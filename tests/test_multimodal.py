@@ -640,3 +640,65 @@ def test_phash_pairs_lossless_vs_bruteforce(spark):
                 want.add((x, y, h))
     assert got == want
     assert any(h == 0 for _, _, h in got), "planted identical clusters must pair"
+
+
+def test_audio_mfcc_matches_formula_replay(spark):
+    """Every MFCC equals an independent from-the-formula recomputation
+    (HTK mel points, triangular weights, log, orthonormal DCT-II built
+    with plain python loops — no shared code with the operator), and
+    the mel ENERGIES are physical: a pure sine's filterbank energy
+    peaks in a filter whose band contains the tone."""
+    import io
+    import math
+    import wave as _wave
+
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _DSP_WINDOW,
+        extract_audio_mfcc,
+        make_wav,
+    )
+
+    clips = [(int(i), make_wav(300 + 40 * i, rate=8000, seed=int(i))) for i in range(8)]
+    clips.append((99, b"not audio"))
+    assets = spark.createDataFrame(clips, "asset_id long, payload binary")
+    got = {r.asset_id: r for r in extract_audio_mfcc(assets).collect()}
+    assert got[99].mfcc is None and got[99].n_samples is None
+
+    n_mels, n_mfcc = 20, 13
+    for aid, payload in clips[:-1]:
+        with _wave.open(io.BytesIO(payload), "rb") as wv:
+            rate, n = wv.getframerate(), wv.getnframes()
+            pcm = wv.readframes(n)
+        x = np.frombuffer(pcm, dtype="<i2").astype(np.float64)
+        w = x[:_DSP_WINDOW]
+        power = np.abs(np.fft.rfft(w)) ** 2
+        freqs = np.fft.rfftfreq(len(w), d=1.0 / rate)
+        mel_top = 2595.0 * math.log10(1.0 + (rate / 2.0) / 700.0)
+        hz = [700.0 * (10.0 ** (mel_top * i / (n_mels + 1) / 2595.0) - 1.0) for i in range(n_mels + 2)]
+        energies = []
+        for m in range(n_mels):
+            lo, cen, hi = hz[m], hz[m + 1], hz[m + 2]
+            wgt = np.clip(
+                np.minimum((freqs - lo) / max(cen - lo, 1e-12), (hi - freqs) / max(hi - cen, 1e-12)),
+                0.0,
+                None,
+            )
+            energies.append(float((wgt * power).sum()))
+        loge = [math.log(e + 1e-10) for e in energies]
+        want = []
+        for k in range(n_mfcc):
+            s = sum(
+                loge[m] * math.cos(math.pi * (2 * m + 1) * k / (2 * n_mels))
+                for m in range(n_mels)
+            )
+            want.append(round(math.sqrt((1.0 if k == 0 else 2.0) / n_mels) * s, 6))
+        assert got[aid].mfcc == want, aid
+        assert got[aid].n_samples == n
+        # physicality: the sine's tone lands in (or beside) the argmax filter
+        freq = 220 + (aid % 40)  # make_wav's seeded sine frequency
+        peak = int(np.argmax(energies))
+        bands = [(hz[m], hz[m + 2]) for m in range(n_mels)]
+        near = [m for m, (lo, hi) in enumerate(bands) if lo <= freq <= hi]
+        assert peak in near or any(abs(peak - m) <= 1 for m in near), (aid, peak, near)
