@@ -154,6 +154,7 @@ HEADLINE = [
     "q_image_phash_neardup",
     "q_tokenizer_fertility",
     "q_audio_mfcc",
+    "q_kanon_audit",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -269,6 +270,7 @@ _POST_R01 = (
     "q_image_phash_neardup",
     "q_tokenizer_fertility",
     "q_audio_mfcc",
+    "q_kanon_audit",
 )
 
 

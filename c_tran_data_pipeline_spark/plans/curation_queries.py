@@ -1508,3 +1508,51 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_docs") + _laplace(u1, 1.0, 1.0), 6).alias("noisy_n_docs"),
         F.round(F.col("clipped_tokens") + _laplace(u2, 512.0, 1.0), 6).alias("noisy_tokens"),
     )
+
+
+@query(
+    "q_kanon_audit",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS group_size,
+           CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) AS BIGINT)
+               AS ndv_sensitive,
+           CAST(CASE WHEN COUNT(*) >= 5 THEN 1 ELSE 0 END AS INT) AS k_anonymous,
+           CAST(CASE WHEN COUNT(DISTINCT CAST(floor(c_acctbal / 1000.0) AS BIGINT)) >= 3
+                THEN 1 ELSE 0 END AS INT) AS l_diverse
+    FROM customer
+    GROUP BY 1, 2
+    """,
+    doc="k-anonymity / l-diversity release audit (Sweeney 2002; "
+    "Machanavajjhala et al. 2007): group the table by its "
+    "quasi-identifier tuple (nationkey, mktsegment — the columns an "
+    "adversary can link from outside data) and flag every equivalence "
+    "class smaller than k=5, plus classes whose SENSITIVE attribute "
+    "(account-balance band, floor(acctbal/1000)) shows fewer than l=3 "
+    "distinct values — the homogeneity attack k-anonymity alone "
+    "misses. The audit a privacy review runs BEFORE releasing any "
+    "per-group statistics; the flagged rows are exactly the groups "
+    "that need generalization (coarser QI) or suppression. Plan: ONE "
+    "partial-first aggregate at QI grain (count + distinct-band "
+    "count); output is bounded by |QI combinations|, never row-grain. "
+    "Flags emitted as INT (0/1) for cross-engine hash stability.",
+    tags=("curation", "privacy"),
+)
+def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    band = F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("group_size"),
+            F.countDistinct(band).cast("bigint").alias("ndv_sensitive"),
+        )
+        .select(
+            "c_nationkey",
+            "c_mktsegment",
+            "group_size",
+            "ndv_sensitive",
+            (F.col("group_size") >= 5).cast("int").alias("k_anonymous"),
+            (F.col("ndv_sensitive") >= 3).cast("int").alias("l_diverse"),
+        )
+    )

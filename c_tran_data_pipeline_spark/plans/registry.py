@@ -76,6 +76,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_image_phash_neardup",
     "q_tokenizer_fertility",
     "q_audio_mfcc",
+    "q_kanon_audit",
     "q_dp_counts",
     "q_classifier_filter",
     "q_quality_classifier",
