@@ -155,6 +155,7 @@ HEADLINE = [
     "q_tokenizer_fertility",
     "q_audio_mfcc",
     "q_kanon_audit",
+    "q_hll_vocab_union",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -271,6 +272,7 @@ _POST_R01 = (
     "q_tokenizer_fertility",
     "q_audio_mfcc",
     "q_kanon_audit",
+    "q_hll_vocab_union",
 )
 
 

@@ -282,6 +282,15 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_phash_pairs_lossless_vs_bruteforce (banded pairs == brute-force "
         "all-pairs at hamming<=3)"
     ),
+    "q_hll_vocab_union": (
+        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
+        "(the full per-source + union report equals the committed golden) + "
+        "tests/test_classifier.py::test_hll_vocab_union_estimates_and_merge_algebra "
+        "(fixture estimates equal exact DuckDB distinct counts; 60k/40k-key "
+        "synthetic sketches estimate within the published envelope; merged "
+        "union bounded by max and sum and within the envelope of the exact "
+        "union)"
+    ),
     "q_audio_mfcc": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
         "(ALL 500 sf0.01 MFCC vectors equal the committed golden) + "

@@ -1556,3 +1556,38 @@ def q_kanon_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ndv_sensitive") >= 3).cast("int").alias("l_diverse"),
         )
     )
+
+
+@query(
+    "q_hll_vocab_union",
+    None,  # sketch estimates are engine-specific — rows-only; error
+    # bounds + merge algebra pinned in tests/test_classifier.py, full
+    # output golden-pinned
+    doc="MERGEABLE distinct-count sketches (Apache DataSketches HLL via "
+    "F.hll_sketch_agg / hll_union_agg): per-source vocabulary sketches "
+    "built ONCE, then combined into the global vocabulary estimate by "
+    "sketch UNION — never rescanning the corpus. This is the 100 TB "
+    "rollup pattern q_approx_distinct (one-shot approx_count_distinct) "
+    "can't express: persisted per-partition sketches make any "
+    "combination of sources — daily→monthly rollups, ad-hoc source "
+    "subsets — a cheap merge over |sources| binary blobs instead of a "
+    "corpus-grain re-aggregation. Output: per-source estimated vocab "
+    "plus a '__union__' row estimating the DISTINCT union (< the sum "
+    "when sources share words). Plan: one word-grain partial-first "
+    "sketch agg; the union is an agg over |sources| rows. pytest pins "
+    "every estimate within the published HLL error envelope of the "
+    "exact count and the union algebra (max ≤ union ≤ sum).",
+    tags=("curation", "sketch"),
+)
+def q_hll_vocab_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    words = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
+    ).filter(F.col("word") != "")
+    sk = words.groupBy("source").agg(F.hll_sketch_agg("word", F.lit(12)).alias("sk"))
+    per = sk.select("source", F.hll_sketch_estimate("sk").cast("bigint").alias("est_vocab"))
+    uni = sk.agg(F.hll_union_agg("sk").alias("u")).select(
+        F.lit("__union__").alias("source"),
+        F.hll_sketch_estimate("u").cast("bigint").alias("est_vocab"),
+    )
+    return per.unionByName(uni)

@@ -48,6 +48,7 @@ SORT_KEYS = {
     "q_image_phash_neardup": ["a1", "a2"],
     "q_tokenizer_fertility": ["source"],
     "q_audio_mfcc": ["asset_id"],
+    "q_hll_vocab_union": ["source"],
 }
 
 

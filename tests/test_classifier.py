@@ -187,3 +187,47 @@ def _features_with_ids(spark):
     cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
     std, stats = standardize(feats, cols)
     return std, cols, stats
+
+
+def test_hll_vocab_union_estimates_and_merge_algebra(spark):
+    """Fixture path: every per-source estimate and the union row match
+    the exact distinct counts (31-word vocab — HLL is exact there).
+    High-cardinality synthetic path: lgK=12 sketches estimate 60k/40k
+    distinct keys within the published ~1.6%·3σ envelope, and the
+    MERGED union of half-overlapping sources lands between max and sum
+    and within the same envelope of the exact union."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.plans.curation_queries import q_hll_vocab_union
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.source: r.est_vocab for r in q_hll_vocab_union(spark, sf).collect()}
+    con = duckdb.connect()
+    exact = dict(
+        con.execute(
+            rf"""SELECT source, COUNT(DISTINCT w) FROM (
+                 SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM '{sf}/documents.parquet') GROUP BY 1"""
+        ).fetchall()
+    )
+    exact["__union__"] = con.execute(
+        rf"""SELECT COUNT(DISTINCT w) FROM (
+             SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+             FROM '{sf}/documents.parquet')"""
+    ).fetchone()[0]
+    assert set(got) == set(exact)
+    for s, est in got.items():
+        assert abs(est - exact[s]) <= max(1, 0.05 * exact[s]), (s, est, exact[s])
+
+    # high-cardinality merge algebra: A = 0..59999, B = 30000..69999
+    a = spark.range(0, 60_000).select(F.lit("a").alias("src"), F.col("id"))
+    b = spark.range(30_000, 70_000).select(F.lit("b").alias("src"), F.col("id"))
+    sk = a.unionByName(b).groupBy("src").agg(F.hll_sketch_agg("id", F.lit(12)).alias("sk"))
+    per = {r.src: r.e for r in sk.select("src", F.hll_sketch_estimate("sk").alias("e")).collect()}
+    uni = sk.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")).collect()[0].e
+    assert abs(per["a"] - 60_000) <= 0.05 * 60_000
+    assert abs(per["b"] - 40_000) <= 0.05 * 40_000
+    assert abs(uni - 70_000) <= 0.05 * 70_000
+    assert max(per.values()) <= uni <= per["a"] + per["b"]
