@@ -171,8 +171,9 @@ def interval_join_streams(
     lookback: str = "1 hour",
     left_watermark: str | None = "2 hours",
     right_watermark: str | None = "2 hours",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner equi-join with an event-time interval bound:
+    """Stream-stream equi-join with an event-time interval bound:
     each left row pairs with right rows of the same ``key`` whose event
     time falls in ``[left_ts - lookback, left_ts]`` — the streaming twin
     of the batch as-of/range joins (operators/asof.py, q_range_join_
@@ -185,9 +186,14 @@ def interval_join_streams(
     (left kept ~``right_watermark``, right kept ~``left_watermark +
     lookback``; without the time bound the join would be rejected in
     append mode because state could never be released). Inner join =
-    append-mode emit exactly when both sides have arrived; unmatched
-    rows need an outer variant, which Spark only finalizes at watermark
-    passage.
+    append-mode emit exactly when both sides have arrived.
+    ``how="left_outer"`` additionally emits each unmatched left row
+    with NULL right columns — but only once the GLOBAL watermark (the
+    min across both inputs) passes the row's join bound, i.e. when
+    Spark can PROVE no future right row matches; until a later batch
+    advances the watermark, unmatched rows sit in state (the documented
+    outer-join finalization semantics, pinned in
+    tests/test_streaming.py::test_stream_stream_left_outer_finalizes).
 
     Right columns (other than the join key) keep their names; callers
     project/alias as needed. ``key`` appears once in the output. Pass
@@ -200,8 +206,10 @@ def interval_join_streams(
         & (F.col(f"r.{right_ts}") >= F.expr(f"l.{left_ts} - INTERVAL {lookback}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}"))
     )
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"interval_join_streams supports inner/left_outer, got {how!r}")
     right_keep = [c for c in right.columns if c != key]
-    return lw.join(rw, cond, "inner").select(
+    return lw.join(rw, cond, how).select(
         "l.*", *[F.col(f"r.{c}").alias(c) for c in right_keep]
     )
 

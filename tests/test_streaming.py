@@ -480,3 +480,72 @@ def test_kafka_contract_roundtrip_stop_events(spark):
     back = _roundtrip_kafka(spark, df, "stop_event", decode_stop_event_messages)
     assert back.schema == schemas.RAW_STOP_EVENT
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_stream_stream_left_outer_finalizes_unmatched_at_watermark(spark, tmpdirs):
+    """how='left_outer': matched rows emit like the inner join;
+    UNMATCHED left rows emit with NULL right columns only after the
+    global watermark (min across both inputs) passes their join bound —
+    a later batch of far-future rows on both streams (maxFilesPerTrigger
+    =1 splits the availableNow drain into multiple micro-batches) is
+    what advances it and finalizes the state."""
+    import json as _json
+
+    from c_tran_data_pipeline_spark.streaming.pipeline import interval_join_streams
+
+    left_schema = "key bigint, lts timestamp, payload string"
+    right_schema = "key bigint, rts timestamp, tag string"
+    # batch 1: key 1 matches (right 09:30 within [09:15, 10:15]); key 2 doesn't
+    (tmpdirs["in"] / "a.json").write_text(
+        "\n".join(
+            _json.dumps(r)
+            for r in [
+                {"key": 1, "lts": "2020-09-25T10:15:00", "payload": "p1"},
+                {"key": 2, "lts": "2020-09-25T10:15:00", "payload": "p2"},
+            ]
+        )
+    )
+    (tmpdirs["in2"] / "a.json").write_text(
+        _json.dumps({"key": 1, "rts": "2020-09-25T09:30:00", "tag": "hit"})
+    )
+    # batch 2: far-future advancers on BOTH streams push the global
+    # watermark (1h delay) way past batch 1's bounds
+    (tmpdirs["in"] / "b.json").write_text(
+        _json.dumps({"key": 9, "lts": "2020-09-26T12:00:00", "payload": "adv"})
+    )
+    (tmpdirs["in2"] / "b.json").write_text(
+        _json.dumps({"key": 9, "rts": "2020-09-26T12:00:00", "tag": "adv"})
+    )
+
+    left = (
+        spark.readStream.schema(left_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmpdirs["in"]))
+    )
+    right = (
+        spark.readStream.schema(right_schema)
+        .option("maxFilesPerTrigger", 1)
+        .json(str(tmpdirs["in2"]))
+    )
+    joined = interval_join_streams(
+        left, right, key="key", left_ts="lts", right_ts="rts",
+        lookback="1 hour", left_watermark="1 hour", right_watermark="1 hour",
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssouter")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdirs["ckpt2"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.key, r.payload, r.tag) for r in spark.sql("SELECT * FROM ssouter").collect()
+    }
+    assert (1, "p1", "hit") in got            # matched: inner semantics
+    assert (2, "p2", None) in got             # unmatched: null-padded after watermark
+    # the advancer keys 9/9 actually match each other (rts == lts)
+    assert (9, "adv", "adv") in got
+    assert all(k != 2 or t is None for k, _, t in got)
