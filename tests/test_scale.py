@@ -261,6 +261,11 @@ _ALLOWED_PYTHON = {
     # fake-codec synthesis + aHash fingerprint, both Arrow mapInPandas;
     # the pairing stage itself is pure relational (band equi-joins)
     "q_image_ahash_neardup",
+    # perturbed-cluster synthesis + DCT pHash fingerprint, both Arrow
+    # mapInPandas; pairing stage pure relational (band equi-joins)
+    "q_image_phash_neardup",
+    # REAL WAV synthesis + numpy mel/DCT MFCCs, both Arrow mapInPandas
+    "q_audio_mfcc",
     # per-partition Gram partials + the projection pass, both Arrow
     # mapInPandas (numpy matmuls; only d(d+1)+1 doubles hit the driver)
     "q_pca_project",
