@@ -601,3 +601,58 @@ def prefix_filter_jaccard_pairs(
             ).alias("jaccard"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame, key: str = "doc_id", text: str = "text", seg_words: int = 10
+) -> DataFrame:
+    """Line-grain dedup with document reassembly (the RefinedWeb/CCNet
+    line-dedup shape; 'lines' = consecutive ``seg_words``-word aligned
+    segments on this whitespace corpus). Each distinct segment survives
+    at exactly ONE position corpus-wide — first occurrence wins,
+    ordered by (key, seg_idx) via the encoded occurrence key
+    key·2^20+seg_idx (docs ≤ 2^20 segments; widen the shift or use a
+    struct-min for longer documents) — and every doc re-concatenates
+    its kept segments in position order; docs losing every segment
+    still emit a row. Output: (key, n_segments, n_kept_segments,
+    kept_text). Plan: one tokenize+explode pass at segment grain,
+    winner election as a partial-first agg on the segment's 64-bit
+    xxhash64 fingerprint (q_dedup_span_cut's documented collision
+    budget), one join back on the same fingerprint, then doc-grain
+    reassembly via sort_array(collect_list(struct)) — bounded by doc
+    length, the document-grain class."""
+    toks = docs.select(F.col(key), F.split(F.trim(F.col(text)), r"\s+").alias("tk"))
+    segs = toks.filter(F.size("tk") >= 1).select(
+        key,
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, CAST(ceil(size(tk)/{seg_words}.0) AS INT) - 1),"
+                f" j -> struct(j AS seg_idx,"
+                f" concat_ws(' ', slice(tk, j*{seg_words}+1, {seg_words})) AS seg))"
+            )
+        ).alias("u"),
+    ).select(
+        key,
+        F.col("u.seg_idx").alias("seg_idx"),
+        F.col("u.seg").alias("seg"),
+        F.xxhash64("u.seg").alias("h"),
+        (F.col(key) * F.lit(1048576) + F.col("u.seg_idx")).alias("ok"),
+    )
+    winners = segs.groupBy("h").agg(F.min("ok").alias("keep_ok"))
+    kept = segs.join(winners, "h").filter(F.col("ok") == F.col("keep_ok"))
+    re = kept.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s.seg,
+            ),
+        ).alias("kept_text"),
+    )
+    return toks.join(re, key, "left").select(
+        key,
+        F.ceil(F.size("tk") / F.lit(float(seg_words))).cast("bigint").alias("n_segments"),
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_segments"),
+        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
+    )

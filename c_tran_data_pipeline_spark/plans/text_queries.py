@@ -2192,42 +2192,10 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "curation"),
 )
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    toks = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text")).select(
-        "doc_id", F.split(F.trim("text"), r"\s+").alias("tk")
-    )
-    segs = toks.filter(F.size("tk") >= 1).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, CAST(ceil(size(tk)/10.0) AS INT) - 1),"
-                " j -> struct(j AS seg_idx, concat_ws(' ', slice(tk, j*10+1, 10)) AS seg))"
-            )
-        ).alias("u"),
-    ).select(
-        "doc_id",
-        F.col("u.seg_idx").alias("seg_idx"),
-        F.col("u.seg").alias("seg"),
-        F.xxhash64("u.seg").alias("h"),
-        (F.col("doc_id") * F.lit(1048576) + F.col("u.seg_idx")).alias("ok"),
-    )
-    winners = segs.groupBy("h").agg(F.min("ok").alias("keep_ok"))
-    kept = segs.join(winners, "h").filter(F.col("ok") == F.col("keep_ok"))
-    re = kept.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
-                lambda s: s.seg,
-            ),
-        ).alias("kept_text"),
-    )
-    return toks.join(re, "doc_id", "left").select(
-        "doc_id",
-        F.ceil(F.size("tk") / F.lit(10.0)).cast("bigint").alias("n_segments"),
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_segments"),
-        F.coalesce("kept_text", F.lit("")).alias("kept_text"),
-    )
+    from c_tran_data_pipeline_spark.operators.dedup import dedup_lines
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    return dedup_lines(docs, seg_words=10)
 
 
 @query(
