@@ -156,6 +156,7 @@ HEADLINE = [
     "q_audio_mfcc",
     "q_kanon_audit",
     "q_hll_vocab_union",
+    "q_ltv_recursive",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -273,6 +274,7 @@ _POST_R01 = (
     "q_audio_mfcc",
     "q_kanon_audit",
     "q_hll_vocab_union",
+    "q_ltv_recursive",
 )
 
 

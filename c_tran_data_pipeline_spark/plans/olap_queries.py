@@ -3171,3 +3171,51 @@ def q_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pair_qty").cast("double").alias("dominated_qty"),
         )
     )
+
+
+_LTV_RECURSIVE_SQL = """
+    WITH RECURSIVE seq AS (
+        SELECT o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ) AS rn
+        FROM {orders}
+    ),
+    chain (custkey, rn, val) AS (
+        SELECT o_custkey, rn, price FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.o_custkey, s.rn,
+               CAST(round(c.val * CAST(0.98 AS DECIMAL(4,2)) + s.price, 2)
+                    AS DECIMAL(18,2))
+        FROM chain c JOIN seq s ON s.o_custkey = c.custkey AND s.rn = c.rn + 1
+    )
+    SELECT custkey AS o_custkey,
+           CAST(MAX(rn) AS BIGINT) AS n_orders,
+           CAST(max_by(val, rn) AS DOUBLE) AS decayed_ltv
+    FROM chain GROUP BY custkey
+"""
+
+
+@query(
+    "q_ltv_recursive",
+    _LTV_RECURSIVE_SQL.format(orders="orders"),
+    doc="RECURSIVE CTE surface (Spark 4's WITH RECURSIVE, run natively "
+    "by the engine — not a driver loop): per-customer decayed lifetime "
+    "value where each order's contribution compounds on the previous "
+    "balance with a 2% decay AND a per-step round-to-cents. The "
+    "per-step rounding makes the value ORDER-DEPENDENT — no window "
+    "frame or log-sum trick expresses it, recursion is load-bearing — "
+    "and all arithmetic is DECIMAL (cast once from the 2-dp double "
+    "source; ×0.98 and + are exact, round(…,2) agrees HALF-UP across "
+    "engines on positive decimals), so Spark's recursion and DuckDB's "
+    "hash bit-identically. Blowup-free by construction: the recursion "
+    "walks a FUNCTIONAL chain (each (customer, rn) has exactly one "
+    "successor), so iteration i holds ≤ |customers| rows and depth = "
+    "max orders per customer (25 at both fixture SFs, under Spark's "
+    "100-level default limit). The oracle is the SAME recursive SQL — "
+    "both engines run it as written.",
+    tags=("olap", "recursive", "warehouse"),
+)
+def q_ltv_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ltv_rec")
+    return spark.sql(_LTV_RECURSIVE_SQL.format(orders="orders_ltv_rec"))

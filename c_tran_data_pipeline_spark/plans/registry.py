@@ -78,6 +78,7 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_audio_mfcc",
     "q_kanon_audit",
     "q_hll_vocab_union",
+    "q_ltv_recursive",
     "q_dp_counts",
     "q_classifier_filter",
     "q_quality_classifier",

@@ -739,3 +739,52 @@ def test_survival_curve_is_monotone_and_bounded(spark):
             assert r["n_risk"] < prev_risk
         assert r["n_converted"] >= 1 and r["n_risk"] >= r["n_converted"]
         prev_s, prev_risk = r["survival"], r["n_risk"]
+
+
+def test_ltv_recursive_per_step_rounding_is_load_bearing(spark):
+    """Pin the recursion semantics on a handcrafted chain: the per-step
+    round-to-cents result DIFFERS from round-at-the-end compounding
+    (so no window/log-sum formula could replace the recursive CTE), and
+    the value equals a driver-side replay of the same fold."""
+    import tempfile
+
+    import datetime as dt
+
+    from decimal import Decimal, ROUND_HALF_UP
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_ltv_recursive
+
+    # prices chosen so x*0.98 lands on a third decimal and rounds
+    rows = [
+        (1, 10, 100, "1-URGENT", dt.date(1995, 1, 1), 14.30),
+        (2, 10, 100, "1-URGENT", dt.date(1995, 2, 1), 84.90),
+        (3, 10, 100, "1-URGENT", dt.date(1995, 3, 1), 76.61),
+        (4, 20, 100, "1-URGENT", dt.date(1995, 1, 1), 55.55),  # single-order customer
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_shippriority int,"
+            " o_orderpriority string, o_orderdate date, o_totalprice double",
+        ).write.parquet(f"{d}/orders.parquet")
+        got = {r.o_custkey: r for r in q_ltv_recursive(spark, d).collect()}
+
+    def fold(prices):
+        v = Decimal(str(prices[0]))
+        for p in prices[1:]:
+            v = (v * Decimal("0.98") + Decimal(str(p))).quantize(
+                Decimal("0.01"), rounding=ROUND_HALF_UP
+            )
+        return float(v)
+
+    assert got[10].n_orders == 3
+    assert got[10].decayed_ltv == fold([14.30, 84.90, 76.61]) == 173.54
+    # round-at-the-end differs (173.55): per-step rounding is semantic,
+    # not noise — no window/log-sum formula reproduces it
+    at_end = (
+        Decimal("14.30") * Decimal("0.98") ** 2
+        + Decimal("84.90") * Decimal("0.98")
+        + Decimal("76.61")
+    ).quantize(Decimal("0.01"))
+    assert float(at_end) == 173.55 and got[10].decayed_ltv != float(at_end)
+    assert (got[20].n_orders, got[20].decayed_ltv) == (1, 55.55)
