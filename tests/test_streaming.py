@@ -549,3 +549,49 @@ def test_stream_stream_left_outer_finalizes_unmatched_at_watermark(spark, tmpdir
     # the advancer keys 9/9 actually match each other (rts == lts)
     assert (9, "adv", "adv") in got
     assert all(k != 2 or t is None for k, _, t in got)
+
+
+def test_statestore_reader_exposes_window_agg_state(spark, tmpdirs):
+    """Spark 4's state-store READER (spark.read.format('statestore')):
+    the checkpointed state of our hourly-hotspot window aggregation is
+    directly queryable as a DataFrame — the ops surface a production
+    deployment uses to debug a stuck stateful stream without replaying
+    it. After an availableNow drain, every open (window, trip) group
+    still inside the watermark horizon appears in state with EXACTLY
+    the batch-computed count/sum — verifying the checkpoint really
+    carries the aggregation's partial state, not just offsets."""
+    from c_tran_data_pipeline_spark.streaming.pipeline import (
+        conform_validate_stream,
+        hourly_hotspot_stream,
+    )
+
+    rows = [
+        GOOD,  # trip 101, 10:00:00
+        dict(GOOD, ACT_TIME="36060"),            # same trip+hour, 10:01
+        dict(GOOD, EVENT_NO_TRIP="102", VEHICLE_ID="4009", ACT_TIME="39600"),
+    ]
+    (tmpdirs["in"] / "crumbs.json").write_text("\n".join(json.dumps(r) for r in rows))
+    raw = spark.readStream.schema(schemas.RAW_BREADCRUMB).json(str(tmpdirs["in"]))
+    q = (
+        hourly_hotspot_stream(conform_validate_stream(raw))
+        .writeStream.format("memory")
+        .queryName("ssreader_sink")
+        .outputMode("append")
+        .option("checkpointLocation", tmpdirs["ckpt1"])
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    state = spark.read.format("statestore").load(tmpdirs["ckpt1"])
+    # key struct = (window, trip_id); value struct is the agg buffer
+    # {sum, count, max} — avg's partial state plus the max accumulator
+    got = {}
+    for r in state.collect():
+        k, v = r.key.asDict(recursive=True), r.value.asDict()
+        got[(k["window"]["start"].hour, k["trip_id"])] = v
+    # all three readings are within the 48h watermark → all state open
+    assert set(got) == {(10, 101), (11, 102)}
+    speed = 25.0  # conform_validate's decoded speed for GOOD's VELOCITY
+    assert got[(10, 101)] == {"sum": 2 * speed, "count": 2, "max": speed}
+    assert got[(11, 102)] == {"sum": speed, "count": 1, "max": speed}
