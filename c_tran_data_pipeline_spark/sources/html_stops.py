@@ -113,3 +113,41 @@ def stop_events_from_html(pages: DataFrame, html_col: str = "html") -> DataFrame
     return pages.select(
         F.explode(parse_stop_events_udf(F.col(html_col))).alias("ev")
     ).select("ev.*")
+
+
+class StopEventsUDTF:
+    """The SAME parse as a NATIVE Spark 4 Python UDTF (@F.udtf): one
+    lateral row per trip table, engine-managed fan-out instead of the
+    returns-array + explode composition above. Both paths share
+    _StopEventHTMLParser, and tests pin them row-identical; the UDTF
+    form is what a Spark-4-native pipeline would write today, while the
+    explode form remains for engines/contexts without UDTF support.
+    eval() yields tuples matching RAW_STOP_EVENT's five columns."""
+
+    def eval(self, html: str | None):  # noqa: D102 — UDTF contract
+        if not html:
+            return
+        p = _StopEventHTMLParser()
+        p.feed(html)
+        for r in p.records:
+            yield (
+                r.get("trip_id"),
+                r.get("vehicle_number"),
+                r.get("route_number"),
+                r.get("direction"),
+                r.get("service_key"),
+            )
+
+
+def stop_events_from_html_udtf(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(…, html) rows → raw stop-event rows via the native UDTF + LATERAL
+    join (Spark 4 surface). Output schema == the explode path's."""
+    spark = pages.sparkSession
+    fields = "trip_id string, vehicle_number string, route_number string, direction string, service_key string"
+    parse = F.udtf(StopEventsUDTF, returnType=fields)
+    spark.udtf.register("parse_stop_events", parse)
+    pages.createOrReplaceTempView("stop_pages_udtf_in")
+    return spark.sql(
+        f"SELECT t.* FROM stop_pages_udtf_in, "
+        f"LATERAL parse_stop_events({html_col}) t"
+    )

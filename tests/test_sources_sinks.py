@@ -445,3 +445,23 @@ def test_compaction_sort_by_gives_prunable_layout(spark, tmp_path):
         assert hi1 < lo2  # disjoint ranges -> footer stats prune
     # content preserved too
     assert spark.read.parquet(path).count() == 5_000
+
+
+def test_html_stop_event_native_udtf_matches_explode_path(spark):
+    """The Spark 4 NATIVE @udtf + LATERAL path produces exactly the rows
+    of the udf-returns-array + explode composition (both share
+    _StopEventHTMLParser), including schema order and the empty-page /
+    NULL-page behaviors."""
+    from c_tran_data_pipeline_spark.sources.html_stops import (
+        stop_events_from_html_udtf,
+    )
+
+    pages = spark.createDataFrame(
+        [Row(url="p1", html=PAGE), Row(url="p2", html=""), Row(url="p3", html=None)]
+    )
+    explode_rows = sorted(map(tuple, stop_events_from_html(pages).collect()))
+    udtf_rows = sorted(map(tuple, stop_events_from_html_udtf(pages).collect()))
+    assert udtf_rows == explode_rows
+    assert len(udtf_rows) == 2
+    cols = stop_events_from_html_udtf(pages).columns
+    assert cols == stop_events_from_html(pages).columns
