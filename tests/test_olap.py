@@ -788,3 +788,54 @@ def test_ltv_recursive_per_step_rounding_is_load_bearing(spark):
     ).quantize(Decimal("0.01"))
     assert float(at_end) == 173.55 and got[10].decayed_ltv != float(at_end)
     assert (got[20].n_orders, got[20].decayed_ltv) == (1, 55.55)
+
+
+def test_sql_scripting_while_loop_convergence(spark):
+    """Spark 4 SQL scripting (BEGIN/DECLARE/WHILE): find the smallest k
+    such that the top-k orders by price cover >= 50% of total revenue,
+    by a scripted loop issuing real queries against a temp view — the
+    control-flow surface an engine user scripts without leaving SQL.
+    Pinned against the direct python computation."""
+    import datetime as dt
+    import tempfile
+
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    prices = [100.0, 80.0, 60.0, 40.0, 20.0, 10.0, 5.0, 5.0]
+    rows = [
+        (i, i, 0, "1-URGENT", dt.date(1995, 1, 1 + i), p)
+        for i, p in enumerate(prices)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        spark.createDataFrame(
+            rows,
+            "o_orderkey long, o_custkey long, o_shippriority int,"
+            " o_orderpriority string, o_orderdate date, o_totalprice double",
+        ).write.parquet(f"{d}/orders.parquet")
+        load_table(spark, d, "orders").createOrReplaceTempView("orders_script")
+        got = spark.sql("""
+        BEGIN
+          DECLARE k INT DEFAULT 0;
+          DECLARE covered DOUBLE DEFAULT 0.0;
+          DECLARE total DOUBLE DEFAULT 0.0;
+          SET total = (SELECT SUM(o_totalprice) FROM orders_script);
+          WHILE covered < 0.5 * total DO
+            SET k = k + 1;
+            SET covered = (
+              SELECT SUM(p) FROM (
+                SELECT o_totalprice AS p FROM orders_script
+                ORDER BY o_totalprice DESC LIMIT k
+              )
+            );
+          END WHILE;
+          SELECT k AS k, covered AS covered, total AS total;
+        END
+        """).collect()[0]
+    total = sum(prices)
+    acc, want_k = 0.0, 0
+    for p in sorted(prices, reverse=True):
+        want_k += 1
+        acc += p
+        if acc >= 0.5 * total:
+            break
+    assert (got.k, got.covered, got.total) == (want_k, acc, total)
