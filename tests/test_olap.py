@@ -839,3 +839,43 @@ def test_sql_scripting_while_loop_convergence(spark):
         if acc >= 0.5 * total:
             break
     assert (got.k, got.covered, got.total) == (want_k, acc, total)
+
+
+def test_ltv_recursive_equals_one_shuffle_fold(spark):
+    """The 100 TB shape for the SAME computation: one shuffle to
+    (custkey, sorted [(rn, price)]) then a native aggregate() fold with
+    the identical per-step round — bounded by orders-per-customer (the
+    document-grain class), no per-level engine jobs. Pinned equal to
+    the recursive CTE on the real fixture so the recursion surface and
+    the scale shape can never drift apart."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.plans.olap_queries import q_ltv_recursive
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.o_custkey: (r.n_orders, r.decayed_ltv)
+           for r in q_ltv_recursive(spark, sf).collect()}
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    fold = (
+        load_table(spark, sf, "orders")
+        .select(
+            "o_custkey",
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.expr(
+                "CAST(aggregate(slice(array_sort(collect_list(struct(rn, price))), 2, 100000),"
+                " array_sort(collect_list(struct(rn, price)))[0].price,"
+                " (acc, x) -> CAST(round(acc * CAST(0.98 AS DECIMAL(4,2)) + x.price, 2)"
+                "             AS DECIMAL(18,2))) AS DOUBLE)"
+            ).alias("decayed_ltv"),
+        )
+    )
+    want = {r.o_custkey: (r.n_orders, r.decayed_ltv) for r in fold.collect()}
+    assert got == want
