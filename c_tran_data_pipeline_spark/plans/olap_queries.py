@@ -3213,7 +3213,15 @@ _LTV_RECURSIVE_SQL = """
     "successor), so iteration i holds ≤ |customers| rows and depth = "
     "max orders per customer (25 at both fixture SFs, under Spark's "
     "100-level default limit). The oracle is the SAME recursive SQL — "
-    "both engines run it as written.",
+    "both engines run it as written. Cost shape: the engine runs one "
+    "job per recursion level (25 sequential joins against the "
+    "PERSISTED seq — without the persist each level re-evaluated the "
+    "window-over-orders lineage, measured 12.0 s at sf0.1; with it "
+    "~7 s, overhead-dominated at fixture size). The 100 TB form of "
+    "THIS computation is the one-shuffle array_sort+aggregate fold at "
+    "customer grain, pinned bit-equal in tests/test_olap.py::"
+    "test_ltv_recursive_equals_one_shuffle_fold so the recursion "
+    "surface and the scale shape can never drift.",
     tags=("olap", "recursive", "warehouse"),
 )
 def q_ltv_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
