@@ -286,3 +286,35 @@ def test_dedup_lines_global_conservation(spark, docs):
         # equality above is the load-bearing global check)
         if r.n_kept_segments == 0:
             assert r.kept_text == ""
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(alphabet="abé ", min_size=0, max_size=12),
+            st.integers(0, 1_000_000),
+        ),
+        min_size=0, max_size=50, unique_by=lambda t: t[1],
+    ),
+    parts=st.integers(1, 6),
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_global_rank_string_keys_match_window(spark, rows, parts):
+    """ADVICE-r5 regression surface, generalized: STRING lead keys of
+    varying length — empty strings, shared prefixes longer than the
+    7-byte hex prefix the range key uses, multi-byte UTF-8 ('é'),
+    spaces — must produce exactly the single-partition ROW_NUMBER
+    order. The range key only has to be MONOTONE (non-strict); equal
+    7-byte prefixes share a bucket and the in-bucket sort finishes the
+    job, so any violation here means the rpad fix regressed."""
+    from pyspark.sql.window import Window
+
+    from c_tran_data_pipeline_spark.operators.rank import global_rank
+
+    df = spark.createDataFrame(rows, "k string, id long") if rows else (
+        spark.range(0).selectExpr("CAST(id AS STRING) k", "id")
+    )
+    w = Window.orderBy("k", "id")
+    exp = {r["id"]: r["rn"] for r in df.select("id", F.row_number().over(w).alias("rn")).collect()}
+    got = {r["id"]: r["rank"] for r in global_rank(df, ["k", "id"], partitions=parts).collect()}
+    assert got == exp
