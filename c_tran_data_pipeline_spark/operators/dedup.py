@@ -609,18 +609,20 @@ def dedup_lines(
     """Line-grain dedup with document reassembly (the RefinedWeb/CCNet
     line-dedup shape; 'lines' = consecutive ``seg_words``-word aligned
     segments on this whitespace corpus). Each distinct segment survives
-    at exactly ONE position corpus-wide — first occurrence wins,
-    ordered by (key, seg_idx) via the encoded occurrence key
-    key·2^20+seg_idx (docs ≤ 2^20 segments; widen the shift or use a
-    struct-min for longer documents) — and every doc re-concatenates
-    its kept segments in position order; docs losing every segment
-    still emit a row. Output: (key, n_segments, n_kept_segments,
-    kept_text). Plan: one tokenize+explode pass at segment grain,
-    winner election as a partial-first agg on the segment's 64-bit
-    xxhash64 fingerprint (q_dedup_span_cut's documented collision
-    budget), one join back on the same fingerprint, then doc-grain
-    reassembly via sort_array(collect_list(struct)) — bounded by doc
-    length, the document-grain class."""
+    at exactly ONE position corpus-wide — first occurrence wins as the
+    lexicographic MIN of struct(key, seg_idx), so election is exact for
+    ANY key/index magnitude (no encoded key·2^shift occurrence key to
+    overflow) — and every doc re-concatenates its kept segments in
+    position order; docs losing every segment still emit a row.
+    Output: (key, n_segments, n_kept_segments, kept_text). Plan: one
+    tokenize+explode pass at segment grain, winner election as a
+    partial-first agg grouped by (xxhash64(seg), seg) — the hash keeps
+    shuffle keys digest-led while grouping on the segment STRING makes
+    a 64-bit collision harmless (two colliding distinct segments land
+    in different groups, matching the oracle exactly) — one join back
+    on the same (hash, seg) pair, then doc-grain reassembly via
+    sort_array(collect_list(struct)) — bounded by doc length, the
+    document-grain class."""
     toks = docs.select(F.col(key), F.split(F.trim(F.col(text)), r"\s+").alias("tk"))
     segs = toks.filter(F.size("tk") >= 1).select(
         key,
@@ -636,10 +638,14 @@ def dedup_lines(
         F.col("u.seg_idx").alias("seg_idx"),
         F.col("u.seg").alias("seg"),
         F.xxhash64("u.seg").alias("h"),
-        (F.col(key) * F.lit(1048576) + F.col("u.seg_idx")).alias("ok"),
     )
-    winners = segs.groupBy("h").agg(F.min("ok").alias("keep_ok"))
-    kept = segs.join(winners, "h").filter(F.col("ok") == F.col("keep_ok"))
+    winners = segs.groupBy("h", "seg").agg(
+        F.min(F.struct(key, "seg_idx")).alias("w")
+    )
+    kept = segs.join(winners, ["h", "seg"]).filter(
+        (F.col(key) == F.col("w").getField(key))
+        & (F.col("seg_idx") == F.col("w").getField("seg_idx"))
+    )
     re = kept.groupBy(key).agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.concat_ws(

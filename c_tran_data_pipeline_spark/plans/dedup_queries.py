@@ -412,7 +412,9 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (deterministic) candidate set once — at scale you'd persist the
     # banded-candidate table anyway (sinks/bucketed.py does for the
     # incremental path).
-    pairs = pairs.persist()
+    from c_tran_data_pipeline_spark.session import persist_once
+
+    pairs = persist_once(pairs)
     sigs = minhash_signatures(d, num_hashes=16)
     sa = sigs.select(F.col("doc_id").alias("d1"), "seed", F.col("minhash").alias("__h1"))
     sb = sigs.select(F.col("doc_id").alias("d2"), "seed", F.col("minhash").alias("__h2"))

@@ -352,7 +352,15 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "first 13 coefficients — the canonical speech/audio-ML feature "
     "(Davis & Mermelstein 1980) a 100 TB audio corpus materializes "
     "next to each clip for dedup blocking and quality filtering; "
-    "q_audio_dsp's scalars are the audit-grain companion. Filterbank/"
+    "q_audio_dsp's scalars are the audit-grain companion. Registered "
+    "output is LONG format — (asset_id, n_samples, coef_idx, coef) via "
+    "posexplode_outer, one row per coefficient — because (a) scalar "
+    "rows are what external comparators can sort/hash (an ArrayType "
+    "column crashed the round-6 driver comparator) and (b) at 100 TB "
+    "the long form IS the joinable/storable shape for per-coefficient "
+    "stats and indexing; the array-valued operator remains the compact "
+    "transport form. posexplode_outer keeps undecodable assets visible "
+    "as a NULL-coef row instead of silently dropping them. Filterbank/"
     "DCT bases build once per distinct (rate, window) and cache inside "
     "the Arrow batch iterator; per-row cost is one rFFT + two small "
     "matmuls. pytest pins every value against an independent "
@@ -382,4 +390,8 @@ def q_audio_mfcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
-    return extract_audio_mfcc(assets)
+    return extract_audio_mfcc(assets).select(
+        "asset_id",
+        "n_samples",
+        F.posexplode_outer("mfcc").alias("coef_idx", "coef"),
+    )

@@ -3213,50 +3213,26 @@ _LTV_RECURSIVE_SQL = """
     "successor), so iteration i holds ≤ |customers| rows and depth = "
     "max orders per customer (25 at both fixture SFs, under Spark's "
     "100-level default limit). The oracle is the SAME recursive SQL — "
-    "both engines run it as written. Cost shape: the engine runs one "
-    "job per recursion level (25 sequential joins against the "
-    "PERSISTED seq — without the persist each level re-evaluated the "
-    "window-over-orders lineage, measured 12.0 s at sf0.1; with it "
-    "~7 s, overhead-dominated at fixture size). The 100 TB form of "
-    "THIS computation is the one-shuffle array_sort+aggregate fold at "
-    "customer grain, pinned bit-equal in tests/test_olap.py::"
-    "test_ltv_recursive_equals_one_shuffle_fold so the recursion "
-    "surface and the scale shape can never drift.",
+    "both engines run it as written. Runs through operators/recursion.py "
+    "decayed_ltv, whose documented max_depth=64 switch measures the true "
+    "max chain length (one column-pruned aggregate over the "
+    "localCheckpoint'ed seq) and routes DEEPER chains to the one-shuffle "
+    "array_sort+aggregate fold — the 100 TB shape, bounded by "
+    "orders-per-customer with no per-level engine jobs — while chains "
+    "within the threshold (25 levels at both fixture SFs, so THIS query "
+    "benches the native recursive path) exercise WITH RECURSIVE. Both "
+    "paths are pinned bit-equal at two SFs in tests/test_olap.py::"
+    "test_ltv_recursive_equals_one_shuffle_fold, so the recursion "
+    "surface and the scale shape can never drift. The seq "
+    "materialization is a localCheckpoint (each recursion level joins "
+    "against it; without it every level re-evaluated the window "
+    "lineage, measured 12.0 s vs ~7 s at sf0.1) — ContextCleaner "
+    "releases it after collection, so repeated bench runs in one "
+    "session no longer accumulate cache entries, and the backing temp "
+    "view is uniquely named and dropped at analysis (ADVICE r6).",
     tags=("olap", "recursive", "warehouse"),
 )
 def q_ltv_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-    from pyspark.storagelevel import StorageLevel
+    from c_tran_data_pipeline_spark.operators.recursion import decayed_ltv
 
-    # Materialize the windowed seq ONCE and let the recursion reference
-    # the persisted frame: each of the ≤25 recursion levels joins the
-    # frontier against seq, and without the persist Spark re-evaluates
-    # the window-over-orders lineage at EVERY level (measured 12.0 s at
-    # sf0.1; ~6× the one-scan cost). The recursive SQL below is the
-    # chain walk only — identical rows, hash unchanged.
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = (
-        load_table(spark, sf_dir, "orders")
-        .select(
-            "o_custkey",
-            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
-            F.row_number().over(w).alias("rn"),
-        )
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    seq.createOrReplaceTempView("seq_ltv_rec")
-    return spark.sql("""
-        WITH RECURSIVE chain (custkey, rn, val) AS (
-            SELECT o_custkey, rn, price FROM seq_ltv_rec WHERE rn = 1
-            UNION ALL
-            SELECT s.o_custkey, s.rn,
-                   CAST(round(c.val * CAST(0.98 AS DECIMAL(4,2)) + s.price, 2)
-                        AS DECIMAL(18,2))
-            FROM chain c JOIN seq_ltv_rec s
-              ON s.o_custkey = c.custkey AND s.rn = c.rn + 1
-        )
-        SELECT custkey AS o_custkey,
-               CAST(MAX(rn) AS BIGINT) AS n_orders,
-               CAST(max_by(val, rn) AS DOUBLE) AS decayed_ltv
-        FROM chain GROUP BY custkey
-    """)
+    return decayed_ltv(load_table(spark, sf_dir, "orders"), decay="0.98", max_depth=64)

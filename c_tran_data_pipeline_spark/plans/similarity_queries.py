@@ -242,12 +242,81 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sign_row_sql(plane: int, dim: int = 64) -> str:
+    """±1 sign row for one hyperplane as a DuckDB DOUBLE[] literal —
+    the sign matrix is a pure function of (plane, dim_index) via md5
+    parity (operators/similarity._sign_value), so the oracle embeds the
+    SAME constants the Spark plan embeds; no per-row hashing on either
+    engine."""
+    from c_tran_data_pipeline_spark.operators.similarity import _sign_value
+
+    return (
+        "[" + ",".join("1.0" if _sign_value(plane, d) > 0 else "-1.0" for d in range(dim))
+        + "]::DOUBLE[]"
+    )
+
+
+def _multi_bucket_case_sql(planes: int, tables: int, dim: int = 64) -> str:
+    """CASE t WHEN 0 THEN <bucket over planes 0..3> ... — DuckDB twin of
+    multi_table_lsh_buckets. Each projection replays Spark's SEQUENTIAL
+    left fold (list_reduce) so the `> 0` bucket-bit decision sees
+    bit-identical sums; table t uses plane set [t·planes, (t+1)·planes)."""
+
+    def bucket(t: int) -> str:
+        terms = []
+        for j in range(planes):
+            proj = (
+                "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                "list_transform(CAST(embedding AS DOUBLE[]), "
+                f"(x, i) -> x * ({_sign_row_sql(t * planes + j, dim)})[i])), "
+                "(acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"CASE WHEN ({proj}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            )
+        return " + ".join(terms)
+
+    return " ".join(f"WHEN {t} THEN ({bucket(t)})" for t in range(tables))
+
+
+_LSH_TOPK_ORACLE = f"""
+    WITH buck AS (
+        SELECT vec_id, CASE t {_multi_bucket_case_sql(4, 8)} END AS bucket, t AS tbl
+        FROM embeddings, range(8) r(t)
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+    ), scored AS (
+        SELECT query_id, neighbor_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    ), ranked AS (
+        SELECT query_id, neighbor_id, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, rank, ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 3
+    """
+
+
 @query(
     "q_ann_lsh_topk",
-    None,  # approximate by construction; recall asserted vs exact in tests
-    doc="LSH-bucketed approximate top-3: candidates share the query's "
-    "bucket, exact cosine re-ranks. Rows-only driver check; "
-    "tests/test_similarity.py measures recall against cosine_topk.",
+    _LSH_TOPK_ORACLE,
+    doc="LSH-bucketed approximate top-3: candidates share any of the "
+    "query's 8 table buckets (4 planes each), exact cosine re-ranks. "
+    "EXACT oracle since r7 — 'approximate' means approximate w.r.t. "
+    "the true neighbors (recall measured vs cosine_topk in "
+    "tests/test_similarity.py), but the ALGORITHM is fully "
+    "deterministic: the ±1 sign matrix is md5 parity embedded as "
+    "literals on both engines, the bucket-bit projections replay the "
+    "same sequential fold, and the candidate set + cosine re-rank are "
+    "plain relational algebra, so DuckDB reproduces the output "
+    "value-exactly at any SF (verified sf0.01 AND sf0.1).",
     tags=("similarity", "topk"),
 )
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -2157,9 +2157,11 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     g AS (SELECT doc_id, seg_idx,
                  array_to_string(tk[seg_idx*10+1 : seg_idx*10+10], ' ') AS seg
           FROM s),
-    w AS (SELECT seg, MIN(doc_id * 1048576 + seg_idx) AS keep_ok FROM g GROUP BY 1),
-    k AS (SELECT doc_id, seg_idx, seg FROM g JOIN w USING (seg)
-          WHERE doc_id * 1048576 + seg_idx = keep_ok),
+    k AS (SELECT doc_id, seg_idx, seg FROM (
+            SELECT doc_id, seg_idx, seg,
+                   ROW_NUMBER() OVER (PARTITION BY seg
+                                      ORDER BY doc_id, seg_idx) AS occ
+            FROM g) WHERE occ = 1),
     r AS (SELECT doc_id, COUNT(*) AS n_kept,
                  string_agg(seg, ' ' ORDER BY seg_idx) AS kept_text
           FROM k GROUP BY 1)
@@ -2172,20 +2174,21 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Line-grain dedup with document REASSEMBLY (the RefinedWeb/CCNet "
     "line-dedup shape, on a fixture whose text has no newlines: 'lines' "
     "are consecutive 10-word segments). Every distinct segment survives "
-    "at exactly ONE position corpus-wide — first occurrence wins, "
-    "ordered by (doc_id, seg_idx) via the encoded occurrence key "
-    "doc_id*2^20+seg_idx (fixture docs are ≤ 2^20 segments; a 100 TB "
-    "deployment widens the shift or keeps the struct-min form) — and "
+    "at exactly ONE position corpus-wide — first occurrence wins as the "
+    "lexicographic MIN of (doc_id, seg_idx), elected as a struct-min "
+    "aggregate (exact at any key/index magnitude — no encoded-key "
+    "overflow) — and "
     "each doc re-concatenates its kept segments in position order. "
     "Differs from q_dedup_span_cut in GRAIN and ALIGNMENT: span-cut "
     "masks any duplicated sliding 8-gram (position-free), line-dedup "
     "removes whole aligned segments — the cheaper pass real pipelines "
     "run first (CCNet dedups paragraphs before anything sees a shingle "
     "index). Plan: ONE tokenize+explode pass at segment grain, winner "
-    "election as a partial-first agg on the segment's 64-bit xxhash64 "
-    "fingerprint (the q_dedup_span_cut collision budget note applies; "
-    "the oracle groups by the segment string itself), ONE join back on "
-    "the same fingerprint (AQE reuses the exchange), then doc-grain "
+    "election as a partial-first agg grouped by (xxhash64(seg), seg) — "
+    "digest-led shuffle keys, but grouping on the segment STRING like "
+    "the oracle so a 64-bit collision cannot merge two distinct "
+    "segments — ONE join back on "
+    "the same (hash, seg) pair (AQE reuses the exchange), then doc-grain "
     "reassembly via sort_array(collect_list(struct)) — bounded by doc "
     "length, the document-grain class. Docs losing every segment still "
     "emit a row (left join back to the doc grain, kept_text='').",

@@ -49,3 +49,19 @@ def get_spark(app_name: str = "c-tran-spark", shuffle_partitions: int | None = N
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def persist_once(df, level=None):
+    """``df.persist(level)`` unless the CANONICALIZED plan is already
+    cached — ``DataFrame.storageLevel`` resolves through Spark's
+    CacheManager by canonical plan, so this also catches a different
+    DataFrame object wrapping an equal plan (a repeated bench run, a
+    caller that persisted first). Keeps the bench log free of harmless
+    'CacheManager: Asked to cache already cached data' warnings so a
+    REAL double-persist stays visible the day one appears (VERDICT r6)."""
+    from pyspark.storagelevel import StorageLevel
+
+    lvl = df.storageLevel
+    if lvl.useMemory or lvl.useDisk:
+        return df
+    return df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)

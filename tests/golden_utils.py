@@ -47,7 +47,7 @@ SORT_KEYS = {
     "q_classifier_filter": ["doc_id"],
     "q_image_phash_neardup": ["a1", "a2"],
     "q_tokenizer_fertility": ["source"],
-    "q_audio_mfcc": ["asset_id"],
+    "q_audio_mfcc": ["asset_id", "coef_idx"],
     "q_hll_vocab_union": ["source"],
 }
 

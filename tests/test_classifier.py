@@ -23,21 +23,11 @@ from tests.conftest import SF_ORACLE
 
 
 def _features(spark, n_parts):
-    from c_tran_data_pipeline_spark.functions.text import (
-        dup_token_fraction,
-        mean_word_len,
-        stopword_ratio,
-        token_count,
-    )
+    from c_tran_data_pipeline_spark.plans.curation_queries import clf_features
     from c_tran_data_pipeline_spark.sources.readers import load_table
 
-    docs = load_table(spark, SF_ORACLE, "documents").select("text").repartition(n_parts)
-    feats = docs.select(
-        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
-        stopword_ratio("text").alias("stop_ratio"),
-        mean_word_len("text").alias("mean_wlen"),
-        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
-    )
+    docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text").repartition(n_parts)
+    feats = clf_features(docs).drop("vowel_ratio")
     cols = ["log_tokens", "stop_ratio", "mean_wlen"]
     std, stats = standardize(feats, cols)
     return std, cols, stats
@@ -166,27 +156,16 @@ def test_filter_scores_match_trained_weights(spark):
 
 
 def _features_with_ids(spark):
-    from c_tran_data_pipeline_spark.functions.text import (
-        dup_token_fraction,
-        mean_word_len,
-        stopword_ratio,
-        token_count,
+    from c_tran_data_pipeline_spark.plans.curation_queries import (
+        _CLF_FEATURES,
+        clf_features,
     )
     from c_tran_data_pipeline_spark.sources.readers import load_table
 
     docs = load_table(spark, SF_ORACLE, "documents").select("doc_id", "text")
-    vowels = F.length(F.regexp_replace(F.lower("text"), "[^aeiou]", ""))
-    feats = docs.select(
-        "doc_id",
-        F.log1p(token_count("text").cast("double")).alias("log_tokens"),
-        stopword_ratio("text").alias("stop_ratio"),
-        mean_word_len("text").alias("mean_wlen"),
-        (vowels.cast("double") / F.greatest(F.length("text"), F.lit(1))).alias("vowel_ratio"),
-        (dup_token_fraction("text") > 0.5).cast("int").alias("label"),
-    )
-    cols = ["log_tokens", "stop_ratio", "mean_wlen", "vowel_ratio"]
-    std, stats = standardize(feats, cols)
-    return std, cols, stats
+    feats = clf_features(docs, with_id=True)
+    std, stats = standardize(feats, list(_CLF_FEATURES))
+    return std, list(_CLF_FEATURES), stats
 
 
 def test_hll_vocab_union_estimates_and_merge_algebra(spark):

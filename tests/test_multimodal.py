@@ -702,3 +702,54 @@ def test_audio_mfcc_matches_formula_replay(spark):
         bands = [(hz[m], hz[m + 2]) for m in range(n_mels)]
         near = [m for m, (lo, hi) in enumerate(bands) if lo <= freq <= hi]
         assert peak in near or any(abs(peak - m) <= 1 for m in near), (aid, peak, near)
+
+
+def test_truncated_payloads_yield_null_rows_not_crashes(spark):
+    """ADVICE r6: a payload with a VALID header but a truncated/torn body
+    must honor the 'undecodable rows yield NULL' contract — previously
+    image_ahash/image_phash crashed the executor task with a numpy
+    reshape ValueError and extract_audio_mfcc with a frombuffer error on
+    odd PCM byte counts."""
+    import io
+    import wave as _wave
+
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _pack_header,
+        extract_audio_features,
+        extract_audio_mfcc,
+        image_ahash,
+        image_phash,
+        make_fake_image,
+        make_wav,
+    )
+
+    # -- images: FAKE header claims 32x32 but body carries half the pixels
+    good = make_fake_image(32, 32, 1, seed=7)
+    torn = _pack_header(32, 32, 1) + good[len(good) // 2:]
+    imgs = spark.createDataFrame(
+        [Row(asset_id=1, payload=good), Row(asset_id=2, payload=torn)],
+        "asset_id long, payload binary",
+    )
+    a = {r.asset_id: r for r in image_ahash(imgs, codec="fake").collect()}
+    p = {r.asset_id: r for r in image_phash(imgs, codec="fake").collect()}
+    assert a[1].ahash is not None and p[1].phash is not None
+    assert a[2].ahash is None and a[2].width is None
+    assert p[2].phash is None and p[2].width is None
+
+    # -- audio: cut one byte off a valid WAV so the data chunk is torn
+    # (odd byte count — not a whole number of int16 frames)
+    wav = make_wav(4096, rate=8000, seed=3)
+    with _wave.open(io.BytesIO(wav), "rb") as wv:
+        assert wv.getnframes() == 4096  # sanity: the intact file is real
+    clips = spark.createDataFrame(
+        [Row(asset_id=1, payload=wav), Row(asset_id=2, payload=wav[:-1])],
+        "asset_id long, payload binary",
+    )
+    m = {r.asset_id: r for r in extract_audio_mfcc(clips).collect()}
+    assert m[1].mfcc is not None and len(m[1].mfcc) == 13
+    assert m[2].mfcc is None and m[2].n_samples is None
+    f = {r.asset_id: r for r in extract_audio_features(clips).collect()}
+    assert f[1].rms is not None
+    assert f[2].rms is None and f[2].byte_len == len(wav) - 1

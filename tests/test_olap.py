@@ -842,24 +842,33 @@ def test_sql_scripting_while_loop_convergence(spark):
 
 
 def test_ltv_recursive_equals_one_shuffle_fold(spark):
-    """The 100 TB shape for the SAME computation: one shuffle to
-    (custkey, sorted [(rn, price)]) then a native aggregate() fold with
-    the identical per-step round — bounded by orders-per-customer (the
-    document-grain class), no per-level engine jobs. Pinned equal to
-    the recursive CTE on the real fixture so the recursion surface and
-    the scale shape can never drift apart."""
+    """The operator's max_depth switch routes between two physically
+    different plans — native WITH RECURSIVE (one job per level) for
+    shallow chains, the one-shuffle array fold (the 100 TB shape,
+    bounded by orders-per-customer, no per-level jobs) for deep ones —
+    pinned BIT-EQUAL at two SFs so the recursion surface and the scale
+    shape can never drift apart. An independent hand-written fold (no
+    code shared with the operator's fold branch) guards the fold branch
+    itself at sf0.01."""
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    from c_tran_data_pipeline_spark.plans.olap_queries import q_ltv_recursive
+    from c_tran_data_pipeline_spark.operators.recursion import decayed_ltv
     from c_tran_data_pipeline_spark.sources.readers import load_table
 
-    sf = "/root/testdata/sf0.01"
-    got = {r.o_custkey: (r.n_orders, r.decayed_ltv)
-           for r in q_ltv_recursive(spark, sf).collect()}
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        orders = load_table(spark, sf, "orders")
+        # max_depth=64: fixture chains are 25 deep → native recursion.
+        rec = {r.o_custkey: (r.n_orders, r.decayed_ltv)
+               for r in decayed_ltv(orders, max_depth=64).collect()}
+        # max_depth=1: every chain is 'deep' → the fold branch.
+        fold = {r.o_custkey: (r.n_orders, r.decayed_ltv)
+                for r in decayed_ltv(orders, max_depth=1).collect()}
+        assert rec == fold, sf
 
+    sf = "/root/testdata/sf0.01"
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    fold = (
+    indep = (
         load_table(spark, sf, "orders")
         .select(
             "o_custkey",
@@ -877,5 +886,7 @@ def test_ltv_recursive_equals_one_shuffle_fold(spark):
             ).alias("decayed_ltv"),
         )
     )
-    want = {r.o_custkey: (r.n_orders, r.decayed_ltv) for r in fold.collect()}
+    want = {r.o_custkey: (r.n_orders, r.decayed_ltv) for r in indep.collect()}
+    got = {r.o_custkey: (r.n_orders, r.decayed_ltv)
+           for r in decayed_ltv(load_table(spark, sf, "orders"), max_depth=1).collect()}
     assert got == want
