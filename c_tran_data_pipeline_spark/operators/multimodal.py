@@ -58,16 +58,32 @@ def make_fake_image(width: int, height: int, n_frames: int = 1, seed: int = 0) -
 
 
 def _decode_image_bytes(payload: bytes, codec: str):
-    """→ (width, height, n_frames, pixel_bytes). Real codecs are not in
-    this image; the Spark-side plumbing is identical either way."""
+    """→ (width, height, n_frames, pixel_bytes). codec='jpeg' is REAL
+    since r7: baseline sequential DCT JPEGs decode via the pure
+    numpy+stdlib codec in operators/jpeg.py (grayscale + YCbCr
+    4:4:4/4:2:0), emitted here as the single luma frame the perceptual
+    hashes consume. codec='png' decodes via extract_png_features'
+    stdlib path; only video containers and exotic JPEG profiles
+    (progressive/arithmetic/12-bit) remain behind the seam."""
     if codec == "fake":
         if payload is None or len(payload) < _HEADER_SIZE or payload[:4] != _FAKE_MAGIC:
             return None
         _, w, h, n = struct.unpack(_HEADER_FMT, payload[:_HEADER_SIZE])
         return w, h, n, payload[_HEADER_SIZE:]
+    if codec == "jpeg":
+        from c_tran_data_pipeline_spark.operators.jpeg import decode_jpeg_luma
+
+        if payload is None:
+            return None
+        dec = decode_jpeg_luma(payload)
+        if dec is None:
+            return None
+        w, h, _ch, px = dec
+        return w, h, 1, px
     raise NotImplementedError(
-        f"codec {codec!r}: real image decoding (Pillow/libjpeg) is not available "
-        "in this environment; use codec='fake' or plug a decoder in here"
+        f"codec {codec!r}: only 'fake', 'jpeg' (operators/jpeg.py), and the "
+        "PNG path are decodable without external libs; video containers need "
+        "ffmpeg and stay behind this seam"
     )
 
 

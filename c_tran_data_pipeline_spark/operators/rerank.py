@@ -42,6 +42,14 @@ def mmr_rerank(
 
     mmr_score = λ·relevance − (1−λ)·max cosine to previously selected
     (0 for the first pick). Selection order IS the rank.
+
+    Note the diversity penalty CLAMPS AT ZERO: the running maximum
+    starts at 0.0, so a candidate whose similarity to every selected
+    item is negative is scored as if orthogonal (λ·relevance), never
+    REWARDED for anti-similarity. This is deliberate (an anti-similar
+    outlier shouldn't outrank a more relevant orthogonal one) and is
+    replicated by the registered query's DuckDB oracle
+    (plans/similarity_queries.py _MMR_ORACLE: greatest(0.0, ...)).
     """
     import pandas as pd  # noqa: F401 — imported for the UDF closure
 

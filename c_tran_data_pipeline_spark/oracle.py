@@ -207,19 +207,12 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
     # q_ann_lsh_topk graduated to an EXACT DuckDB oracle in round 7
     # (literal sign matrix + sequential-fold bucket twin); its recall
     # test vs cosine_topk still runs as belt-and-suspenders.
-    "q_mmr_rerank": (
-        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
-        "100 sf0.01 sequence rows equal the committed golden) + "
-        "tests/test_rerank.py::test_mmr_matches_python_replay (greedy id/score "
-        "trace vs a pure-python reference on random vectors) + "
-        "::test_mmr_diversity_property (picks a spread set when near-dup "
-        "candidates outscore diverse ones) + ::test_mmr_partition_invariant"
-    ),
-    "q_ann_neardup_lsh": (
-        "tests/test_similarity.py::test_neardup_lsh_recall_and_exact_precision "
-        "(recall ≥ 0.9 AND precision == 1.0 vs the exact all-pairs baseline) + "
-        "::test_neardup_lsh_hot_bucket_cap_drops_degenerate_buckets"
-    ),
+    # q_mmr_rerank graduated to an EXACT DuckDB oracle in round 7 (the
+    # greedy loop replays as a recursive CTE with list-typed selection
+    # state); its python-replay/diversity/invariance tests still run.
+    # q_ann_neardup_lsh graduated to an EXACT DuckDB oracle in round 7
+    # (size-CASE banding twin incl. the mean-relative hot-bucket cap);
+    # its recall/precision/cap tests still run.
     "q_semantic_dedup": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "
         "550 sf0.01 rows — cell, component, keep — equal the committed golden) + "

@@ -61,69 +61,47 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # 50 queries whose latest driver row is oldest, with new registrations
 # (evidence-free by construction) leading.
 _GATE_FIRST: tuple[str, ...] = (
-    # ROUND-6 ROTATION (VERDICT.md r5 item 6: "Round 6's 50 rows should
-    # be the 50 oldest-evidence queries"). Order: any round-6
-    # registrations lead (evidence-free by construction, prepend at the
-    # marker), then the 17 queries whose ONLY driver row is r01 (four
-    # rounds stale), then the oldest r02 cohort (alphabetical) fills the
-    # 50-row budget — q_hotspot_grid and q_kernel_smooth (the r5 bench
-    # drifts) land inside the fold. The 17 remaining r02 names plus the
-    # r03 cohort rotate in round 7. The whole registry is ALSO
-    # re-verified each session by full oracle-CLI sweeps (VERIFICATION.md);
-    # driver rows are the belt-and-suspenders layer being rotated.
-    # -- ROUND6_NEW_MARKER --
-    "q_dedup_lines",
-    "q_image_phash_neardup",
-    "q_tokenizer_fertility",
+    # ROUND-7 ROTATION (VERDICT.md r6 item 6). Order: (a) q_audio_mfcc —
+    # the r6 hard-ERR row, now long-format and driver-hashable — plus the
+    # five queries CONVERTED to exact oracles this round (their hash
+    # evidence is new by construction: q_quality_classifier /
+    # q_classifier_filter via the recursive-CTE training replay,
+    # q_ann_lsh_topk / q_ann_neardup_lsh via the literal sign-matrix
+    # banding twins, q_mmr_rerank via the greedy recursive CTE); then
+    # (b) every remaining rows-only query (their driver evidence is
+    # row-counts by design — refresh the counts each round); then (c)
+    # the stalest exact-oracle rows (the r02 cohort) to fill the 50-row
+    # budget. The whole registry is ALSO re-verified each session by
+    # full oracle-CLI sweeps (VERIFICATION.md).
     "q_audio_mfcc",
-    "q_kanon_audit",
-    "q_hll_vocab_union",
-    "q_ltv_recursive",
-    "q_dp_counts",
-    "q_classifier_filter",
     "q_quality_classifier",
-    "q_ccnet_buckets",
-    "q_late_shipment_priority",
-    "q_dominant_supplier",
-    "q_audio_dsp",
-    "q_length_bucket_padding",
-    "q_dsir_resample",
-    "q_dsir_weights",
-    # r01-only evidence (stale since round 1):
-    "q_antijoin_absent",
-    "q_approx_percentiles",
-    "q_asof_nearest_purchase",
-    "q_asof_next_purchase",
-    "q_breadcrumb_conform",
-    "q_conform_validate",
-    "q_distinct_tuples",
-    "q_enrich_merge",
-    "q_first_wins_dedup",
-    "q_flagship_hotspot",
-    "q_flagship_hotspot_pm",
-    "q_percentiles",
-    "q_region_revenue",
-    "q_running_total",
-    "q_set_ops_cohorts",
-    "q_tfidf_top_terms",
-    "q_vocab_topk",
-    # oldest r02 cohort (alphabetical):
-    "q_ann_ivf_topk",
-    "q_ann_lsh_buckets",
+    "q_classifier_filter",
     "q_ann_lsh_topk",
-    "q_ann_mrl_topk",
-    "q_ann_neardup",
+    "q_mmr_rerank",
     "q_ann_neardup_lsh",
+    "q_ann_ivf_search",
+    "q_ann_ivf_topk",
+    "q_ann_ivfpq_build",
+    "q_ann_ivfpq_search",
+    "q_ann_ivfpq_topk",
+    "q_ann_pq_search",
     "q_ann_pq_topk",
-    "q_ann_topk",
-    "q_ann_topk_arrow",
-    "q_ann_topk_int8",
-    "q_boilerplate_scrub",
-    "q_chunk_documents",
-    "q_cohort_retention",
-    "q_dataset_fingerprint",
-    "q_decontaminate",
-    "q_decontaminate_semantic",
+    "q_approx_distinct",
+    "q_approx_percentiles",
+    "q_audio_dsp",
+    "q_audio_features",
+    "q_bpe_merges",
+    "q_bpe_token_counts",
+    "q_frame_sample",
+    "q_hll_vocab_union",
+    "q_image_ahash_neardup",
+    "q_image_phash_neardup",
+    "q_incremental_semantic_dedup",
+    "q_multimodal_features",
+    "q_pack_sequences",
+    "q_pca_project",
+    "q_semantic_dedup",
+    "q_tokenizer_fertility",
     "q_dedup_containment",
     "q_dedup_simhash",
     "q_dow_profile",
@@ -140,7 +118,11 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_longest_sessions",
     "q_mad_outliers",
     "q_order_priority_semijoin",
-    "q_pack_sequences",
+    "q_payload_chunks",
+    "q_pii_scrub",
+    "q_pivot_event_counts",
+    "q_quality_deciles",
+    "q_quantize_embeddings",
 )
 
 

@@ -29,6 +29,50 @@ from c_tran_data_pipeline_spark.sources.readers import load_table
 _COS = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
 
+def _sign_row_sql(plane: int, dim: int = 64) -> str:
+    """±1 sign row for one hyperplane as a DuckDB DOUBLE[] literal —
+    the sign matrix is a pure function of (plane, dim_index) via md5
+    parity (operators/similarity._sign_value), so the oracle embeds the
+    SAME constants the Spark plan embeds; no per-row hashing on either
+    engine."""
+    from c_tran_data_pipeline_spark.operators.similarity import _sign_value
+
+    return (
+        "[" + ",".join("1.0" if _sign_value(plane, d) > 0 else "-1.0" for d in range(dim))
+        + "]::DOUBLE[]"
+    )
+
+
+def _plane_proj_sql(plane: int, dim: int = 64) -> str:
+    """⟨embedding, sign_row(plane)⟩ as a SEQUENTIAL left fold — the exact
+    order Spark's F.aggregate uses, so the `> 0` bucket-bit decision
+    sees bit-identical sums. list_zip + numeric struct indexing, NOT
+    literal-list indexing inside the lambda: `([...])[i]` re-materializes
+    the 64-element literal per element (measured 1.6 s/plane at sf0.1 vs
+    0.014 s for the zip form — 115×, value-identical)."""
+    return (
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+        f"list_transform(list_zip(CAST(embedding AS DOUBLE[]), {_sign_row_sql(plane, dim)}), "
+        "z -> z[1] * z[2])), (acc, x) -> acc + x)"
+    )
+
+
+def _multi_bucket_case_sql(planes: int, tables: int, dim: int = 64) -> str:
+    """CASE t WHEN 0 THEN <bucket over planes 0..planes-1> ... — DuckDB
+    twin of multi_table_lsh_buckets; table t uses plane set
+    [t·planes, (t+1)·planes)."""
+
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"CASE WHEN ({_plane_proj_sql(t * planes + j, dim)}) > 0 "
+            f"THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+            for j in range(planes)
+        )
+
+    return " ".join(f"WHEN {t} THEN ({bucket(t)})" for t in range(tables))
+
+
+
 @query(
     "q_ann_topk",
     f"""
@@ -105,16 +149,67 @@ def q_ann_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_neardup_pairs(load_table(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+def _neardup_lsh_oracle() -> str:
+    """q_ann_neardup_lsh's DuckDB twin. The query's banding tracks
+    corpus size via auto_banding(n), so the oracle embeds BOTH
+    verification parameterizations — (3 planes, 12 tables) at the 500-
+    vector sf0.01 fixture and (5, 20) at the 2000-vector sf0.1 fixture —
+    and selects by corpus count. Any OTHER corpus size gets NULL buckets
+    → zero pairs → a loud row-count failure (never a silently wrong
+    match); the driver gates at sf0.01 and the builder's sweep adds
+    sf0.1, so both verification domains are covered. The mean-relative
+    hot-bucket cap (drop buckets > 8×avg) is plain integer-count
+    arithmetic — exactly reproducible."""
+    from c_tran_data_pipeline_spark.operators.similarity import auto_banding
+
+    n1, n2 = 500, 2000  # fixture embedding counts at sf0.01 / sf0.1
+    (p1, t1), (p2, t2) = auto_banding(n1), auto_banding(n2)
+    return f"""
+    WITH n AS (SELECT COUNT(*) AS cnt FROM embeddings),
+    buck AS (
+        SELECT vec_id, t AS tbl,
+               CASE (SELECT cnt FROM n)
+                    WHEN {n1} THEN (CASE t {_multi_bucket_case_sql(p1, t1)} END)
+                    WHEN {n2} THEN (CASE t {_multi_bucket_case_sql(p2, t2)} END)
+                    END AS bucket
+        FROM embeddings, range({max(t1, t2)}) r(t)
+        WHERE t < (CASE (SELECT cnt FROM n) WHEN {n1} THEN {t1} ELSE {t2} END)
+    ),
+    sizes AS (SELECT tbl, bucket, COUNT(*) AS bsz FROM buck GROUP BY 1, 2),
+    keep AS (SELECT tbl, bucket FROM sizes
+             WHERE bsz <= 8.0 * (SELECT AVG(bsz) FROM sizes)),
+    bk AS (SELECT b.* FROM buck b JOIN keep USING (tbl, bucket)),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS d1, r.vec_id AS d2
+        FROM bk l JOIN bk r ON l.tbl = r.tbl AND l.bucket = r.bucket
+                           AND l.vec_id < r.vec_id
+    ),
+    scored AS (
+        SELECT d1, d2,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM cand JOIN embeddings a ON a.vec_id = cand.d1
+                  JOIN embeddings b ON b.vec_id = cand.d2
+    )
+    SELECT d1, d2, ROUND(cos, 4) AS cosine FROM scored WHERE cos >= 0.4
+    """
+
+
 @query(
     "q_ann_neardup_lsh",
-    None,  # probabilistic recall — measured vs the exact pairs in tests
-    doc="Scalable embedding near-dup: multi-table LSH banding (12 tables "
-    "× 3 planes → measured recall 0.985 at threshold 0.4) → candidate "
+    _neardup_lsh_oracle(),
+    doc="Scalable embedding near-dup: multi-table LSH banding "
+    "(auto_banding tracks corpus size: 12 tables × 3 planes at the "
+    "oracle SF → measured recall 0.985 at threshold 0.4) → candidate "
     "pairs share a (table, bucket) equi-join key → exact cosine re-rank "
-    "≥ 0.4. Never all-pairs; hot buckets capped (max_bucket_size) like "
-    "ngram max_shingle_df. Rows-only driver check; "
-    "tests/test_similarity.py asserts recall ≥ 0.9 and precision == 1.0 "
-    "vs q_ann_neardup.",
+    "≥ 0.4. Never all-pairs; hot buckets capped at 8× the mean bucket "
+    "size. EXACT oracle since r7 — 'approximate' is w.r.t. the true "
+    "pair set (recall ≥ 0.9 and precision == 1.0 vs q_ann_neardup in "
+    "tests/test_similarity.py); the algorithm itself is deterministic, "
+    "and the oracle replays the literal sign matrix, sequential-fold "
+    "bucket bits, mean-relative cap, and cosine re-rank for BOTH "
+    "fixture bandings (size-CASE), verified value-exact at sf0.01 AND "
+    "sf0.1.",
     tags=("similarity", "dedup"),
 )
 def q_ann_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,43 +335,6 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hyperplane_lsh_buckets(load_table(spark, sf_dir, "embeddings"), planes=8, dim=64).select(
         "vec_id", "bucket"
     )
-
-
-def _sign_row_sql(plane: int, dim: int = 64) -> str:
-    """±1 sign row for one hyperplane as a DuckDB DOUBLE[] literal —
-    the sign matrix is a pure function of (plane, dim_index) via md5
-    parity (operators/similarity._sign_value), so the oracle embeds the
-    SAME constants the Spark plan embeds; no per-row hashing on either
-    engine."""
-    from c_tran_data_pipeline_spark.operators.similarity import _sign_value
-
-    return (
-        "[" + ",".join("1.0" if _sign_value(plane, d) > 0 else "-1.0" for d in range(dim))
-        + "]::DOUBLE[]"
-    )
-
-
-def _multi_bucket_case_sql(planes: int, tables: int, dim: int = 64) -> str:
-    """CASE t WHEN 0 THEN <bucket over planes 0..3> ... — DuckDB twin of
-    multi_table_lsh_buckets. Each projection replays Spark's SEQUENTIAL
-    left fold (list_reduce) so the `> 0` bucket-bit decision sees
-    bit-identical sums; table t uses plane set [t·planes, (t+1)·planes)."""
-
-    def bucket(t: int) -> str:
-        terms = []
-        for j in range(planes):
-            proj = (
-                "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
-                "list_transform(CAST(embedding AS DOUBLE[]), "
-                f"(x, i) -> x * ({_sign_row_sql(t * planes + j, dim)})[i])), "
-                "(acc, x) -> acc + x)"
-            )
-            terms.append(
-                f"CASE WHEN ({proj}) > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
-            )
-        return " + ".join(terms)
-
-    return " ".join(f"WHEN {t} THEN ({bucket(t)})" for t in range(tables))
 
 
 _LSH_TOPK_ORACLE = f"""
@@ -1112,9 +1170,59 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MMR_ORACLE = """
+    WITH RECURSIVE topk AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+        WHERE a.vec_id < 20
+    ), cands AS (
+        SELECT query_id, neighbor_id, ROUND(cos, 4) AS relevance,
+               CAST(e.embedding AS DOUBLE[]) AS emb
+        FROM (SELECT query_id, neighbor_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cos DESC, neighbor_id ASC) AS rank
+              FROM topk) t
+        JOIN embeddings e ON e.vec_id = t.neighbor_id WHERE rank <= 15
+    ), mmr AS (
+        -- greedy selection as a recursive CTE: state carries the picked
+        -- ids AND their embeddings; each level re-scores the remaining
+        -- candidates and takes the struct-max (score, then smallest id
+        -- — the numpy argmax-first tie-break). maxsim clamps at 0.0
+        -- because the operator initializes its running maximum at zero
+        -- (negative cosines never penalize — documented in
+        -- operators/rerank.py).
+        SELECT query_id, 0 AS step, []::BIGINT[] AS sel_ids,
+               []::DOUBLE[][] AS sel_vecs,
+               CAST(NULL AS BIGINT) AS picked, CAST(NULL AS DOUBLE) AS score
+        FROM (SELECT DISTINCT query_id FROM cands)
+        UNION ALL
+        SELECT query_id, step + 1, list_append(sel_ids, best.id),
+               list_append(sel_vecs, best.emb), best.id, best.s
+        FROM (
+            SELECT g.query_id, g.step, g.sel_ids, g.sel_vecs,
+                   max(struct_pack(
+                       s := 0.7 * c.relevance - (1.0 - 0.7) * (
+                            CASE WHEN g.step = 0 THEN 0.0
+                            ELSE greatest(0.0, list_max(list_transform(g.sel_vecs,
+                                     sv -> list_cosine_similarity(c.emb, sv)))) END),
+                       nid := -c.neighbor_id, id := c.neighbor_id, emb := c.emb)) AS best
+            FROM mmr g JOIN cands c ON c.query_id = g.query_id
+                       AND NOT list_contains(g.sel_ids, c.neighbor_id)
+            WHERE g.step < 5
+            GROUP BY g.query_id, g.step, g.sel_ids, g.sel_vecs
+        )
+    )
+    SELECT query_id, picked AS neighbor_id, step AS mmr_rank,
+           ROUND(score, 6) AS mmr_score
+    FROM mmr WHERE step >= 1
+    """
+
+
 @query(
     "q_mmr_rerank",
-    None,  # greedy loop is not SQL-expressible — python replay pinned in tests
+    _MMR_ORACLE,
     doc="Diversified retrieval: greedy Maximal Marginal Relevance "
     "(Carbonell & Goldstein 1998) over each query's exact top-15 "
     "candidates — pick 5 maximizing λ·relevance − (1−λ)·max-cosine to "
@@ -1129,8 +1237,11 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Deterministic: id-sorted groups, first-wins argmax ties, "
     "fixed-order float64 — partition-layout invariant "
     "(tests/test_rerank.py pins the greedy trace against a pure-python "
-    "replay and the diversity property itself).",
-    tags=("similarity", "topk", "rerank", "rows-only"),
+    "replay and the diversity property itself). EXACT oracle since r7: "
+    "the greedy loop replays as a DuckDB recursive CTE whose state "
+    "carries the selected ids + embeddings per query (list-typed "
+    "recursion state) — verified value-exact at sf0.01 AND sf0.1.",
+    tags=("similarity", "topk", "rerank"),
 )
 def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.rerank import mmr_rerank

@@ -61,10 +61,16 @@ def test_resize_roundtrip(spark, assets):
     assert (feats.width, feats.height) == (4, 2)
 
 
-def test_real_codec_raises(assets):
+def test_unsupported_codec_raises_and_jpeg_is_real(assets):
+    # video containers stay behind the documented seam...
     with pytest.raises(Exception) as exc_info:
-        extract_image_features(assets, codec="jpeg").collect()
-    assert "NotImplementedError" in str(exc_info.value) or "not available" in str(exc_info.value)
+        extract_image_features(assets, codec="mp4").collect()
+    assert "NotImplementedError" in str(exc_info.value) or "ffmpeg" in str(exc_info.value)
+    # ...but 'jpeg' decodes for real since r7 (operators/jpeg.py): the
+    # fake-codec payloads here are not JPEGs, so every row is the
+    # contracted NULL-feature row — no executor crash, no raise.
+    rows = extract_image_features(assets, codec="jpeg").collect()
+    assert len(rows) == 3 and all(r.width is None for r in rows)
 
 
 def test_repartition_for_payloads_balances_bytes(spark):
