@@ -34,7 +34,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-END = ""  # end-of-word sentinel symbol (never a corpus char)
+END = "\x01"  # end-of-word sentinel symbol (never a corpus char; escaped so the literal is visible)
 
 
 def word_freq_table(docs: DataFrame, text: str = "text") -> DataFrame:

@@ -165,17 +165,11 @@ if __name__ == "__main__":
 # query has an entry here, so a new rows-only query cannot land without
 # naming its proof.
 ROWS_ONLY_EVIDENCE: dict[str, str] = {
-    "q_bpe_merges": (
-        "tests/test_bpe.py::test_merge_table_matches_python_replay (the learned "
-        "merge table EQUALS an independent pure-Python BPE on the full fixture "
-        "corpus) + ::test_training_partition_invariant + "
-        "::test_merge_once_overlap_and_double_letter"
-    ),
-    "q_bpe_token_counts": (
-        "tests/test_bpe.py::test_encoding_matches_python_and_conserves (every "
-        "distinct word's subword sequence equals the python replay; subwords "
-        "concatenate back to word+</w>; per-doc counts consistent)"
-    ),
+    # q_bpe_merges / q_bpe_token_counts / q_tokenizer_fertility graduated
+    # to EXACT DuckDB oracles in round 7 — the training replays as a
+    # recursive CTE over the merge-list state, the encode as a fold of
+    # doubled-separator replace()s (plans/text_queries.py _bpe_rec_ctes);
+    # the python-replay/conservation/invariance tests still run.
     "q_incremental_semantic_dedup": (
         "tests/test_incremental_semantic.py::test_planted_twins_all_caught_and_full_equivalence "
         "(batch-incremental keep flags EQUAL full-corpus semantic_dedup on the "
@@ -302,14 +296,6 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "python/numpy recomputation — HTK mel points, triangular weights, "
         "orthonormal DCT-II — and the sine fixtures' mel energy peaks in "
         "the filter containing the generation tone)"
-    ),
-    "q_tokenizer_fertility": (
-        "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
-        "(the full per-source sf0.01 report equals the committed golden) + "
-        "tests/test_bpe.py::test_fertility_consistent_with_doc_grain_encode "
-        "(source-grain sums equal the doc-grain encode re-aggregated "
-        "driver-side; fertility >= 1; fractions in range) — the underlying "
-        "encode is itself pinned to the pure-Python replay"
     ),
     "q_pca_project": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden (ALL "

@@ -1754,11 +1754,99 @@ def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, in
     return _train_and_commit_bpe(spark, sf_dir)
 
 
+# --- DuckDB replay of BPE training/encoding (round 7): the merge
+# cascade is expressible in SQL after all. A word's tokenization under
+# k merges is a fold over the merge list with a STRING accumulator —
+# tokens joined by DOUBLED chr(3) separators, one merge application =
+# one replace() whose pattern spends one separator from each side's
+# pair, so back-to-back merge sites keep their boundary (plain
+# single-separator replace() mis-handles '[a,b,a,b]'; the doubled form
+# is pinned equal to operators/bpe._merge_once by the shared oracle
+# rows AND tests/test_bpe.py's python replay). Training is then a
+# recursive CTE whose state is the merge list itself: each level
+# re-tokenizes the distinct-word table under merges-so-far, counts
+# adjacent pairs weighted by word frequency, and appends the arg-max
+# (min over struct(-n, p1, p2) = count DESC, pair lexicographic — the
+# operator's exact tie-break), stopping at 16 merges or when no pair
+# reaches min_pair_count=2. chr(3)/chr(4) are the oracle's separators
+# (absent from the corpus; chr(1) is the END sentinel itself).
+_BPE_S = "chr(3)"  # token separator (doubled at boundaries)
+_BPE_U = "chr(4)"  # merge-pair delimiter inside the state list
+_BPE_E = "chr(1)"  # operators/bpe.py END sentinel
+
+
+def _bpe_tokenize_sql() -> str:
+    """Delimiter-string tokenization of column ``word`` under column
+    ``merges`` (VARCHAR[] of 'a<U>b' entries)."""
+    s, u, e = _BPE_S, _BPE_U, _BPE_E
+    return (
+        "list_reduce(list_prepend("
+        f"  repeat({s}, 2) || array_to_string(string_split(word, ''), repeat({s}, 2))"
+        f"    || repeat({s}, 2) || {e} || repeat({s}, 2),"
+        "  merges),"
+        f" (acc, m) -> replace(acc,"
+        f"   {s} || string_split(m, {u})[1] || {s} || {s} || string_split(m, {u})[2] || {s},"
+        f"   {s} || replace(m, {u}, '') || {s}))"
+    )
+
+
+def _bpe_rec_ctes() -> str:
+    """words + rec: the recursive training replay (num_merges=16,
+    min_pair_count=2 — _BPE_PARAMS)."""
+    s, u = _BPE_S, _BPE_U
+    return rf"""
+    words AS (
+        SELECT word, COUNT(*) AS cnt FROM (
+            SELECT unnest(string_split_regex(trim(text), '\s+')) AS word FROM documents
+        ) WHERE word != '' GROUP BY word
+    ),
+    rec AS (
+        SELECT 0 AS it, []::VARCHAR[] AS merges, CAST(NULL AS VARCHAR) AS new_left,
+               CAST(NULL AS VARCHAR) AS new_right, CAST(NULL AS BIGINT) AS new_n
+        UNION ALL
+        SELECT it + 1,
+               list_append(merges, best.p1 || {u} || best.p2),
+               best.p1, best.p2, -best.nn
+        FROM (
+            SELECT g.it, g.merges,
+                (SELECT min(struct_pack(nn := -n, p1 := p1, p2 := p2)) FROM (
+                    SELECT p1, p2, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+                        SELECT tw.cnt, tw.toks[i] AS p1, tw.toks[i + 1] AS p2
+                        FROM (
+                            SELECT w.cnt, ts[2 : len(ts) - 1] AS toks FROM (
+                                SELECT cnt, string_split({_bpe_tokenize_sql()}, repeat({s}, 2)) AS ts
+                                FROM (SELECT word, cnt, g.merges AS merges FROM words) w2
+                            ) w
+                        ) tw, LATERAL unnest(generate_series(1, len(tw.toks) - 1)) t(i)
+                    ) GROUP BY p1, p2 HAVING SUM(cnt) >= {_BPE_PARAMS["min_pair_count"]}
+                )) AS best
+            FROM rec g WHERE g.it < {_BPE_PARAMS["num_merges"]}
+        ) WHERE best IS NOT NULL
+    )"""
+
+
+def _bpe_encoded_vocab_ctes() -> str:
+    """... + encoded: every distinct corpus word tokenized under the
+    FINAL learned merge table (n_sub per word)."""
+    s = _BPE_S
+    return rf"""{_bpe_rec_ctes()},
+    final AS (SELECT merges FROM rec ORDER BY it DESC LIMIT 1),
+    encoded AS (
+        SELECT word, len(ts) - 2 AS n_sub FROM (
+            SELECT word, string_split({_bpe_tokenize_sql()}, repeat({s}, 2)) AS ts
+            FROM (SELECT word, merges FROM words, final) w2
+        )
+    )"""
+
+
 @query(
     "q_bpe_merges",
-    None,  # iterative arg-max training — not SQL-expressible; the merge
-    # table is pinned EQUAL to a pure-Python BPE replay on the full
-    # fixture corpus in tests/test_bpe.py
+    f"""
+    WITH RECURSIVE {_bpe_rec_ctes()}
+    SELECT CAST(it AS INT) AS merge_rank, new_left AS "left",
+           new_right AS "right", new_n AS pair_count
+    FROM rec WHERE it >= 1
+    """,
     doc="BPE tokenizer TRAINING (operators/bpe.py, Sennrich et al. "
     "2016): learn 16 merges over the corpus — the subword-vocabulary "
     "step every LLM data pipeline runs before token budgeting. The "
@@ -1770,7 +1858,10 @@ def _bpe_merges_for(spark: SparkSession, sf_dir: str) -> list[tuple[str, str, in
     "cost knob. Ties break (count DESC, pair lexicographic) so the "
     "merge table is bit-reproducible across engines and "
     "partitionings (partition-invariance pinned). Emits the learned "
-    "table: (merge_rank, left, right, pair_count).",
+    "table: (merge_rank, left, right, pair_count). EXACT oracle since "
+    "r7: DuckDB REPLAYS THE TRAINING as a recursive CTE whose state is "
+    "the merge list (see _bpe_rec_ctes) — verified merge-for-merge "
+    "equal at sf0.01 AND sf0.1.",
     tags=("text", "tokenizer", "training"),
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1783,9 +1874,17 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_bpe_token_counts",
-    None,  # merge-cascade application is iterative — rows-only; per-word
-    # encodings and per-doc counts are pinned vs the python replay +
-    # concatenation-conservation in tests/test_bpe.py
+    f"""
+    WITH RECURSIVE {_bpe_encoded_vocab_ctes()},
+    dw AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+    )
+    SELECT doc_id, COUNT(*) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT * FROM dw WHERE word != '') dwf JOIN encoded USING (word)
+    GROUP BY doc_id
+    """,
     doc="BPE ENCODING at document grain (operators/bpe.py): apply the "
     "learned merge cascade (read from the committed params-hash cache "
     "the build query maintains — zero training jobs on this path, the "
@@ -1797,7 +1896,10 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     "native array folds, then docs join the encoded vocab and sum "
     "subword counts — one co-shuffled join + doc-keyed agg, no Python "
     "anywhere. Conservation (subwords concatenate back to word+</w>) "
-    "and python-replay equality pinned in tests/test_bpe.py.",
+    "and python-replay equality pinned in tests/test_bpe.py. EXACT "
+    "oracle since r7: the recursive-CTE training replay chains into a "
+    "full vocab re-encode under the final merge table — training AND "
+    "encoding verified cross-engine at both SFs.",
     tags=("text", "tokenizer"),
 )
 def q_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2203,9 +2305,24 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_tokenizer_fertility",
-    None,  # BPE merge cascade is iterative — rows-only; aggregation
-    # equality vs the doc-grain encode and the fertility lower bound are
-    # pinned in tests/test_bpe.py; full output golden-pinned
+    f"""
+    WITH RECURSIVE {_bpe_encoded_vocab_ctes()},
+    dw AS (
+        SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+        FROM documents
+    ),
+    j AS (
+        SELECT source, n_sub, octet_length(encode(word)) AS n_bytes
+        FROM (SELECT * FROM dw WHERE word != '') dwf JOIN encoded USING (word)
+    )
+    SELECT source, COUNT(*) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_tokens,
+           ROUND(SUM(n_sub) * 1.0 / COUNT(*), 6) AS fertility,
+           ROUND((SUM(n_bytes) + COUNT(*)) * 1.0 / SUM(n_sub), 6) AS bytes_per_token,
+           ROUND(SUM(CASE WHEN n_sub = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS unsplit_frac
+    FROM j GROUP BY source
+    """,
     doc="Tokenizer FERTILITY report by source — the metric a tokenizer "
     "eval actually publishes (HF tokenizers docs, XLM-R paper): "
     "subwords-per-word (fertility), bytes-per-token (compression), and "
