@@ -157,6 +157,8 @@ HEADLINE = [
     "q_kanon_audit",
     "q_hll_vocab_union",
     "q_ltv_recursive",
+    "q_hard_negatives",
+    "q_source_overlap",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -275,6 +277,8 @@ _POST_R01 = (
     "q_kanon_audit",
     "q_hll_vocab_union",
     "q_ltv_recursive",
+    "q_hard_negatives",
+    "q_source_overlap",
 )
 
 

@@ -115,6 +115,67 @@ def cosine_topk(
     )
 
 
+def hard_negative_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+    max_queries: int | None = 10_000,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR/SimCSE
+    recipe — Karpukhin et al. 2020 §3.2: the best negatives are the
+    most-similar items of a DIFFERENT class, not random ones): for each
+    query, the top-k highest-cosine corpus items whose ``label``
+    differs. Returns (query_id, query_label, neighbor_id,
+    neighbor_label, rank, cosine).
+
+    Same physical shape as cosine_topk — norms hoisted to each side
+    BEFORE the pair join, broadcast bounded query batch, one window
+    top-k — with the label inequality fused into the join condition so
+    same-class pairs are dropped BEFORE any cosine is computed. At
+    100 TB the exact scan swaps for an ANN candidate generator
+    (ann_lsh_topk / ivf_topk) with the label filter applied to an
+    over-fetched candidate set (fetch α·k, filter, keep k) — the
+    identical output contract."""
+    _guard_size(
+        queries,
+        max_queries,
+        "hard_negative_topk query batch",
+        "the exact brute-force miner (one corpus scan per batch, "
+        "broadcast query side)",
+    )
+    c = corpus.select(
+        F.col(key).alias("neighbor_id"),
+        F.col(label).alias("neighbor_label"),
+        _as_double(F.col(vec)).alias("__cv"),
+    ).select("neighbor_id", "neighbor_label", "__cv", norm(F.col("__cv")).alias("__cn"))
+    q = queries.select(
+        F.col(key).alias("query_id"),
+        F.col(label).alias("query_label"),
+        _as_double(F.col(vec)).alias("__qv"),
+    ).select("query_id", "query_label", "__qv", norm(F.col("__qv")).alias("__qn"))
+    scored = c.join(
+        F.broadcast(q), F.col("neighbor_label") != F.col("query_label")
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        (dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))).alias("__cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", F.round("__cos", 4).alias("cosine"),
+        )
+    )
+
+
 def mrl_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -1314,6 +1314,83 @@ def q_length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_source_overlap",
+    r"""
+    WITH w AS (SELECT source, string_split_regex(trim(text), '\s+') AS words
+               FROM documents),
+    fp AS (
+        SELECT DISTINCT source,
+               CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) AS h
+        FROM (
+            SELECT source, unnest(list_distinct(
+                list_transform(generate_series(1, len(words)-4),
+                               i -> array_to_string(words[i:i+4], ' ')))) AS g
+            FROM w
+        )
+    ),
+    sizes AS (SELECT source, COUNT(*) AS n FROM fp GROUP BY 1),
+    pairs AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           ROUND(n_shared * 1.0 / least(sa.n, sb.n), 6) AS containment,
+           ROUND(n_shared * 1.0 / (sa.n + sb.n - n_shared), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    doc="Cross-source n-gram overlap matrix — the mixture-dedup audit a "
+    "multi-source corpus runs BEFORE committing to sampling weights "
+    "(how much of source A is already inside source B decides whether "
+    "its quota double-counts content; CCNet/Dolma-style pipelines "
+    "publish exactly this matrix): per source pair, the number of "
+    "shared distinct word-5-gram fingerprints plus containment "
+    "(shared / smaller side — catches a source EMBEDDED in a bigger "
+    "one) and Jaccard. Plan: one tokenize+explode pass to the DISTINCT "
+    "(source, 60-bit md5 gram fingerprint) table — digest-width "
+    "shuffle rows, never text — then a fingerprint equi-join whose "
+    "output is bounded by sources² per shared gram (20 sources → "
+    "≤190 pairs/gram), one pair-grain aggregate, and a broadcast-sized "
+    "join against the per-source totals. Exact oracle: the md5-prefix "
+    "fingerprint is the engine-portable hash every dedup oracle here "
+    "uses.",
+    tags=("curation", "dedup", "report"),
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import md5_long, shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents").select("source", "text"))
+    fp = (
+        docs.select("source", F.explode(shingles("text", 5)).alias("g"))
+        .select("source", md5_long(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sizes = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fp.alias("a"), fp.alias("b")
+    pairs = (
+        a.join(b, on="h")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            F.round(F.col("n_shared") / F.least("na", "nb"), 6).alias("containment"),
+            F.round(F.col("n_shared") / (F.col("na") + F.col("nb") - F.col("n_shared")), 6).alias("jaccard"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Learned quality classifier: shared feature recipe, fingerprint-keyed
 # model cache (the _bpe_cache_path pattern — q_quality_classifier and

@@ -73,6 +73,9 @@ _GATE_FIRST: tuple[str, ...] = (
     # the stalest exact-oracle rows (the r02 cohort) to fill the 50-row
     # budget. The whole registry is ALSO re-verified each session by
     # full oracle-CLI sweeps (VERIFICATION.md).
+    # round-7 registrations (evidence-free by construction, lead):
+    "q_hard_negatives",
+    "q_source_overlap",
     "q_audio_mfcc",
     "q_quality_classifier",
     "q_classifier_filter",

@@ -101,6 +101,46 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hard_negatives",
+    f"""
+    WITH scored AS (
+        SELECT a.vec_id AS query_id, a.label AS query_label,
+               b.vec_id AS neighbor_id, b.label AS neighbor_label,
+               {_COS} AS cos
+        FROM embeddings a JOIN embeddings b ON a.label != b.label
+        WHERE a.vec_id < 20
+    ), ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, rank,
+           ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="Hard-negative mining for contrastive training "
+    "(operators/similarity.py hard_negative_topk; the DPR/SimCSE "
+    "recipe, Karpukhin et al. 2020 §3.2): per query, the top-3 "
+    "highest-cosine corpus vectors of a DIFFERENT label — the "
+    "most-confusable negatives a contrastive batch builder pairs with "
+    "each anchor (random negatives are too easy; these carry the "
+    "gradient). Physical shape = cosine_topk with the label "
+    "inequality fused into the join condition (same-class pairs drop "
+    "before any cosine), hoisted norms, broadcast bounded query "
+    "batch, one window top-k. At 100 TB the exact scan swaps for an "
+    "ANN candidate generator with an over-fetched label filter — the "
+    "identical (query, label, neighbor, rank, cosine) contract.",
+    tags=("similarity", "topk", "training"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.similarity import hard_negative_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+@query(
     "q_ann_topk_arrow",
     f"""
     WITH scored AS (
