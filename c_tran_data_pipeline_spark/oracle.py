@@ -310,13 +310,9 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "sf0.01 output rows equal the committed golden file) + "
         "test_feature_extraction (byte-level values vs a pure-Python reference)"
     ),
-    "q_pack_sequences": (
-        "tests/test_packing.py::test_every_doc_packed_exactly_once + "
-        "::test_budget_respected_except_oversized_singletons + "
-        "::test_token_totals_consistent + "
-        "::test_packing_deterministic_across_partitionings (bin-packing "
-        "invariants and cross-partitioning determinism)"
-    ),
+    # q_pack_sequences graduated to an EXACT DuckDB oracle in round 7
+    # (the greedy fold replays as a per-shard recursive CTE); its
+    # packing-invariant tests still run.
     # q_quality_classifier / q_classifier_filter graduated to EXACT
     # DuckDB oracles in round 7 (the training replays as a recursive
     # CTE — plans/curation_queries.py _clf_oracle_ctes); their pytest

@@ -53,14 +53,55 @@ def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_pack_sequences",
-    None,  # imperative greedy fold — invariants pinned in tests/test_packing.py
+    r"""
+    WITH RECURSIVE counted AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 16 AS shard
+        FROM documents
+    ),
+    idxd AS (
+        SELECT shard, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS idx
+        FROM counted
+    ),
+    -- the greedy fold replayed one doc per shard per level: a new pack
+    -- opens exactly when the running total would overflow a non-empty
+    -- pack (oversized singletons land ALONE in a pack with overflow
+    -- marked), matching operators/packing.pack_sequences line for line
+    rec AS (
+        SELECT shard, 0::BIGINT AS idx, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS n_tokens, 0::BIGINT AS pack_seq,
+               0::BIGINT AS cur_tok
+        FROM (SELECT DISTINCT shard FROM idxd)
+        UNION ALL
+        SELECT r.shard, r.idx + 1, d.doc_id, d.n_tokens,
+               CASE WHEN r.cur_tok > 0 AND r.cur_tok + d.n_tokens > 512
+                    THEN r.pack_seq + 1 ELSE r.pack_seq END,
+               CASE WHEN r.cur_tok > 0 AND r.cur_tok + d.n_tokens > 512
+                    THEN d.n_tokens ELSE r.cur_tok + d.n_tokens END
+        FROM rec r JOIN idxd d ON d.shard = r.shard AND d.idx = r.idx + 1
+    )
+    SELECT shard, CAST(pack_seq AS INT) AS pack_seq,
+           string_agg(doc_id, ',' ORDER BY idx) AS doc_ids_csv,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (SUM(n_tokens) > 512) AS overflow
+    FROM rec WHERE idx >= 1
+    GROUP BY shard, pack_seq
+    """,
     doc="operators/packing.py: greedy first-fit sequence packing of "
     "token counts into a 512-token budget across 16 deterministic hash "
     "shards; Arrow-batched grouped-map over (doc_id, n_tokens) pairs "
     "only — text never crosses into Python. The gate projection "
     "serializes doc_ids to a comma-joined string (the library operator "
     "keeps array<long>): external comparators sort rows column-wise and "
-    "can't order list cells.",
+    "can't order list cells. EXACT oracle since r7: the greedy fold "
+    "replays as a recursive CTE advancing one doc per shard per level "
+    "(depth = max docs/shard; the reset-on-overflow running total has "
+    "no closed window form) — verified pack-for-pack at sf0.01 AND "
+    "sf0.1.",
     tags=("packing", "udf"),
 )
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
