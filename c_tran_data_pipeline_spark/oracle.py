@@ -233,12 +233,10 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "train-in-query q_ann_pq_topk — identical deterministic training "
         "parameters, zero training jobs)"
     ),
-    "q_audio_features": (
-        "tests/test_multimodal.py::test_audio_features_real_wav_decode (REAL "
-        "stdlib RIFF/PCM WAV decode: every feature matches an independent "
-        "pure-Python recomputation from the raw PCM bytes, including the "
-        "exact-integer RMS; malformed payloads yield NULL features)"
-    ),
+    # q_audio_features graduated to an EXACT DuckDB oracle in round 7
+    # (the oracle re-synthesizes the sine PCM sample-for-sample and
+    # recomputes every feature, cross-checking the whole WAV
+    # encode→parse→feature path); its pure-Python replay test still runs.
     "q_audio_dsp": (
         "tests/test_multimodal.py::test_audio_dsp_recovers_generation_frequency "
         "(FFT dominant frequency recovers each seeded sine's generation "

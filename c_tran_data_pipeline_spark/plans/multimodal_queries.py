@@ -155,9 +155,33 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_audio_features",
-    None,  # UDF decode — rows-only driver check; byte-exact feature
-    # assertions vs an independent pure-Python reference in
-    # tests/test_multimodal.py
+    r"""
+    WITH base AS (
+        SELECT doc_id AS asset_id,
+               200 + doc_id % 300 AS n,
+               220 + doc_id % 40 AS freq
+        FROM documents
+    ),
+    samp AS (
+        -- the fixture sine replayed sample-for-sample: make_wav writes
+        -- int(12000·sin(2π·f·i/rate)) little-endian int16; trunc()
+        -- matches Python int()'s toward-zero, and both engines evaluate
+        -- sin via the same host libm (truncation-boundary flip risk
+        -- ~1e-12 per sample, measured none at either SF)
+        SELECT asset_id, n,
+               trunc(12000 * sin(2 * pi() * freq * i / 8000)) AS v
+        FROM base, LATERAL unnest(generate_series(0, CAST(n - 1 AS BIGINT))) t(i)
+    )
+    SELECT asset_id,
+           8000 AS sample_rate,
+           1 AS channels,
+           CAST(MAX(n) AS BIGINT) AS n_samples,
+           ROUND(MAX(n) * 1.0 / 8000, 6) AS duration_s,
+           ROUND(sqrt(SUM(v * v) * 1.0 / MAX(n)), 6) AS rms,
+           CAST(MAX(abs(v)) AS INT) AS peak,
+           CAST(44 + 2 * MAX(n) AS BIGINT) AS byte_len
+    FROM samp GROUP BY asset_id
+    """,
     doc="REAL audio decode pipeline (operators/multimodal.py "
     "extract_audio_features): synthesize genuine RIFF/PCM WAV files "
     "per doc (stdlib wave container, 16-bit seeded sine), then parse "
@@ -167,7 +191,14 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NOT stubbed: the bytes on the wire are a spec-compliant WAV any "
     "player accepts. Arrow-batched mapInPandas both directions; RMS "
     "uses an exact int64 squared-sample sum so the one IEEE sqrt is "
-    "reproducible across partitionings and batch sizes.",
+    "reproducible across partitionings and batch sizes. EXACT oracle "
+    "since r7: DuckDB re-synthesizes the PCM sample-for-sample from "
+    "the sine formula and recomputes every feature — the oracle "
+    "cross-checks the ENTIRE WAV encode → container parse → feature "
+    "path against an independent engine, including the 44-byte header "
+    "arithmetic (byte_len). Verified at sf0.01 AND sf0.1. (q_audio_dsp "
+    "and q_audio_mfcc stay rows-only: their features go through an "
+    "FFT, which no cross-engine replay can pin bit-exactly.)",
     tags=("multimodal", "udf"),
 )
 def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
