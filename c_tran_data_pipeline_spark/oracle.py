@@ -303,11 +303,9 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "(repartition(7) projections within 1e-8) + "
         "::test_components_orthonormal_and_variance_ordered"
     ),
-    "q_multimodal_features": (
-        "tests/test_multimodal.py::test_registered_query_matches_golden (ALL 500 "
-        "sf0.01 output rows equal the committed golden file) + "
-        "test_feature_extraction (byte-level values vs a pure-Python reference)"
-    ),
+    # q_multimodal_features graduated to an EXACT DuckDB oracle in
+    # round 7 (the deterministic payload body replays in SQL); its
+    # golden + byte-level reference tests still run.
     # q_pack_sequences graduated to an EXACT DuckDB oracle in round 7
     # (the greedy fold replays as a per-shard recursive CTE); its
     # packing-invariant tests still run.

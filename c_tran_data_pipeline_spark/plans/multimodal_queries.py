@@ -51,10 +51,31 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_multimodal_features",
-    None,  # UDF plumbing — rows-only driver check; exactness in pytest
+    r"""
+    WITH base AS (
+        SELECT doc_id AS asset_id, 1 + n_chars % 4 AS nf FROM documents
+    ),
+    px AS (
+        -- the fake-codec body replayed byte-for-byte: (i*31 + seed) % 251
+        SELECT asset_id, nf, (i * 31 + asset_id) % 251 AS v
+        FROM base, LATERAL unnest(generate_series(0, CAST(16 * 8 * nf - 1 AS BIGINT))) t(i)
+    )
+    SELECT asset_id,
+           16 AS width, 8 AS height, CAST(MAX(nf) AS INT) AS n_frames,
+           SUM(v) * 1.0 / COUNT(*) AS mean_intensity,
+           CAST(10 + 16 * 8 * MAX(nf) AS BIGINT) AS byte_len
+    FROM px GROUP BY asset_id
+    """,
     doc="Full binary pipeline: synthesize fake-codec payloads per doc "
     "(mapInPandas), then decode + feature-extract (mapInPandas) — the "
-    "schema/batching/UDF path an image corpus would use, minus the codec.",
+    "schema/batching/UDF path an image corpus would use, minus the "
+    "codec. EXACT oracle since r7: the deterministic payload body "
+    "((i·31+seed) mod 251) and the 10-byte header replay in SQL, so "
+    "DuckDB recomputes width/height/frames/mean/byte_len through an "
+    "independent path — the synth→encode→decode→feature plumbing is "
+    "value-gated end to end at both SFs. (q_frame_sample stays "
+    "rows-only: its output is md5 over raw frame BYTES, and DuckDB's "
+    "md5 is VARCHAR-only — non-UTF-8 payload bytes can't reach it.)",
     tags=("multimodal",),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
