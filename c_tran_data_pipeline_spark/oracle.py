@@ -251,11 +251,10 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "tests/test_olap.py::test_approx_percentiles_within_rank_error (GK-sketch "
         "percentiles within the configured rank error of the exact sort-based twin)"
     ),
-    "q_frame_sample": (
-        "tests/test_multimodal.py::test_registered_query_matches_golden (ALL 750 "
-        "sf0.01 output rows — frame md5s + byte lengths — equal the committed "
-        "golden file) + test_frame_sampling (stride/index semantics)"
-    ),
+    # q_frame_sample graduated to an EXACT DuckDB oracle in round 7 (the
+    # digest moved to md5-over-hex — DuckDB md5 is VARCHAR-only — and the
+    # oracle reconstructs each sampled frame's header+body hex from the
+    # deterministic formula); golden + stride tests still run.
     "q_image_ahash_neardup": (
         "tests/test_goldens_rowsonly.py::test_rows_only_query_matches_golden "
         "(the full sf0.01 pair list equals the committed golden) + "

@@ -137,14 +137,45 @@ def q_payload_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_frame_sample",
-    None,  # UDF plumbing — rows-only driver check; exactness in pytest
+    r"""
+    WITH base AS (
+        SELECT doc_id AS asset_id, 1 + doc_id % 4 AS nf FROM documents
+    ),
+    fr AS (
+        SELECT asset_id, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS fi
+        FROM base
+    ),
+    hx AS (
+        -- each sampled frame re-wrapped as a 1-frame asset: the 10-byte
+        -- FAKE header (magic + <HHH little-endian w=8,h=4,n=1) followed
+        -- by the 32 formula bytes of that frame, hex-encoded
+        SELECT asset_id, fi,
+               '46414B45080004000100' ||
+               string_agg(upper(lpad(to_hex((i * 31 + asset_id) % 251), 2, '0')),
+                          '' ORDER BY i) AS hex
+        FROM fr, LATERAL unnest(generate_series(CAST(fi * 32 AS BIGINT),
+                                                CAST(fi * 32 + 31 AS BIGINT))) t(i)
+        GROUP BY asset_id, fi
+    )
+    SELECT asset_id, CAST(fi AS INT) AS frame_index,
+           md5(hex) AS frame_md5,
+           CAST(42 AS INT) AS frame_bytes
+    FROM hx
+    """,
     doc="Video frame sampling gate: synthesize multi-frame fake-codec "
     "payloads per doc (1 + doc_id % 4 frames), sample every 2nd frame "
     "via operators/multimodal.py sample_frames (Arrow mapInPandas "
     "explode — the frame-level training-data shape), and emit each "
-    "frame as md5 + byte length so frames never leave the executors "
-    "raw. tests/test_multimodal.py pins the exact frame bytes against "
-    "the codec header math; the driver records rows-only.",
+    "frame as a digest + byte length so frames never leave the "
+    "executors raw. The digest is md5 over the payload's HEX encoding "
+    "(F.hex) — the engine-portable form: DuckDB's md5 only accepts "
+    "VARCHAR, and raw frame bytes are not valid UTF-8, so hashing the "
+    "hex string is what makes this an EXACT oracle (since r7): the "
+    "oracle reconstructs each sampled frame's header+body hex from the "
+    "deterministic formula and recomputes the digest — frame CONTENT "
+    "is value-gated cross-engine, not just counted. "
+    "tests/test_multimodal.py additionally pins the exact frame bytes "
+    "against the codec header math.",
     tags=("multimodal", "udf"),
 )
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,7 +200,8 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "asset_id",
         "frame_index",
-        F.md5(F.col("frame_payload")).alias("frame_md5"),
+        # md5 over the HEX of the payload — engine-portable (see doc)
+        F.md5(F.hex(F.col("frame_payload"))).alias("frame_md5"),
         F.length(F.col("frame_payload")).alias("frame_bytes"),
     )
 
