@@ -195,3 +195,57 @@ def test_spark_phash_path_on_jpeg_payloads(spark):
     for i in imgs:
         ham = bin((ja[i] ^ fa[i]) & ((1 << 64) - 1)).count("1")
         assert ham <= 3, (i, ham)  # aHash thresholds raw pixels — noisier
+
+
+def test_jpeg_roundtrip_property():
+    """Property sweep of the codec: random dimensions (including
+    non-multiple-of-8 and non-multiple-of-16 for 4:2:0), random pixel
+    content, grayscale and both chroma modes — every near-lossless
+    round-trip must stay within the DCT-rounding error bound and
+    preserve exact shape. Pure Python+numpy, no Spark, so the sweep is
+    wide and fast."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        mode=st.sampled_from(["gray", "444", "420"]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def check(w, h, mode, seed):
+        rng = np.random.RandomState(seed)
+        if mode == "gray":
+            px = rng.randint(0, 256, (h, w), dtype=np.int64).astype(np.uint8)
+            enc = encode_jpeg(px, quality_quant=1)
+        else:
+            px = rng.randint(0, 256, (h, w, 3), dtype=np.int64).astype(np.uint8)
+            enc = encode_jpeg(px, quality_quant=1, subsampling=mode)
+        dec = decode_jpeg(enc)
+        assert dec is not None
+        dw, dh, ch, raw = dec
+        assert (dw, dh) == (w, h)
+        if mode == "gray":
+            got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w).astype(np.int64)
+            assert np.abs(got - px.astype(np.int64)).max() <= 2
+        else:
+            got = np.frombuffer(raw, dtype=np.uint8).reshape(h, w, 3).astype(np.int64)
+            # 4:2:0 halves chroma resolution on RANDOM (chroma-noisy)
+            # content: only luma is bounded tightly there
+            if mode == "444":
+                assert np.abs(got - px.astype(np.int64)).max() <= 4
+            else:
+                # 4:2:0 on NOISE: 2×2 chroma pooling pushes reconstructed
+                # R/G/B outside [0,255] wherever neighbors disagree, and
+                # the clip displaces luminance too — so luma-through-RGB
+                # is only loosely bounded here (the tight ≤3 bound lives
+                # in test_color_420_roundtrip_smooth_image, on the
+                # chroma-smooth content 4:2:0 is FOR). This sweep checks
+                # shape preservation and that the error stays codec-scale
+                # rather than structural (a block/offset bug shows up as
+                # 100+).
+                wy = np.array([0.299, 0.587, 0.114])
+                assert np.abs((got @ wy) - (px.astype(np.int64) @ wy)).max() <= 32
+
+    check()
