@@ -453,3 +453,46 @@ def test_semantic_dedup_blocked_precision_and_representatives(spark):
     # survivors: every parent kept, every twin dropped
     keep_ids = {r["vec_id"] for r in out if r["keep"]}
     assert all(r["vec_id"] - 1_000_000 in keep_ids for r in planted)
+
+
+def test_hard_negative_topk_label_exclusion_and_guard(spark):
+    """Every mined negative has a label different from its query's (the
+    whole point — same-class items must never appear no matter how
+    similar); ranks are dense 1..k per query; the result equals
+    cosine_topk restricted to other-label rows (the operator is a
+    fused-filter specialization, not a different ranking); and the
+    bounded-batch guard trips on oversized query sets."""
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        cosine_topk,
+        hard_negative_topk,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    got = hard_negative_topk(emb, queries, k=3).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    by_q = {}
+    for r in got:
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label == labels[r.neighbor_id]
+        assert r.neighbor_label != r.query_label
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == set(range(10))
+    for q, rows in by_q.items():
+        assert sorted(x.rank for x in rows) == [1, 2, 3]
+
+    # equivalence: brute-force top-k over the other-label corpus only
+    for q in range(3):
+        other = emb.filter(F.col("label") != labels[q])
+        want = {
+            (r.neighbor_id, r.rank, r.cosine)
+            for r in cosine_topk(other, queries.filter(F.col("vec_id") == q), k=3).collect()
+        }
+        have = {(r.neighbor_id, r.rank, r.cosine) for r in by_q[q]}
+        assert have == want, q
+
+    with _pytest.raises(ValueError, match="hard_negative_topk"):
+        hard_negative_topk(emb, emb, k=3, max_queries=10).collect()
