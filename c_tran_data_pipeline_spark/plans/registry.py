@@ -124,8 +124,6 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_payload_chunks",
     "q_pii_scrub",
     "q_pivot_event_counts",
-    "q_quality_deciles",
-    "q_quantize_embeddings",
 )
 
 

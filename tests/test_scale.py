@@ -150,6 +150,11 @@ _ALLOWED_NESTED_LOOP = {
     # composes the int8 + exact topk legs, each a broadcast-constant-
     # query-batch corpus scan (and the int8 leg's 1-row scale Cross)
     "q_retrieval_metrics",
+    # hard-negative mining: cosine_topk's broadcast-constant-query-batch
+    # shape with the label inequality fused into the join condition (a
+    # theta join by construction — the inequality IS the filter); the
+    # corpus side is one linear scan, never quadratic
+    "q_hard_negatives",
     # candidate generation composes cosine_topk: broadcast 20-query
     # batch (!=) over one corpus scan; the MMR stage itself is a keyed
     # grouped-map, no joins
@@ -494,6 +499,13 @@ _BOUNDED_BROADCAST_NOTES = {
     "q_cms_heavy_hitters": (
         r"Aggregate\(keys=\[row#\d+, bucket#\d+",
         "sketch-geometry grid (d×w counters)",
+    ),
+    # per-source fingerprint totals — bounded by the SOURCE domain
+    # (categorical strata, 20 at the fixture; a corpus adds documents,
+    # not sources), same class as the event-type domains above
+    "q_source_overlap": (
+        r"Aggregate\(keys=\[source#\d+",
+        "source-domain totals",
     ),
 }
 
