@@ -25,7 +25,6 @@ from c_tran_data_pipeline_spark.operators.jpeg import (
     _extend,
     canonical_codes,
     decode_jpeg,
-    decode_jpeg_luma,
     encode_jpeg,
 )
 
@@ -249,3 +248,26 @@ def test_jpeg_roundtrip_property():
                 assert np.abs((got @ wy) - (px.astype(np.int64) @ wy)).max() <= 32
 
     check()
+
+
+def test_decode_jpeg_luma_color_branch():
+    """decode_jpeg_luma on a COLOR jpeg returns the BT.601 luma of the
+    decoded RGB — the single-channel frame the perceptual hashes
+    consume. Pinned against an independent recomputation from
+    decode_jpeg's own RGB output, and against the encoder's source luma
+    within codec error."""
+    from c_tran_data_pipeline_spark.operators.jpeg import decode_jpeg_luma
+
+    px = _planted(16, 24, seed=11, color=True)
+    enc = encode_jpeg(px, quality_quant=1, subsampling="444")
+    w, h, ch, raw = decode_jpeg_luma(enc)
+    assert (w, h, ch) == (24, 16, 1)
+    got = np.frombuffer(raw, dtype=np.uint8).reshape(16, 24).astype(np.float64)
+    # independent: luma of the decoder's RGB
+    dw, dh, dch, rgb_raw = decode_jpeg(enc)
+    rgb = np.frombuffer(rgb_raw, dtype=np.uint8).reshape(16, 24, 3).astype(np.float64)
+    want = np.clip(np.round(0.299 * rgb[..., 0] + 0.587 * rgb[..., 1] + 0.114 * rgb[..., 2]), 0, 255)
+    assert np.array_equal(got, want)
+    # and the source image's luma within codec error
+    src_y = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    assert np.abs(got - src_y).max() <= 4
