@@ -158,6 +158,7 @@ HEADLINE = [
     "q_hll_vocab_union",
     "q_ltv_recursive",
     "q_hard_negatives",
+    "q_hard_negatives_lsh",
     "q_source_overlap",
 ]
 
@@ -278,6 +279,7 @@ _POST_R01 = (
     "q_hll_vocab_union",
     "q_ltv_recursive",
     "q_hard_negatives",
+    "q_hard_negatives_lsh",
     "q_source_overlap",
 )
 

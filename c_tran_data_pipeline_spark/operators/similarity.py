@@ -176,6 +176,59 @@ def hard_negative_topk(
     )
 
 
+def hard_negative_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    planes: int = 4,
+    tables: int = 8,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    label: str = "label",
+    dim: int | None = None,
+) -> DataFrame:
+    """The 100 TB path of ``hard_negative_topk``: candidates come from
+    the multi-table LSH bucket equi-join (never a corpus×queries scan),
+    the label filter drops same-class candidates BEFORE the cosine
+    re-rank, and exact cosine ranks what remains. Same output contract
+    as the exact miner; recall < 1 w.r.t. it by construction (bucket
+    recall — tests measure the floor). Banding is effectively the
+    over-fetch knob: each extra table raises the chance a true hard
+    negative shares a bucket, exactly as in ann_lsh_topk."""
+    cb = multi_table_lsh_buckets(corpus, planes, tables, key, vec, dim).select(
+        F.col(key).alias("neighbor_id"), _as_double(F.col(vec)).alias("__cv"),
+        "table", "bucket",
+    )
+    cl = corpus.select(F.col(key).alias("neighbor_id"), F.col(label).alias("neighbor_label"))
+    qb = multi_table_lsh_buckets(queries, planes, tables, key, vec, dim).select(
+        F.col(key).alias("query_id"), _as_double(F.col(vec)).alias("__qv"),
+        "table", "bucket",
+    )
+    ql = queries.select(F.col(key).alias("query_id"), F.col(label).alias("query_label"))
+    candidates = (
+        cb.join(qb, on=["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .dropDuplicates(["query_id", "neighbor_id"])  # union across tables
+        .join(cl, "neighbor_id")
+        .join(F.broadcast(ql), "query_id")
+        .filter(F.col("neighbor_label") != F.col("query_label"))
+    )
+    scored = candidates.select(
+        "query_id", "query_label", "neighbor_id", "neighbor_label",
+        cosine(F.col("__qv"), F.col("__cv")).alias("__cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("__cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "query_label", "neighbor_id", "neighbor_label",
+            "rank", F.round("__cos", 4).alias("cosine"),
+        )
+    )
+
+
 def mrl_topk(
     corpus: DataFrame,
     queries: DataFrame,

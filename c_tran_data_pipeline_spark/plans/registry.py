@@ -75,6 +75,7 @@ _GATE_FIRST: tuple[str, ...] = (
     # full oracle-CLI sweeps (VERIFICATION.md).
     # round-7 registrations (evidence-free by construction, lead):
     "q_hard_negatives",
+    "q_hard_negatives_lsh",
     "q_source_overlap",
     "q_audio_mfcc",
     "q_quality_classifier",
@@ -123,7 +124,6 @@ _GATE_FIRST: tuple[str, ...] = (
     "q_order_priority_semijoin",
     "q_payload_chunks",
     "q_pii_scrub",
-    "q_pivot_event_counts",
 )
 
 

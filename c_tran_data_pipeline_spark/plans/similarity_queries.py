@@ -141,6 +141,56 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_hard_negatives_lsh",
+    f"""
+    WITH buck AS (
+        SELECT vec_id, CASE t {_multi_bucket_case_sql(4, 8)} END AS bucket, t AS tbl
+        FROM embeddings, range(8) r(t)
+    ), cand AS (
+        SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM buck q JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        WHERE q.vec_id < 20 AND c.vec_id != q.vec_id
+    ), scored AS (
+        SELECT query_id, a.label AS query_label, neighbor_id,
+               b.label AS neighbor_label,
+               list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])) AS cos
+        FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                  JOIN embeddings b ON b.vec_id = cand.neighbor_id
+        WHERE a.label != b.label
+    ), ranked AS (
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id ASC) AS rank
+        FROM scored
+    )
+    SELECT query_id, query_label, neighbor_id, neighbor_label, rank,
+           ROUND(cos, 4) AS cosine
+    FROM ranked WHERE rank <= 3
+    """,
+    doc="The 100 TB shape of q_hard_negatives "
+    "(operators/similarity.py hard_negative_topk_lsh): candidates come "
+    "from the multi-table LSH bucket equi-join — never a "
+    "corpus×queries scan — the label filter drops same-class "
+    "candidates BEFORE the cosine re-rank, and exact cosine ranks what "
+    "remains. Recall w.r.t. the exact miner is measured in "
+    "tests/test_similarity.py; the ALGORITHM is deterministic, so the "
+    "oracle (the same literal sign-matrix banding twin as "
+    "q_ann_lsh_topk, plus the label inequality) is EXACT at both SFs. "
+    "Banding is the over-fetch knob: each extra table raises the "
+    "chance a true hard negative shares a bucket.",
+    tags=("similarity", "topk", "training"),
+)
+def q_hard_negatives_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.similarity import hard_negative_topk_lsh
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negative_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, planes=4, tables=8, dim=64
+    )
+
+
+@query(
     "q_ann_topk_arrow",
     f"""
     WITH scored AS (

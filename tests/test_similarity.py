@@ -496,3 +496,28 @@ def test_hard_negative_topk_label_exclusion_and_guard(spark):
 
     with _pytest.raises(ValueError, match="hard_negative_topk"):
         hard_negative_topk(emb, emb, k=3, max_queries=10).collect()
+
+
+def test_hard_negative_lsh_recall_floor(spark):
+    """The LSH-bucketed miner recovers most of the exact miner's
+    negatives at the fixture banding (4 planes × 8 tables), and every
+    emitted pair honors the label-exclusion contract — precision of the
+    LABEL predicate is 1.0 by construction (it re-checks real labels,
+    not buckets)."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        hard_negative_topk,
+        hard_negative_topk_lsh,
+    )
+    from c_tran_data_pipeline_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in hard_negative_topk(emb, queries, k=3).collect()}
+    approx = hard_negative_topk_lsh(emb, queries, k=3, planes=4, tables=8, dim=64).collect()
+    labels = {r.vec_id: r.label for r in emb.collect()}
+    for r in approx:
+        assert labels[r.neighbor_id] != labels[r.query_id]
+    got = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.5, recall  # bucket recall at the tuned banding
