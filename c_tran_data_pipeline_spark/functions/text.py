@@ -38,13 +38,23 @@ def bpe_ish_token_count(col: Column | str) -> Column:
 
 def shingles(col: Column | str, n: int = 3) -> Column:
     """Distinct word n-gram shingles. transform(sequence(...)) stays in
-    codegen; slice/concat_ws are JVM array ops."""
+    codegen; slice/concat_ws are JVM array ops.
+
+    Docs shorter than ``n`` words yield an EMPTY array — guarded with a
+    CASE WHEN because ``sequence(0, negative)`` in Spark *descends*
+    (sequence(0,-1) = [0,-1]) and the -1 index would crash F.slice with
+    INVALID_PARAMETER_VALUE.START. CASE WHEN branches evaluate lazily per
+    row in codegen, so the guard costs nothing on the hot path and matches
+    the DuckDB oracle form generate_series(1, len-n+1) → empty."""
     w = words(col)
-    return F.array_distinct(
+    grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(0), F.greatest(F.array_size(w) - n, F.lit(-1))),
+            F.sequence(F.lit(0), F.array_size(w) - n),
             lambda i: F.concat_ws(" ", F.slice(w, i + 1, n)),
         )
+    )
+    return F.when(F.array_size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 

@@ -266,9 +266,17 @@ def chunk_payloads(
     writes should route through ``repartition_for_payloads`` so chunk
     bytes, not chunk counts, balance partitions."""
     n_chunks = F.ceil(F.length(F.col(payload)) / F.lit(chunk_bytes)).cast("bigint")
+    # Guard the zero-length-payload row: sequence(0, -1) in Spark DESCENDS
+    # ([0,-1]) rather than returning empty, which would emit two bogus
+    # chunk_idx rows per empty asset. Empty payload → zero chunk rows,
+    # matching the oracle's generate_series form.
+    idx_seq = F.when(
+        F.col("n_chunks") >= 1,
+        F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1),
+    ).otherwise(F.array().cast("array<bigint>"))
     base = assets.select(
         F.col(key), F.col(payload).alias("__pl"), n_chunks.alias("n_chunks")
-    ).withColumn("chunk_idx", F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("n_chunks") - 1)))
+    ).withColumn("chunk_idx", F.explode(idx_seq))
     chunk = F.expr(f"substring(__pl, chunk_idx * {chunk_bytes} + 1, {chunk_bytes})")
     return base.select(
         F.col(key),

@@ -1436,14 +1436,15 @@ def _clf_cache_path(sf_dir: str) -> str:
     import hashlib
     import json as _json
     import os
-    import tempfile
+
+    from c_tran_data_pipeline_spark.session import index_cache_dir
 
     tag = hashlib.md5(
         _json.dumps({"sf_dir": os.path.abspath(sf_dir), "params": _CLF_PARAMS},
                     sort_keys=True).encode()
     ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", f"clf_{base}_{tag}.json")
+    return os.path.join(index_cache_dir(), f"clf_{base}_{tag}.json")
 
 
 def _clf_fingerprint(sf_dir: str) -> dict:

@@ -244,9 +244,10 @@ def _neardup_lsh_oracle() -> str:
     corpus size via auto_banding(n), so the oracle embeds BOTH
     verification parameterizations — (3 planes, 12 tables) at the 500-
     vector sf0.01 fixture and (5, 20) at the 2000-vector sf0.1 fixture —
-    and selects by corpus count. Any OTHER corpus size gets NULL buckets
-    → zero pairs → a loud row-count failure (never a silently wrong
-    match); the driver gates at sf0.01 and the builder's sweep adds
+    and selects by corpus count. Any OTHER corpus size raises a DuckDB
+    error() naming the cause (so a regenerated fixture with a new
+    cardinality can never silently de-fang the oracle into a zero-pair
+    row-count mismatch); the driver gates at sf0.01 and the builder's sweep adds
     sf0.1, so both verification domains are covered. The mean-relative
     hot-bucket cap (drop buckets > 8×avg) is plain integer-count
     arithmetic — exactly reproducible."""
@@ -261,6 +262,11 @@ def _neardup_lsh_oracle() -> str:
                CASE (SELECT cnt FROM n)
                     WHEN {n1} THEN (CASE t {_multi_bucket_case_sql(p1, t1)} END)
                     WHEN {n2} THEN (CASE t {_multi_bucket_case_sql(p2, t2)} END)
+                    ELSE CAST(error('q_ann_neardup_lsh oracle: unexpected '
+                         || 'embeddings count ' || (SELECT cnt FROM n)
+                         || ' — oracle embeds auto_banding only for '
+                         || '{n1}/{n2}; regenerate via _neardup_lsh_oracle')
+                         AS BIGINT)
                     END AS bucket
         FROM embeddings, range({max(t1, t2)}) r(t)
         WHERE t < (CASE (SELECT cnt FROM n) WHEN {n1} THEN {t1} ELSE {t2} END)
@@ -1053,7 +1059,6 @@ def _ivfpq_cache_path(sf_dir: str) -> str:
     import hashlib
     import json as _json
     import os
-    import tempfile
 
     tag = hashlib.md5(
         _json.dumps(
@@ -1062,9 +1067,9 @@ def _ivfpq_cache_path(sf_dir: str) -> str:
         ).encode()
     ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_indexes", f"ivfpq_{base}_{tag}"
-    )
+    from c_tran_data_pipeline_spark.session import index_cache_dir
+
+    return os.path.join(index_cache_dir(), f"ivfpq_{base}_{tag}")
 
 
 def _ivfpq_index_fresh(sf_dir: str, path: str) -> bool:
@@ -1469,7 +1474,6 @@ def _sem_store_path(sf_dir: str) -> str:
     import hashlib
     import json as _json
     import os
-    import tempfile
 
     tag = hashlib.md5(
         _json.dumps(
@@ -1478,9 +1482,9 @@ def _sem_store_path(sf_dir: str) -> str:
         ).encode()
     ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(
-        tempfile.gettempdir(), "spark_graft_indexes", f"semstore_{base}_{tag}"
-    )
+    from c_tran_data_pipeline_spark.session import index_cache_dir
+
+    return os.path.join(index_cache_dir(), f"semstore_{base}_{tag}")
 
 
 def _sem_store_fresh(sf_dir: str, path: str) -> bool:

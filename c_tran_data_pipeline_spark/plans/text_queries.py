@@ -1701,14 +1701,15 @@ def _bpe_cache_path(sf_dir: str) -> str:
     import hashlib
     import json as _json
     import os
-    import tempfile
 
     tag = hashlib.md5(
         _json.dumps({"sf_dir": os.path.abspath(sf_dir), "params": _BPE_PARAMS},
                     sort_keys=True).encode()
     ).hexdigest()[:10]
     base = os.path.basename(sf_dir.rstrip("/")) or "sf"
-    return os.path.join(tempfile.gettempdir(), "spark_graft_indexes", f"bpe_{base}_{tag}.json")
+    from c_tran_data_pipeline_spark.session import index_cache_dir
+
+    return os.path.join(index_cache_dir(), f"bpe_{base}_{tag}.json")
 
 
 def _bpe_fingerprint(sf_dir: str) -> dict:

@@ -58,10 +58,63 @@ def persist_once(df, level=None):
     DataFrame object wrapping an equal plan (a repeated bench run, a
     caller that persisted first). Keeps the bench log free of harmless
     'CacheManager: Asked to cache already cached data' warnings so a
-    REAL double-persist stays visible the day one appears (VERDICT r6)."""
+    REAL double-persist stays visible the day one appears (VERDICT r6).
+
+    SHARED-OWNERSHIP HAZARD (ADVICE r7): when this returns without
+    persisting, the materialization belongs to *whoever cached the equal
+    plan first*. If that holder later unpersists (test teardown, a
+    semantic-dedup caller cleaning up), dependents silently fall back to
+    re-evaluating lineage — a performance cliff, never a correctness bug.
+    Callers that must keep their pin for correctness-of-cost (iterative
+    loops re-reading the frame many times) should either own a uniquely
+    derived plan (e.g. ``.alias()`` does NOT change the canonical plan —
+    add a real no-op like a checkpoint instead) or use
+    ``persist_once_owned`` and re-pin when ``owned`` comes back False."""
+    frame, _owned = persist_once_owned(df, level)
+    return frame
+
+
+def persist_once_owned(df, level=None):
+    """Like ``persist_once`` but returns ``(df, owned)`` where ``owned``
+    is True iff THIS call created the persist (and therefore the caller
+    may safely unpersist it / rely on it staying pinned). ``owned=False``
+    means an equal canonical plan was already cached by someone else."""
     from pyspark.storagelevel import StorageLevel
 
     lvl = df.storageLevel
     if lvl.useMemory or lvl.useDisk:
-        return df
-    return df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK)
+        return df, False
+    return df.persist(level if level is not None else StorageLevel.MEMORY_AND_DISK), True
+
+
+def index_cache_dir() -> str:
+    """Per-user, mode-0700 directory for derived artifacts that FEED
+    QUERY OUTPUTS (trained classifier weights, BPE merge tables, IVF-PQ
+    codebooks, semantic-dedup centroid stores).
+
+    Previously these lived under the world-writable shared
+    ``$TMPDIR/spark_graft_indexes``; on a multi-user host another user
+    could pre-create a fingerprint-matching weights file and silently
+    substitute model outputs (ADVICE r7). Scoping to
+    ``spark_graft_indexes_<uid>`` with 0o700 makes the trust boundary the
+    OS user, matching how any artifact that affects query results should
+    be trusted. Override with $SPARK_GRAFT_INDEX_DIR (e.g. to a cluster
+    scratch path); the override is created 0o700 as well."""
+    import stat
+    import tempfile
+
+    override = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if override:
+        path = override
+    else:
+        uid = os.getuid() if hasattr(os, "getuid") else "u"
+        path = os.path.join(tempfile.gettempdir(), f"spark_graft_indexes_{uid}")
+    os.makedirs(path, mode=0o700, exist_ok=True)
+    # makedirs honors mode only on creation; re-assert on reuse so a
+    # pre-existing lax-mode dir cannot survive as a writable side door.
+    try:
+        if stat.S_IMODE(os.stat(path).st_mode) != 0o700:
+            os.chmod(path, 0o700)
+    except OSError:
+        pass
+    return path

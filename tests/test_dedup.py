@@ -639,3 +639,46 @@ def test_dedup_lines_first_wins_and_reassembly(spark):
     assert (out[6].n_segments, out[6].n_kept_segments, out[6].kept_text) == (2, 1, C)
     for r in out.values():
         assert 0 <= r.n_kept_segments <= r.n_segments
+
+
+def test_shingles_short_doc_yields_empty_not_crash(spark):
+    """ADVICE r7 (medium): docs with fewer than n words used to hit
+    sequence(0, -1) = [0, -1] (Spark sequences DESCEND for start > stop)
+    and the -1 index crashed F.slice with INVALID_PARAMETER_VALUE.START.
+    Now they yield an empty array, matching the DuckDB oracle form
+    generate_series(1, len-n+1) -> empty — and long docs are unchanged."""
+    from pyspark.sql import functions as F
+
+    from c_tran_data_pipeline_spark.functions.text import shingles
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="one two three four"),  # 4 words < n=5
+            Row(doc_id=2, text="a"),  # single word
+            Row(doc_id=3, text="one two three four five six"),  # 6 words
+        ]
+    ).select("doc_id", shingles("text", 5).alias("g"))
+    got = {r.doc_id: r.g for r in df.collect()}
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["one two three four five", "two three four five six"]
+    # exactly-n words: one shingle (the boundary the guard must not eat)
+    one = (
+        spark.createDataFrame([Row(text="one two three four five")])
+        .select(shingles("text", 5).alias("g"))
+        .collect()[0]
+        .g
+    )
+    assert one == ["one two three four five"]
+    # the same guard on payload_chunks: a zero-length binary payload
+    # must emit ZERO chunk rows (not two bogus chunk_idx in {0,-1} rows)
+    from c_tran_data_pipeline_spark.operators.multimodal import chunk_payloads
+
+    assets = spark.createDataFrame(
+        [Row(asset_id=1, payload=bytearray(b"")), Row(asset_id=2, payload=bytearray(b"xyz"))]
+    )
+    rows = chunk_payloads(assets, key="asset_id", payload="payload", chunk_bytes=2).collect()
+    by_asset = {}
+    for r in rows:
+        by_asset.setdefault(r.asset_id, []).append((r.chunk_idx, bytes(r.chunk)))
+    assert 1 not in by_asset
+    assert sorted(by_asset[2]) == [(0, b"xy"), (1, b"z")]
