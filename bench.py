@@ -160,6 +160,7 @@ HEADLINE = [
     "q_hard_negatives",
     "q_hard_negatives_lsh",
     "q_source_overlap",
+    "q_ltv_fold",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -281,7 +282,46 @@ _POST_R01 = (
     "q_hard_negatives",
     "q_hard_negatives_lsh",
     "q_source_overlap",
+    "q_ltv_fold",
 )
+
+
+def _warm_page_cache(sf_dir: str) -> None:
+    """Read every fixture parquet byte-for-byte BEFORE rep 1 so OS
+    page-cache state stops dominating cross-boot comparisons (VERDICT r7
+    #1c). A Spark ``count()`` would NOT do this — parquet count-star is
+    answered from row-group metadata without touching data pages. The
+    whole sf0.1 fixture is ~17 MB, so this costs tens of milliseconds."""
+    for p in sorted(Path(sf_dir).glob("*.parquet")):
+        with open(p, "rb") as fh:
+            while fh.read(1 << 20):
+                pass
+
+
+def _calibration_run(spark) -> float:
+    """One FIXED-WORK, data-independent unit: md5 + modular-hash key over
+    3M generated rows → shuffle → hash aggregate → scalar. Exercises the
+    same machinery the queries pay for (codegen, exchange, agg) with
+    ZERO file I/O, so its time tracks the host's momentary speed
+    (thermal state, co-tenants, JVM luck) and nothing else. Per-query
+    times divided by the run's calibration median become comparable
+    across boots — the mechanical noise-adjudication VERDICT r7 asked
+    for (scripts/bench_compare.py consumes it)."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(0, 3_000_000, 1, 32)
+        .select(
+            (F.col("id") * F.lit(2654435761) % F.lit(1000003)).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("h"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mh"))
+        .agg(F.sum("n").alias("rows"), F.max("mh").alias("fingerprint"))
+        .collect()
+    )
+    return time.perf_counter() - t0
 
 
 def main() -> None:
@@ -295,8 +335,16 @@ def main() -> None:
     registry = all_queries()
 
     # Warm the JVM/catalog once so per-query numbers measure the queries,
-    # not session bring-up.
+    # not session bring-up; then fault in every fixture page so rep 1 of
+    # query 1 isn't the only one paying cold-file cost.
     registry["q_summaries"].builder(spark, sf_dir).collect()
+    _warm_page_cache(sf_dir)
+
+    # Calibration: one untimed JIT warm-up, then reps timed runs.
+    cal_reps = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_REPS", "3"))
+    _calibration_run(spark)
+    calibration_runs = [round(_calibration_run(spark), 3) for _ in range(cal_reps)]
+    calibration = round(statistics.median(calibration_runs), 3)
 
     # Median-of-REPS per query: measured cross-boot noise on this host is
     # up to 2× on unchanged code (VERIFICATION.md r02 33.5→70→44 s), so a
@@ -333,6 +381,11 @@ def main() -> None:
         timings_min[name] = round(min(runs), 3)
         raw_runs[name] = [round(r, 3) for r in runs]
 
+    # Post-run calibration: if the host slowed down mid-run (thermal,
+    # co-tenant), pre vs post shows it — a drift diagnostic, not part of
+    # the normalization constant.
+    calibration_post = round(_calibration_run(spark), 3)
+
     total = round(sum(timings.values()), 3)
     # The headline set grew past round 1's 20 queries (every _POST_R01
     # name is new since); r01_comparable_total sums only the original 20
@@ -345,6 +398,7 @@ def main() -> None:
         "n_queries": len(timings),
         "reps": reps,
         "r01_comparable_total": round(sum(timings.get(n, 0.0) for n in r01_set), 3),
+        "calibration_sec": calibration,
         "sf": sf,
     }
     # Full per-query breakdown goes to a sidecar file: the driver's record
@@ -360,6 +414,15 @@ def main() -> None:
             "queries_min": timings_min,
             "runs": raw_runs,
             "failed": failed,
+            "calibration_runs": calibration_runs,
+            "calibration_post": calibration_post,
+            # Calibrated per-query figures: seconds of FIXED-WORK units,
+            # i.e. min/calibration — the number scripts/bench_compare.py
+            # compares across rounds (regressed iff new calibrated min
+            # > 1.5× committed calibrated min).
+            "queries_min_calibrated": {
+                n: round(v / calibration, 3) for n, v in timings_min.items()
+            },
         }
     )
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as fh:
