@@ -161,6 +161,8 @@ HEADLINE = [
     "q_hard_negatives_lsh",
     "q_source_overlap",
     "q_ltv_fold",
+    "q_video_mjpeg_features",
+    "q_frame_sample_mjpeg",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -283,6 +285,8 @@ _POST_R01 = (
     "q_hard_negatives_lsh",
     "q_source_overlap",
     "q_ltv_fold",
+    "q_video_mjpeg_features",
+    "q_frame_sample_mjpeg",
 )
 
 

