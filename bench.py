@@ -163,6 +163,7 @@ HEADLINE = [
     "q_ltv_fold",
     "q_video_mjpeg_features",
     "q_frame_sample_mjpeg",
+    "q_audio_features_adpcm",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -287,6 +288,7 @@ _POST_R01 = (
     "q_ltv_fold",
     "q_video_mjpeg_features",
     "q_frame_sample_mjpeg",
+    "q_audio_features_adpcm",
 )
 
 

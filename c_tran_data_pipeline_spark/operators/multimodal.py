@@ -375,9 +375,23 @@ def _decode_audio_bytes(payload: bytes, codec: str):
         if rate <= 0 or ch <= 0 or width <= 0 or len(pcm) % (width * ch) != 0:
             return None
         return (rate, ch, width, len(pcm) // (width * ch), pcm)
+    if codec == "adpcm":
+        # REAL compressed audio since r8: IMA ADPCM (WAV format tag
+        # 0x0011) — the table-driven 4-bit differential predictor from
+        # the public IMA spec, decoded by pure integer math in
+        # operators/adpcm.py into the same 16-bit PCM contract, so the
+        # feature/MFCC paths run unchanged on compressed payloads.
+        from c_tran_data_pipeline_spark.operators.adpcm import parse_adpcm_wav
+
+        dec = parse_adpcm_wav(payload)
+        if dec is None:
+            return None
+        rate, ch, n, pcm = dec
+        return (rate, ch, 2, n, pcm)
     raise NotImplementedError(
-        f"codec {codec!r}: compressed-audio decoding (libsndfile/ffmpeg) is not "
-        "available in this environment; 'wav' (RIFF/PCM) is fully supported"
+        f"codec {codec!r}: 'wav' (RIFF/PCM, stdlib) and 'adpcm' (IMA ADPCM, "
+        "operators/adpcm.py) decode for real; PERCEPTUAL codecs (mp3/aac/ogg) "
+        "need libsndfile/ffmpeg and stay behind this seam"
     )
 
 

@@ -877,3 +877,102 @@ def test_mjpeg_sample_frames_exact_bytes_and_refusals(spark):
     assert out[1][2] == _pack_header(16, 8, 1) + bytes([30] * 128)
     # asset 2 (garbage) and asset 3 (mixed-dimension stream) refused
     assert 2 not in out and 3 not in out
+
+
+# ---------------------------------------------------------------------------
+# IMA ADPCM: the real compressed-audio path (VERDICT r7 #3)
+
+
+def test_adpcm_roundtrip_error_bound():
+    """Encode→container→parse→decode across clip lengths (incl. multi-
+    block n=1300 with the final block partial) and seeds: sample counts
+    exact, waveform within the ADPCM quantization envelope (measured
+    worst |err| 375 over this sweep; bound 600 leaves margin without
+    letting a broken step table pass — a wrong table yields errors in
+    the thousands)."""
+    import math
+
+    import numpy as np
+
+    from c_tran_data_pipeline_spark.operators.adpcm import (
+        make_adpcm_wav,
+        parse_adpcm_wav,
+    )
+
+    for seed in (0, 7, 23, 39):
+        for n in (200, 499, 505, 1300):
+            rate, freq = 8000, 220 + (seed % 40)
+            orig = np.array(
+                [int(12000 * math.sin(2 * math.pi * freq * i / rate)) for i in range(n)]
+            )
+            dec = parse_adpcm_wav(make_adpcm_wav(n, rate, seed))
+            assert dec is not None
+            r, ch, ns, pcm = dec
+            assert (r, ch, ns) == (8000, 1, n)
+            err = np.abs(np.frombuffer(pcm, "<i2") - orig)
+            assert err.max() < 600, (seed, n, int(err.max()))
+
+
+def test_adpcm_parse_tolerance():
+    from c_tran_data_pipeline_spark.operators.adpcm import (
+        make_adpcm_wav,
+        parse_adpcm_wav,
+    )
+
+    wav = make_adpcm_wav(1300, 8000, seed=3)
+    assert parse_adpcm_wav(None) is None
+    assert parse_adpcm_wav(b"not a riff") is None
+    assert parse_adpcm_wav(wav[:11]) is None
+    # torn final block: intact prefix decodes, no crash
+    torn = parse_adpcm_wav(wav[: len(wav) - 100])
+    assert torn is not None and 0 < torn[2] < 1300
+    # PCM wav through the adpcm parser: refused (format tag mismatch)
+    from c_tran_data_pipeline_spark.operators.multimodal import make_wav
+
+    assert parse_adpcm_wav(make_wav(256, 8000, seed=1)) is None
+
+
+def test_adpcm_features_and_mfcc_end_to_end(spark):
+    """extract_audio_features AND extract_audio_mfcc run on ADPCM
+    payloads through the same Arrow path as PCM; features land within
+    the compression envelope of the PCM twin, and undecodable payloads
+    yield the contracted NULL rows."""
+    import numpy as np
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.adpcm import make_adpcm_wav
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_audio_mfcc,
+        make_wav,
+    )
+
+    rows = [
+        Row(asset_id=1, payload=make_adpcm_wav(4096, 8000, seed=5)),
+        Row(asset_id=2, payload=bytearray(b"garbage")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    feats = {r.asset_id: r for r in extract_audio_features(df, codec="adpcm").collect()}
+    assert feats[1].n_samples == 4096 and feats[1].sample_rate == 8000
+    assert feats[2].rms is None and feats[2].n_samples is None
+
+    # PCM twin of the same signal: ADPCM rms within 1% (compression is
+    # small relative to a 12000-amplitude sine), peak within the bound
+    pcm_df = spark.createDataFrame(
+        [Row(asset_id=1, payload=make_wav(4096, 8000, seed=5))],
+        "asset_id long, payload binary",
+    )
+    pcm = extract_audio_features(pcm_df, codec="wav").collect()[0]
+    assert abs(feats[1].rms - pcm.rms) / pcm.rms < 0.01
+    assert abs(feats[1].peak - pcm.peak) < 600
+
+    m = {r.asset_id: r for r in extract_audio_mfcc(df, codec="adpcm").collect()}
+    assert m[1].mfcc is not None and len(m[1].mfcc) == 13
+    assert m[2].mfcc is None
+    # MFCCs of ADPCM vs PCM of the same sine agree closely: quantization
+    # noise lifts the broadband floor (low cepstra move ~1.7) but does
+    # NOT relocate the dominant frequency — a relocated tone shifts
+    # coefficients by tens, so 3.0 still gates the decode being right
+    mp = extract_audio_mfcc(pcm_df, codec="wav").collect()[0]
+    a, b = np.array(m[1].mfcc), np.array(mp.mfcc)
+    assert np.abs(a - b).max() < 3.0
