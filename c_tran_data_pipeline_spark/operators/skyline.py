@@ -56,16 +56,21 @@ def skyline_2d(df: DataFrame, x: str, y: str, bucket_width: float | Column = 100
         .filter(F.col(x).isNotNull() & F.col(y).isNotNull())
         .distinct()
     )
+    from c_tran_data_pipeline_spark.operators.rank import global_cummax
+
     b = pts.withColumn("__b", F.floor(F.col("x") / bucket_width))
     # max(y) over buckets STRICTLY above each bucket: every x there is
     # strictly greater than any x here (floor monotonicity), so
-    # __hi >= y proves a dominator exists. rowsBetween(-∞, -1) under
-    # desc(__b) is exactly "strictly higher buckets" because __b is
+    # __hi >= y proves a dominator exists. The strictly-preceding running
+    # max under desc(__b) goes through global_cummax (r8): the bucket
+    # table is bytes-sized, but routing it through the range-partitioned
+    # sweep removes the last unpartitioned WindowExec from this plan —
+    # "strictly preceding" ⟺ strictly higher buckets because __b is
     # unique post-aggregation.
-    wbuck = Window.orderBy(F.desc("__b")).rowsBetween(Window.unboundedPreceding, -1)
-    brun = b.groupBy("__b").agg(F.max("y").alias("__bymax")).select(
-        "__b", F.max("__bymax").over(wbuck).alias("__hi")
-    )
+    bagg = b.groupBy("__b").agg(F.max("y").alias("__bymax"))
+    brun = global_cummax(
+        bagg, [F.desc("__b")], "__bymax", "__hi", inclusive=False
+    ).select("__b", "__hi")
     cand = (
         b.join(F.broadcast(brun), "__b")
         .filter(F.col("__hi").isNull() | (F.col("__hi") < F.col("y")))

@@ -736,13 +736,16 @@ def q_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from c_tran_data_pipeline_spark.functions.text import words
 
+    from c_tran_data_pipeline_spark.operators.rank import global_rank
+
     docs = load_table(spark, sf_dir, "documents")
     mass = docs.groupBy("source").agg(F.sum(F.size(words("text"))).alias("toks"))
-    w_rank = Window.orderBy(F.col("toks").asc(), F.col("source").asc())
-    ranked = mass.select(
-        "toks",
-        F.row_number().over(w_rank).alias("i"),
-    )
+    # Lorenz rank over the per-source strata via the range-partitioned
+    # global_rank (r8): the strata table is bounded by |sources|, but
+    # this removes the last unpartitioned WindowExec from the plan —
+    # and keeps the query correct even if the stratum key ever becomes
+    # high-cardinality (per-domain instead of per-source).
+    ranked = global_rank(mass, [F.asc("toks"), F.asc("source")], "i").select("toks", "i")
     return ranked.agg(
         F.round(
             F.sum((2 * F.col("i") * F.col("toks")).cast("decimal(38,6)")).cast("double")

@@ -219,6 +219,11 @@ _ALLOWED_SCALAR_BROADCAST = {
     # scalar; the tercile assignment itself (global_ntile) is
     # equi-join-only
     "q_ccnet_buckets",
+    # 1-row contingency grand total re-entering as the expected-count
+    # denominator (r8: replaced the former SUM OVER () single-partition
+    # window — see _BOUNDED_GLOBAL_WINDOW_NOTES)
+    "q_chi2_independence",
+    "q_cramers_v",
 }
 
 
@@ -278,6 +283,12 @@ _ALLOWED_PYTHON = {
     # applyInPandas — the q_semantic_dedup pair stage on the
     # incremental path
     "q_incremental_semantic_dedup",
+    # REAL MJPEG-AVI synthesis (encode_jpeg + make_avi) + container
+    # parse + per-frame JPEG decode, all Arrow mapInPandas (r8)
+    "q_video_mjpeg_features",
+    "q_frame_sample_mjpeg",
+    # REAL IMA-ADPCM synthesis + integer decode, both Arrow mapInPandas (r8)
+    "q_audio_features_adpcm",
 }
 
 
@@ -323,19 +334,16 @@ _BOUNDED_GLOBAL_WINDOW_NOTES = {
     # Kaplan-Meier steps over the DAY-grain duration grid: ≤ corpus day
     # horizon rows (events span a fixed date range), not event volume
     "q_survival_curve": (r"windowspecdefinition\(dur_days#\d+L ASC", "day-horizon grid"),
-    # contingency-cell grid: |mktsegment| × |orderpriority| categorical
-    # domains (≤ dozens of rows at any corpus size)
-    "q_cramers_v": (r"sum\(n_obs#\d+L\)", "contingency-cell grid"),
-    "q_chi2_independence": (r"sum\(n_obs#\d+L\)", "contingency-cell grid"),
-    # Lorenz rank over the per-SOURCE token-mass aggregate (|sources|
-    # rows — a bounded categorical stratum table). Pinned to the
-    # source-grain toks order column (like q_survival_curve's dur_days)
-    # so a second, unbounded global row_number added to this query
-    # would still fail the gate.
-    "q_source_gini": (r"row_number\(\) windowspecdefinition\(toks#\d+L ASC", "source strata"),
-    # skyline grid-prune bucket table: ceil(range(x)/width) aggregated
-    # rows — bounded by the VALUE DOMAIN, not the row count
-    "q_skyline_orders": (r"max\(__bymax#\d+", "price-bucket grid"),
+    # (r8) q_cramers_v / q_chi2_independence left this allowlist: their
+    # grand total is now a broadcast 1-row scalar (crossJoin) instead of
+    # SUM OVER () — no SinglePartition-fed WindowExec remains, and AQE
+    # exchange reuse keeps the fact scanned once (pinned below in
+    # test_chi2_total_reuses_cell_exchange).
+    # (r8) q_source_gini left this allowlist: the Lorenz rank routes
+    # through rank.global_rank — no unpartitioned WindowExec remains.
+    # (r8) q_skyline_orders left this allowlist: the bucket-table prefix
+    # max now routes through rank.global_cummax, so no unpartitioned
+    # WindowExec remains in the plan.
 }
 
 _NODE_PREFIX = _re.compile(r"^[\s:+\-|]*(?:\*\(\d+\)\s*)?")
@@ -780,3 +788,22 @@ def test_max_partition_bytes_splits_scans(spark, tmp_path):
     # ≳ size/limit tasks — strictly more, scaling with the byte budget
     assert n_small > n_big
     assert n_small >= max(2, fsize // (2 * 1024 * 1024))  # ≳ size/limit tasks
+
+
+def test_chi2_total_reuses_cell_exchange(spark):
+    """q_chi2_independence / q_cramers_v compute the grand total as a
+    broadcast scalar aggregate over the SAME (event_type, dow) cell
+    aggregate the margin windows consume (r8, replacing SUM OVER ()).
+    That is only scan-neutral if Spark reuses the cell exchange — pin
+    it: after execution the adaptive plan must contain a ReusedExchange
+    and no SinglePartition-fed Window (the gate above already enforces
+    the latter statically)."""
+    from c_tran_data_pipeline_spark.plans import all_queries
+
+    from tests.conftest import SF_ORACLE
+
+    for name in ("q_chi2_independence", "q_cramers_v"):
+        df = all_queries()[name].builder(spark, SF_ORACLE)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "ReusedExchange" in final, f"{name}: cell exchange not reused"
