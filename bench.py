@@ -164,6 +164,7 @@ HEADLINE = [
     "q_video_mjpeg_features",
     "q_frame_sample_mjpeg",
     "q_audio_features_adpcm",
+    "q_pair_curation_crossmodal",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -289,6 +290,7 @@ _POST_R01 = (
     "q_video_mjpeg_features",
     "q_frame_sample_mjpeg",
     "q_audio_features_adpcm",
+    "q_pair_curation_crossmodal",
 )
 
 

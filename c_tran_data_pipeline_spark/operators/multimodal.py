@@ -8,23 +8,27 @@ task processes a columnar batch of payloads; partitioning stays
 size-aware via ``repartition_for_payloads`` (payload bytes, not row
 count, is what bounds executor memory for media).
 
-Codec status — two REAL, one faked:
+Codec status — five REAL, the rest behind a loud seam:
 
 - **PNG (real)**: ``_decode_png_bytes`` is a spec-compliant stdlib
   decoder (zlib inflate + the five row filters, CRC-checked); 8-bit
   grayscale/truecolor PNGs decode to their actual pixels
   (``extract_png_features``). Per-filter reconstruction is pinned
   against an independent forward-filter encoder in tests.
-- **WAV (real)**: ``_decode_audio_bytes`` parses genuine RIFF/PCM
+- **WAV/PCM (real)**: ``_decode_audio_bytes`` parses genuine RIFF/PCM
   containers via stdlib ``wave`` (``extract_audio_features``).
-- **JPEG / compressed audio / video containers (faked)**: these need
-  libjpeg/ffmpeg-class libs absent from this image, so
-  ``_decode_image_bytes`` raises NotImplementedError unless the
-  deterministic FAKE codec is requested. The fake codec parses our
-  synthetic payload header, so the full Spark path — schema, batching,
-  UDF signatures, explode of frame samples — runs and is tested for
-  real (tests/test_multimodal.py); swapping in Pillow/torchaudio is a
-  two-line change inside the decode functions only.
+- **JPEG (real, r7)**: baseline sequential DCT via the pure
+  numpy+stdlib codec in ``operators/jpeg.py`` (grayscale, 4:4:4,
+  4:2:0), derived from the public ITU-T T.81 spec.
+- **MJPEG-in-AVI video (real, r8)**: RIFF/AVI container walk in
+  ``operators/avi.py``; every ``00dc`` frame is a baseline JPEG.
+- **IMA ADPCM audio (real, r8)**: the public IMA spec's 4-bit
+  table-driven predictor in ``operators/adpcm.py`` (WAV tag 0x0011).
+- **Inter-frame video (H.264/VP9/AV1) and perceptual audio
+  (MP3/AAC/Vorbis)**: need ffmpeg-class libs absent from this image —
+  detected and refused with NotImplementedError, never mis-decoded.
+  The deterministic FAKE codec remains for plumbing tests whose
+  oracles replay pixel formulas in SQL.
 """
 
 from __future__ import annotations
@@ -1018,4 +1022,56 @@ def ahash_neardup_pairs(
         cand.withColumn("hamming", F.bit_count(F.col("h1").bitwiseXOR(F.col("h2"))))
         .filter(F.col("hamming") <= max_ham)
         .select("a1", "a2", "hamming")
+    )
+
+
+def crossmodal_joint_neardup(
+    pairs: DataFrame,
+    codec: str = "fake",
+    max_ham: int = 3,
+    bands: int = 4,
+    ngram: int = 3,
+    joint_num: int = 1,
+    joint_den: int = 2,
+) -> DataFrame:
+    """LAION-style (image, caption) pair curation: image-side candidates
+    from banded aHash LSH (``ahash_neardup_pairs`` — equi-joins on
+    (band, slice), never all-pairs), then EXACT caption n-gram Jaccard
+    on just those candidates, and a joint-duplicate verdict
+    ``jaccard ≥ joint_num/joint_den`` evaluated as the integer
+    comparison ``inter·den ≥ union·num`` so the flag is exact in any
+    engine (no float-threshold edge).
+
+    Input: (asset_id, payload, caption). Output: one row per image
+    near-dup candidate pair — (a1, a2, hamming, caption_jaccard,
+    joint_dup). Pairs whose images collide but whose captions diverge
+    (joint_dup = false) are exactly the ones LAION-style cleaning keeps
+    (same photo, different caption = still-useful training pair); both
+    modalities' scores stay exposed for the audit trail.
+
+    100 TB shape: the caption join ships shingle ARRAYS only for the
+    LSH-bounded candidate set (two hash equi-joins on asset_id);
+    captions are short by nature — for document-length payloads use the
+    shared-shingle inverted-index form in operators/dedup.py instead."""
+    from c_tran_data_pipeline_spark.functions.text import shingles
+
+    hashes = image_ahash(pairs.select("asset_id", "payload"), codec=codec)
+    img = ahash_neardup_pairs(hashes, max_ham=max_ham, bands=bands)
+    caps = pairs.select(F.col("asset_id"), shingles("caption", ngram).alias("sh"))
+    j = img.join(
+        caps.select(F.col("asset_id").alias("a1"), F.col("sh").alias("sh1")), "a1"
+    ).join(caps.select(F.col("asset_id").alias("a2"), F.col("sh").alias("sh2")), "a2")
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    union = F.size("sh1") + F.size("sh2") - inter
+    jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
+        F.lit(0.0)
+    )
+    return j.select(
+        "a1",
+        "a2",
+        "hamming",
+        F.round(jac, 6).alias("caption_jaccard"),
+        ((inter * F.lit(joint_den) >= union * F.lit(joint_num)) & (union > 0)).alias(
+            "joint_dup"
+        ),
     )

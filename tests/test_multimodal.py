@@ -976,3 +976,43 @@ def test_adpcm_features_and_mfcc_end_to_end(spark):
     mp = extract_audio_mfcc(pcm_df, codec="wav").collect()[0]
     a, b = np.array(m[1].mfcc), np.array(mp.mfcc)
     assert np.abs(a - b).max() < 3.0
+
+
+def test_crossmodal_pair_curation_planted(spark):
+    """Planted (image, caption) pairs: identical image + near-identical
+    caption => joint_dup; identical image + unrelated caption => image
+    pair reported with joint_dup=False (the LAION keep-set); unrelated
+    images never pair. Also pins the integer joint verdict against an
+    exact jaccard replay."""
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        crossmodal_joint_neardup,
+        make_fake_image,
+    )
+
+    cap_a = "the quick brown fox jumps over the lazy dog near the river bank"
+    cap_a2 = "the quick brown fox jumps over the lazy dog near the river shore"
+    cap_b = "completely unrelated caption about columnar query engines at scale"
+    rows = [
+        Row(asset_id=1, payload=make_fake_image(8, 8, 1, seed=10), caption=cap_a),
+        Row(asset_id=2, payload=make_fake_image(8, 8, 1, seed=10), caption=cap_a2),
+        Row(asset_id=3, payload=make_fake_image(8, 8, 1, seed=10), caption=cap_b),
+        Row(asset_id=4, payload=make_fake_image(8, 8, 1, seed=137), caption=cap_a),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary, caption string")
+    out = {(r.a1, r.a2): r for r in crossmodal_joint_neardup(df, codec="fake").collect()}
+    assert (1, 2) in out and out[(1, 2)].hamming == 0 and out[(1, 2)].joint_dup
+    assert out[(1, 2)].caption_jaccard > 0.5
+    assert (1, 3) in out and out[(1, 3)].hamming == 0 and not out[(1, 3)].joint_dup
+    assert out[(1, 3)].caption_jaccard < 0.1
+    # seed 137 chosen far from 10: if it happens to land within max_ham
+    # the test would be asserting luck — verify it IS far, then absent
+    import numpy as np
+
+    def bits(seed):
+        v = np.array([(i * 31 + seed) % 251 for i in range(64)])
+        return v * 64 > v.sum()
+
+    assert int((bits(10) != bits(137)).sum()) > 3
+    assert not any(4 in p for p in out)
