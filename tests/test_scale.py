@@ -289,6 +289,10 @@ _ALLOWED_PYTHON = {
     "q_frame_sample_mjpeg",
     # REAL IMA-ADPCM synthesis + integer decode, both Arrow mapInPandas (r8)
     "q_audio_features_adpcm",
+    # md5-pixel image synthesis + aHash fingerprint, both Arrow
+    # mapInPandas; the pairing + caption-Jaccard stages are pure
+    # relational (band equi-joins, hash joins) (r8)
+    "q_pair_curation_crossmodal",
 }
 
 
