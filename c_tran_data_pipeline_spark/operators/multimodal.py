@@ -1006,7 +1006,11 @@ def ahash_neardup_pairs(
             )
         ).alias("bs"),
     ).select("id", "h", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
-    a, b = sliced.alias("a"), sliced.alias("b")
+    # Both sides of the band self-join are corpus-sized — shuffle_hash
+    # keeps AQE from promoting one to a runtime broadcast from flattering
+    # compressed stats (a ~1 GiB driver materialization at the 1.6M-asset
+    # ladder rung; at 100 TB it would be fatal, not slow).
+    a, b = sliced.alias("a"), sliced.hint("shuffle_hash").alias("b")
     cand = (
         a.join(b, ["band", "slice"])
         .filter(F.col("a.id") < F.col("b.id"))
@@ -1057,10 +1061,25 @@ def crossmodal_joint_neardup(
 
     hashes = image_ahash(pairs.select("asset_id", "payload"), codec=codec)
     img = ahash_neardup_pairs(hashes, max_ham=max_ham, bands=bands)
+    # The caption side is CORPUS-sized by contract — hint shuffle_hash so
+    # AQE's compressed-size heuristic can never promote it to a runtime
+    # broadcast (measured at the 1.6M-doc ladder rung: three ~1 GiB
+    # broadcast builds of the caps/band relations blew
+    # spark.driver.maxResultSize; with the hints the plan is two shuffled
+    # hash joins and the rung completes). Broadcast stays right only for
+    # bounded relations; a corpus never is.
     caps = pairs.select(F.col("asset_id"), shingles("caption", ngram).alias("sh"))
     j = img.join(
-        caps.select(F.col("asset_id").alias("a1"), F.col("sh").alias("sh1")), "a1"
-    ).join(caps.select(F.col("asset_id").alias("a2"), F.col("sh").alias("sh2")), "a2")
+        caps.select(F.col("asset_id").alias("a1"), F.col("sh").alias("sh1")).hint(
+            "shuffle_hash"
+        ),
+        "a1",
+    ).join(
+        caps.select(F.col("asset_id").alias("a2"), F.col("sh").alias("sh2")).hint(
+            "shuffle_hash"
+        ),
+        "a2",
+    )
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
