@@ -165,6 +165,7 @@ HEADLINE = [
     "q_frame_sample_mjpeg",
     "q_audio_features_adpcm",
     "q_pair_curation_crossmodal",
+    "q_incremental_image_neardup",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -291,6 +292,7 @@ _POST_R01 = (
     "q_frame_sample_mjpeg",
     "q_audio_features_adpcm",
     "q_pair_curation_crossmodal",
+    "q_incremental_image_neardup",
 )
 
 

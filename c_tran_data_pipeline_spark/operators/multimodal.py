@@ -962,6 +962,94 @@ def image_phash(assets: DataFrame, codec: str = "fake", size: int = 32) -> DataF
     return assets.select("asset_id", "payload").mapInPandas(batches, PHASH_SCHEMA)
 
 
+def ahash_band_slices(
+    hashes: DataFrame,
+    id_col: str = "asset_id",
+    hash_col: str = "ahash",
+    bands: int = 4,
+) -> DataFrame:
+    """(id, h, band, slice): the pigeonhole index rows for a batch of
+    perceptual hashes — the 64-bit hash split into ``bands`` equal
+    slices via shiftrightunsigned (hashes are sign-wrapped). This is the
+    STORE format for incremental image dedup: ~``bands`` 20-byte rows
+    per asset, never pixels; persist it bucketed by (band, slice)
+    (sinks/bucketed.py) and probe joins co-locate."""
+    band_bits = 64 // bands
+    mask = (1 << band_bits) - 1
+    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
+        F.col("h").isNotNull()
+    )
+    return h.select(
+        "id",
+        "h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("h"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("slice"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "h", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+
+
+def incremental_image_neardup(
+    new_assets: DataFrame,
+    slice_store: DataFrame,
+    codec: str = "fake",
+    max_ham: int = 3,
+    bands: int = 4,
+) -> tuple[DataFrame, DataFrame]:
+    """Image near-dup pairs for a NEW batch against an already-indexed
+    corpus, without re-decoding or re-hashing the old corpus — the media
+    twin of ``dedup.incremental_neardup`` (same daily-ingest shape, same
+    exactness contract): ``slice_store`` is the (id, h, band, slice)
+    table ``ahash_band_slices`` produced for everything ingested so far;
+    only the new batch's payloads are decoded and hashed.
+
+    Returns ``(pairs, updated_store)``: pairs is every hamming ≤
+    ``max_ham`` pair with at least one new endpoint — new×old AND
+    new×new — canonical (a1 < a2) with the exact popcount distance.
+    Pigeonhole makes the incremental == batch equivalence exact: with
+    max_ham ≤ bands−1, any qualifying pair shares a slice in SOME band,
+    the new endpoint's slices are all present, and the popcount filter
+    is applied identically — so this emits exactly the rows
+    ``ahash_neardup_pairs(old ∪ new)`` adds over
+    ``ahash_neardup_pairs(old)`` (pinned in tests/test_multimodal.py).
+
+    Scale: per-batch cost is O(|new|) decode+hash plus an equi-join of
+    the new slices against the store on (band, slice) — the store side
+    never re-reads media bytes. The probe side is corpus-sized, so the
+    join carries the same shuffle_hash pin as the batch operator."""
+    if max_ham > bands - 1:
+        raise ValueError(
+            f"incremental_image_neardup: pigeonhole needs max_ham <= bands-1 "
+            f"(got max_ham={max_ham}, bands={bands})"
+        )
+    nh = image_ahash(new_assets, codec=codec)
+    nb = ahash_band_slices(nh, bands=bands)
+    all_b = slice_store.select("id", "h", "band", "slice").unionByName(nb)
+    a, b = nb.alias("a"), all_b.hint("shuffle_hash").alias("b")
+    ka, kb = F.col("a.id"), F.col("b.id")
+    pairs = (
+        a.join(b, on=["band", "slice"])
+        .filter(ka != kb)
+        .select(
+            F.least(ka, kb).alias("a1"),
+            F.greatest(ka, kb).alias("a2"),
+            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_ham)
+        .distinct()
+    )
+    return pairs, all_b
+
+
 def ahash_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "asset_id",
@@ -984,28 +1072,7 @@ def ahash_neardup_pairs(
             f"ahash_neardup_pairs: pigeonhole needs max_ham <= bands-1 "
             f"(got max_ham={max_ham}, bands={bands})"
         )
-    band_bits = 64 // bands
-    mask = (1 << band_bits) - 1
-    h = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("h")).filter(
-        F.col("h").isNotNull()
-    )
-    sliced = h.select(
-        "id",
-        "h",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftrightunsigned(F.col("h"), i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("slice"),
-                    )
-                    for i in range(bands)
-                ]
-            )
-        ).alias("bs"),
-    ).select("id", "h", F.col("bs.band").alias("band"), F.col("bs.slice").alias("slice"))
+    sliced = ahash_band_slices(hashes, id_col, hash_col, bands)
     # Both sides of the band self-join are corpus-sized — shuffle_hash
     # keeps AQE from promoting one to a runtime broadcast from flattering
     # compressed stats (a ~1 GiB driver materialization at the 1.6M-asset

@@ -855,3 +855,114 @@ def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = d.mapInPandas(synthesize, "asset_id long, payload binary, caption string")
     return crossmodal_joint_neardup(pairs, codec="fake", max_ham=3, bands=4)
+
+
+@query(
+    "q_incremental_image_neardup",
+    r"""
+    WITH d AS (
+        SELECT doc_id,
+               doc_id % GREATEST((SELECT COUNT(*) FROM documents) // 5, 1) AS fam,
+               doc_id % 3 = 0 AS pert
+        FROM documents
+    ),
+    px AS (
+        SELECT fam, pert, i,
+               CASE WHEN pert AND i = 0 THEN (base_v + 40) % 256 ELSE base_v END AS v
+        FROM (
+            SELECT fam, pert, i,
+                   CAST('0x' || substr(
+                       md5('img:' || fam || ':' || CAST(i // 16 AS VARCHAR)),
+                       (i % 16) * 2 + 1, 2) AS INT) AS base_v
+            FROM (SELECT DISTINCT fam, pert FROM d), range(64) t(i)
+        )
+    ),
+    ssum AS (SELECT fam, pert, SUM(v) AS sv FROM px GROUP BY 1, 2),
+    bits AS (
+        SELECT px.fam, px.pert, i, CAST(64 * v > sv AS INT) AS b
+        FROM px JOIN ssum USING (fam, pert)
+    ),
+    slices AS (
+        SELECT fam, pert, (63 - i) // 16 AS band,
+               SUM(b * (CAST(1 AS BIGINT) << CAST((63 - i) % 16 AS INT))) AS slc
+        FROM bits GROUP BY 1, 2, 3
+    ),
+    spairs AS (
+        SELECT DISTINCT a.fam * 2 + CAST(a.pert AS INT) AS k1,
+                        b.fam * 2 + CAST(b.pert AS INT) AS k2
+        FROM slices a JOIN slices b USING (band, slc)
+        WHERE a.fam * 2 + CAST(a.pert AS INT) < b.fam * 2 + CAST(b.pert AS INT)
+    ),
+    hp AS (
+        SELECT k1, k2,
+               (SELECT SUM(CASE WHEN b1.b <> b2.b THEN 1 ELSE 0 END)
+                FROM bits b1 JOIN bits b2 USING (i)
+                WHERE b1.fam * 2 + CAST(b1.pert AS INT) = k1
+                  AND b2.fam * 2 + CAST(b2.pert AS INT) = k2) AS ham
+        FROM spairs
+    ),
+    sham AS (
+        SELECT k1, k2, ham FROM hp WHERE ham <= 3
+        UNION ALL
+        SELECT k, k, 0 FROM (SELECT DISTINCT fam * 2 + CAST(pert AS INT) AS k FROM d)
+    )
+    SELECT a.doc_id AS a1, b.doc_id AS a2, CAST(sham.ham AS INT) AS hamming
+    FROM (SELECT doc_id, fam * 2 + CAST(pert AS INT) AS k FROM d) a
+    JOIN (SELECT doc_id, fam * 2 + CAST(pert AS INT) AS k FROM d) b
+      ON a.doc_id < b.doc_id
+    JOIN sham ON sham.k1 = LEAST(a.k, b.k) AND sham.k2 = GREATEST(a.k, b.k)
+    WHERE a.doc_id % 10 >= 8 OR b.doc_id % 10 >= 8
+    """,
+    doc="Incremental IMAGE near-dup (operators/multimodal.py "
+    "incremental_image_neardup) — the media twin of "
+    "q_incremental_neardup's daily-ingest shape: assets with "
+    "doc_id%10>=8 arrive as the NEW batch and are deduped against the "
+    "stored (id, hash, band, slice) index of the other 80% — only the "
+    "new batch's payloads are decoded and aHashed; the old corpus' "
+    "media bytes are never re-read, and the store carries ~4 20-byte "
+    "rows per asset, never pixels. Emits every hamming<=3 pair with "
+    ">=1 new endpoint (new x old and new x new), canonical a1<a2 with "
+    "the exact popcount distance. Pigeonhole makes incremental == "
+    "batch exact (max_ham<=bands-1), ALSO pinned as set algebra in "
+    "tests/test_multimodal.py. EXACT oracle: the same md5-pixel / "
+    "integer-aHash / banding replay as q_pair_curation_crossmodal, "
+    "restricted to new-endpoint pairs.",
+    tags=("multimodal", "dedup", "incremental", "udf"),
+)
+def q_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _pack_header,
+        ahash_band_slices,
+        image_ahash,
+        incremental_image_neardup,
+    )
+
+    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
+    m = max(d.count() // 5, 1)
+
+    def _img(doc_id: int) -> bytes:
+        fam, pert = doc_id % m, doc_id % 3 == 0
+        body = bytearray()
+        for blk in range(4):
+            body += hashlib.md5(f"img:{fam}:{blk}".encode()).digest()
+        if pert:
+            body[0] = (body[0] + 40) % 256
+        return _pack_header(8, 8, 1) + bytes(body)
+
+    def synthesize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["doc_id"],
+                    "payload": [_img(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+    assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
+    existing = assets.filter(F.col("asset_id") % 10 < 8)
+    new = assets.filter(F.col("asset_id") % 10 >= 8)
+    store = ahash_band_slices(image_ahash(existing, codec="fake"))
+    pairs, _store = incremental_image_neardup(new, store, codec="fake")
+    return pairs

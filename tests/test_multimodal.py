@@ -1016,3 +1016,53 @@ def test_crossmodal_pair_curation_planted(spark):
 
     assert int((bits(10) != bits(137)).sum()) > 3
     assert not any(4 in p for p in out)
+
+
+def test_incremental_image_neardup_equals_batch_restriction(spark):
+    """Set-algebra pin: incremental_image_neardup(new, store(old)) must
+    emit EXACTLY ahash_neardup_pairs(old ∪ new) minus
+    ahash_neardup_pairs(old) — the pigeonhole argument, checked as sets
+    including the hamming values. Also: the store round-trips (updated
+    store == slices of the union) and a second empty-ish batch adds
+    nothing."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        _pack_header,
+        ahash_band_slices,
+        ahash_neardup_pairs,
+        image_ahash,
+        incremental_image_neardup,
+    )
+
+    def img(fam, pert=False):
+        body = bytearray()
+        for blk in range(4):
+            body += hashlib.md5(f"t:{fam}:{blk}".encode()).digest()
+        if pert:
+            body[0] = (body[0] + 40) % 256
+        return _pack_header(8, 8, 1) + bytes(body)
+
+    rows = [Row(asset_id=i, payload=img(i % 7, pert=i % 3 == 0)) for i in range(40)]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    old = df.filter("asset_id % 10 < 8")
+    new = df.filter("asset_id % 10 >= 8")
+
+    batch_all = {
+        (r.a1, r.a2, r.hamming) for r in ahash_neardup_pairs(image_ahash(old.union(new))).collect()
+    }
+    batch_old = {
+        (r.a1, r.a2, r.hamming) for r in ahash_neardup_pairs(image_ahash(old)).collect()
+    }
+    store = ahash_band_slices(image_ahash(old))
+    inc_pairs, updated = incremental_image_neardup(new, store)
+    inc = {(r.a1, r.a2, r.hamming) for r in inc_pairs.collect()}
+    assert inc == batch_all - batch_old
+    assert inc  # the fixture plants real new-endpoint dups
+    # the updated store is exactly the union's slice table
+    want = {
+        tuple(r) for r in ahash_band_slices(image_ahash(old.union(new))).collect()
+    }
+    assert {tuple(r) for r in updated.collect()} == want

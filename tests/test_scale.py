@@ -293,6 +293,8 @@ _ALLOWED_PYTHON = {
     # mapInPandas; the pairing + caption-Jaccard stages are pure
     # relational (band equi-joins, hash joins) (r8)
     "q_pair_curation_crossmodal",
+    # same md5-pixel synthesis + aHash, incremental store probe (r8)
+    "q_incremental_image_neardup",
 }
 
 
