@@ -166,6 +166,7 @@ HEADLINE = [
     "q_audio_features_adpcm",
     "q_pair_curation_crossmodal",
     "q_incremental_image_neardup",
+    "q_crossmodal_clusters",
 ]
 
 # Queries added to the headline set after round 1; excluded from the
@@ -293,6 +294,7 @@ _POST_R01 = (
     "q_audio_features_adpcm",
     "q_pair_curation_crossmodal",
     "q_incremental_image_neardup",
+    "q_crossmodal_clusters",
 )
 
 

@@ -706,12 +706,17 @@ def q_audio_features_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(assets, codec="adpcm")
 
 
-@query(
-    "q_pair_curation_crossmodal",
-    r"""
-    WITH d AS (
+_CROSSMODAL_CTES = r"""
+    d AS (
+        -- photo family from the caption's 8-word-prefix hash: near-dup
+        -- captions (prefix-stable edits) share an image, so
+        -- joint_dup=true rows exist; pigeonhole still collides ~5
+        -- unrelated captions per family (the keep-set rows)
         SELECT doc_id,
-               doc_id % GREATEST((SELECT COUNT(*) FROM documents) // 5, 1) AS fam,
+               CAST('0x' || substr(md5(array_to_string(
+                   string_split_regex(trim(text), '\s+')[1:8], ' ')), 1, 15)
+                   AS BIGINT)
+                   % GREATEST((SELECT COUNT(*) FROM documents) // 5, 1) AS fam,
                doc_id % 3 = 0 AS pert,
                text
         FROM documents
@@ -784,6 +789,14 @@ def q_audio_features_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s1.doc_id < s2.doc_id
         GROUP BY 1, 2
     )
+"""
+
+
+@query(
+    "q_pair_curation_crossmodal",
+    "WITH "
+    + _CROSSMODAL_CTES
+    + r"""
     SELECT c.a1, c.a2, CAST(c.ham AS INT) AS hamming,
            CASE WHEN COALESCE(z1.n, 0) + COALESCE(z2.n, 0) - COALESCE(i.nc, 0) > 0
                 THEN ROUND(COALESCE(i.nc, 0) * 1.0 /
@@ -834,8 +847,13 @@ def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     # family, so candidate volume stays linear in corpus size.
     m = max(d.count() // 5, 1)
 
-    def _img(doc_id: int) -> bytes:
-        fam, pert = doc_id % m, doc_id % 3 == 0
+    def _img(doc_id: int, text: str) -> bytes:
+        # family from the caption's 8-word-prefix hash (md5_long recipe:
+        # first 15 hex chars as int) — prefix-stable near-dup captions
+        # share the photo, replayed in SQL via the same md5/substr form
+        pfx = " ".join(text.split()[:8])
+        fam = int(hashlib.md5(pfx.encode()).hexdigest()[:15], 16) % m
+        pert = doc_id % 3 == 0
         body = bytearray()
         for blk in range(4):
             body += hashlib.md5(f"img:{fam}:{blk}".encode()).digest()
@@ -848,7 +866,9 @@ def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "asset_id": pdf["doc_id"],
-                    "payload": [_img(int(i)) for i in pdf["doc_id"]],
+                    "payload": [
+                        _img(int(i), t) for i, t in zip(pdf["doc_id"], pdf["text"])
+                    ],
                     "caption": pdf["text"],
                 }
             )
@@ -966,3 +986,51 @@ def q_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = ahash_band_slices(image_ahash(existing, codec="fake"))
     pairs, _store = incremental_image_neardup(new, store, codec="fake")
     return pairs
+
+
+@query(
+    "q_crossmodal_clusters",
+    "WITH RECURSIVE "
+    + _CROSSMODAL_CTES
+    + r""",
+    jp AS (
+        SELECT c.a1, c.a2
+        FROM cand c
+        LEFT JOIN sizes z1 ON z1.doc_id = c.a1
+        LEFT JOIN sizes z2 ON z2.doc_id = c.a2
+        LEFT JOIN inter i ON i.a1 = c.a1 AND i.a2 = c.a2
+        WHERE COALESCE(i.nc, 0) * 2 >=
+                  COALESCE(z1.n, 0) + COALESCE(z2.n, 0) - COALESCE(i.nc, 0)
+          AND COALESCE(z1.n, 0) + COALESCE(z2.n, 0) - COALESCE(i.nc, 0) > 0
+    ),
+    edges AS (SELECT a1 AS a, a2 AS b FROM jp UNION SELECT a2, a1 FROM jp),
+    reach(node, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+    )
+    SELECT node AS asset_id, MIN(lbl) AS component FROM reach GROUP BY node
+    """,
+    doc="The last stage of LAION-style pair cleaning: connected "
+    "components over the JOINT-duplicate pairs (image near-dup AND "
+    "caption near-dup) from q_pair_curation_crossmodal, via the same "
+    "min-label-propagation operator the text dedup cascade uses "
+    "(operators/graph.py dedup_clusters — one shuffle per round, "
+    "checkpointed lineage) — pairs -> clusters -> keep min-id "
+    "representative per cluster is what turns pairwise verdicts into "
+    "a drop list. EXACT oracle: the shared cross-modal CTE stack "
+    "(md5 pixels, integer aHash bits, banding, candidate set, exact "
+    "caption Jaccard with the integer joint verdict) plus the "
+    "recursive-CTE transitive closure the graph queries use.",
+    tags=("multimodal", "dedup", "graph", "iterative", "udf"),
+)
+def q_crossmodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+
+    pairs = q_pair_curation_crossmodal(spark, sf_dir)
+    joint = pairs.filter(F.col("joint_dup")).select(
+        F.col("a1").alias("d1"), F.col("a2").alias("d2")
+    )
+    return dedup_clusters(joint).select(
+        F.col("doc_id").alias("asset_id"), "component"
+    )

@@ -295,6 +295,8 @@ _ALLOWED_PYTHON = {
     "q_pair_curation_crossmodal",
     # same md5-pixel synthesis + aHash, incremental store probe (r8)
     "q_incremental_image_neardup",
+    # composes q_pair_curation_crossmodal's synthesis/aHash (r8)
+    "q_crossmodal_clusters",
 }
 
 
