@@ -61,69 +61,76 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # 50 queries whose latest driver row is oldest, with new registrations
 # (evidence-free by construction) leading.
 _GATE_FIRST: tuple[str, ...] = (
-    # ROUND-7 ROTATION (VERDICT.md r6 item 6). Order: (a) q_audio_mfcc —
-    # the r6 hard-ERR row, now long-format and driver-hashable — plus the
-    # five queries CONVERTED to exact oracles this round (their hash
-    # evidence is new by construction: q_quality_classifier /
-    # q_classifier_filter via the recursive-CTE training replay,
-    # q_ann_lsh_topk / q_ann_neardup_lsh via the literal sign-matrix
-    # banding twins, q_mmr_rerank via the greedy recursive CTE); then
-    # (b) every remaining rows-only query (their driver evidence is
-    # row-counts by design — refresh the counts each round); then (c)
-    # the stalest exact-oracle rows (the r02 cohort) to fill the 50-row
-    # budget. The whole registry is ALSO re-verified each session by
-    # full oracle-CLI sweeps (VERIFICATION.md).
-    # round-7 registrations (evidence-free by construction, lead):
-    "q_hard_negatives",
-    "q_hard_negatives_lsh",
-    "q_source_overlap",
-    "q_audio_mfcc",
-    "q_quality_classifier",
-    "q_classifier_filter",
-    "q_ann_lsh_topk",
-    "q_mmr_rerank",
-    "q_ann_neardup_lsh",
-    "q_ann_ivf_search",
-    "q_ann_ivf_topk",
-    "q_ann_ivfpq_build",
-    "q_ann_ivfpq_search",
-    "q_ann_ivfpq_topk",
-    "q_ann_pq_search",
-    "q_ann_pq_topk",
-    "q_approx_distinct",
-    "q_approx_percentiles",
-    "q_audio_dsp",
-    "q_audio_features",
-    "q_bpe_merges",
-    "q_bpe_token_counts",
-    "q_frame_sample",
-    "q_hll_vocab_union",
-    "q_image_ahash_neardup",
-    "q_image_phash_neardup",
-    "q_incremental_semantic_dedup",
-    "q_multimodal_features",
-    "q_pack_sequences",
-    "q_pca_project",
-    "q_semantic_dedup",
-    "q_tokenizer_fertility",
-    "q_dedup_containment",
-    "q_dedup_simhash",
-    "q_dow_profile",
-    "q_funnel_steps",
-    "q_fuzzy_pairs",
-    "q_group_moments",
-    "q_hotspot_grid",
-    "q_hybrid_search",
-    "q_incremental_agg",
-    "q_kernel_smooth",
-    "q_label_centroids",
-    "q_length_histogram",
-    "q_lm_score",
-    "q_longest_sessions",
-    "q_mad_outliers",
-    "q_order_priority_semijoin",
+    # ROUND-8 ROTATION (VERDICT.md r7 item 6). Order: (a) the seven NEW
+    # r8 registrations (evidence-free by construction) — the media-codec
+    # and cross-modal family plus the fold-LTV headline twin; then (b)
+    # the four queries whose PHYSICAL PLANS changed this round (broadcast
+    # -scalar totals, global_cummax/global_rank routing — values are
+    # hash-verified unchanged in this repo's sweeps, but fresh driver
+    # rows close the loop) plus q_payload_chunks (zero-length guard);
+    # then (c) the stalest exact-oracle rows — the r02 cohort, exactly
+    # as VERDICT r7 asked — to fill the 50-row budget. The whole
+    # registry is ALSO re-verified every session by full oracle-CLI
+    # sweeps at sf0.01 AND sf0.1 (VERIFICATION.md).
+    # (a) round-8 registrations:
+    "q_video_mjpeg_features",
+    "q_frame_sample_mjpeg",
+    "q_audio_features_adpcm",
+    "q_pair_curation_crossmodal",
+    "q_incremental_image_neardup",
+    "q_crossmodal_clusters",
+    "q_ltv_fold",
+    # (b) round-8 plan rewrites + guard changes:
+    "q_chi2_independence",
+    "q_cramers_v",
+    "q_skyline_orders",
+    "q_source_gini",
     "q_payload_chunks",
-    "q_pii_scrub",
+    # (c) stalest driver evidence (r02 cohort first, then r03):
+    "q_sessionize",
+    "q_text_repetition",
+    "q_quality_deciles",
+    "q_upsample_mix",
+    "q_weighted_sample",
+    "q_pivot_event_counts",
+    "q_resample_ffill",
+    "q_value_rank_profile",
+    "q_shipping_priority",
+    "q_small_qty_revenue",
+    "q_summaries",
+    "q_skew_salted_join",
+    "q_skew_salted_agg",
+    "q_zorder_cells",
+    "q_quantize_embeddings",
+    "q_pricing_summary",
+    "q_top3_orders_per_customer",
+    "q_source_mix_report",
+    "q_prefix_dedup",
+    "q_token_budget_cap",
+    "q_quality_topp",
+    "q_text_normalize",
+    "q_char_entropy",
+    "q_stop_tokens",
+    "q_langid_confusion",
+    "q_bigram_pmi",
+    "q_bm25_rank",
+    "q_bpe_merge_candidates",
+    "q_psi_drift",
+    "q_global_shuffle_shards",
+    "q_temperature_sample",
+    "q_span_corruption",
+    "q_grouped_kfold",
+    "q_customer_order_distribution",
+    "q_brand_supplier_counts",
+    "q_waiting_orders",
+    "q_idle_customers",
+    "q_knn_label",
+    "q_incremental_neardup",
+    "q_minhash_estimate",
+    "q_rolling_actives",
+    "q_table_stats",
+    "q_volume_shipping",
+    "q_promo_revenue",
 )
 
 
