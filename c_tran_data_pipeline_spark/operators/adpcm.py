@@ -15,9 +15,13 @@ WAV layout (format tag 0x0011, mono): each ``block_align``-byte block is a
 4-byte header (sample0 as int16 LE — emitted verbatim as the first output
 sample — plus the step index and a reserved byte) followed by data bytes
 carrying two 4-bit nibbles each, LOW nibble first. With the standard
-block_align=256 that is 1 + 252·2 = 505 samples per block. The step
-index carries across blocks; the final partial block is zero-padded and
-the ``fact`` chunk's true sample count truncates the decode.
+block_align=256 that is 1 + 252·2 = 505 samples per block. Each block is
+SELF-CONTAINED: the encoder reseeds (predictor, step index) per block
+from the block's first sample, the header carries both, and the decoder
+re-reads them per block — no codec state crosses a block boundary
+(which is what lets the SQL oracle replay blocks independently). The
+final partial block is zero-padded and the ``fact`` chunk's true sample
+count truncates the decode.
 
 No reference-parity citation: /root/reference has no media path; this
 exists for the multimodal surface of the engine.

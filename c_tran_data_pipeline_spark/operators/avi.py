@@ -113,8 +113,12 @@ def make_avi(frames: list[bytes], width: int, height: int, fps: int = 10) -> byt
     idx_entries = []
     for f in frames:
         # idx1 offsets are relative to the start of the 'movi' list type
-        # fourcc (the prevailing convention players accept).
-        idx_entries.append((len(movi_body) - 4, len(f)))
+        # fourcc (the prevailing convention players accept), pointing at
+        # each frame's '00dc' chunk FOURCC — so the first frame sits at
+        # offset 4 (the 4-byte 'movi' fourcc itself occupies 0..3).
+        # ADVICE r8: the earlier `- 4` put frame 0 at offset 0, i.e. at
+        # the 'movi' fourcc, mis-seeking external index-driven players.
+        idx_entries.append((len(movi_body), len(f)))
         movi_body += _chunk(b"00dc", f)
     movi = _chunk(b"LIST", movi_body)
 

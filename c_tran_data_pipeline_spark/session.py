@@ -110,11 +110,25 @@ def index_cache_dir() -> str:
         uid = os.getuid() if hasattr(os, "getuid") else "u"
         path = os.path.join(tempfile.gettempdir(), f"spark_graft_indexes_{uid}")
     os.makedirs(path, mode=0o700, exist_ok=True)
-    # makedirs honors mode only on creation; re-assert on reuse so a
-    # pre-existing lax-mode dir cannot survive as a writable side door.
-    try:
-        if stat.S_IMODE(os.stat(path).st_mode) != 0o700:
-            os.chmod(path, 0o700)
-    except OSError:
-        pass
+    # makedirs(exist_ok=True) accepts a PRE-EXISTING dir regardless of who
+    # owns it, so creation alone doesn't close the pre-creation attack
+    # (ADVICE r8): an attacker who pre-made the path with lax mode and
+    # planted fingerprint-matching artifacts would still silently feed
+    # query outputs. Verify the trust boundary explicitly — lstat (never
+    # follow a planted symlink), must be a real directory, must be OURS —
+    # and re-assert 0700; any failure here is a hard error, not a pass:
+    # serving artifacts from an unverifiable dir is worse than crashing.
+    st = os.lstat(path)
+    if not stat.S_ISDIR(st.st_mode):
+        raise RuntimeError(
+            f"index cache path {path!r} is not a directory (symlink or file "
+            f"planted?) — refusing to serve derived artifacts from it"
+        )
+    if hasattr(os, "getuid") and st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"index cache dir {path!r} is owned by uid {st.st_uid}, not us "
+            f"(uid {os.getuid()}) — pre-created by another user; refusing"
+        )
+    if stat.S_IMODE(st.st_mode) != 0o700:
+        os.chmod(path, 0o700)  # raises on failure — never a silent side door
     return path

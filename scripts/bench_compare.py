@@ -55,6 +55,13 @@ def compare(old: dict, new: dict, threshold: float) -> dict:
             continue
         ratio = round(n / o, 3)
         entry = {"query": name, "ratio": ratio, "old": old_min[name], "new": new_min[name]}
+        if both_cal:
+            # ADVICE r8: 'ratio' is calibrated, so raw old/new alone can't
+            # reproduce it when calibrations differ — carry the calibrated
+            # values too so every entry is self-consistent (ratio ==
+            # new_cal / old_cal to rounding).
+            entry["old_cal"] = round(o, 4)
+            entry["new_cal"] = round(n, 4)
         if ratio > threshold:
             regressed.append(entry)
         elif ratio < 1.0 / threshold:

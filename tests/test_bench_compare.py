@@ -45,3 +45,19 @@ def test_median_fallback_and_zero_guard():
     r = compare(old, new, 1.5)
     assert r["n_stable"] == 1  # 'a' at 1.45×; 'z' skipped (old <= 0)
     assert r["n_regressed"] == 0
+
+
+def test_entries_carry_calibrated_values():
+    """ADVICE r8: regressed/improved entries must be self-consistent —
+    when calibrations differ, raw old/new can't reproduce the calibrated
+    ratio, so each entry carries old_cal/new_cal with ratio == new_cal /
+    old_cal."""
+    old = {"calibration_sec": 0.5, "queries_min": {"a": 1.0, "c": 2.0}}
+    new = {"calibration_sec": 1.0, "queries_min": {"a": 4.0, "c": 0.4}}
+    r = compare(old, new, 1.5)
+    for e in r["regressed"] + r["improved"]:
+        assert "old_cal" in e and "new_cal" in e
+        assert abs(e["ratio"] - e["new_cal"] / e["old_cal"]) < 1e-2
+    assert [e["query"] for e in r["regressed"]] == ["a"]
+    assert r["regressed"][0]["old_cal"] == 2.0  # 1.0 / 0.5
+    assert r["regressed"][0]["new_cal"] == 4.0  # 4.0 / 1.0

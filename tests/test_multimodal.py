@@ -806,6 +806,35 @@ def test_make_avi_parse_avi_roundtrip_and_tolerance():
     torn_w, torn_h, torn_frames = parse_avi(avi[: len(avi) - len(frames[-1]) // 2])
     assert len(torn_frames) < len(frames)  # torn tail dropped, no crash
 
+    # External idx1 convention (ADVICE r8): offsets are relative to the
+    # 'movi' list-type fourcc and point at each frame's '00dc' chunk
+    # FOURCC — so seeking movi_fourcc_pos + offset must land exactly on
+    # b'00dc' for every entry, and the first entry must be 4 (not 0,
+    # which would point at 'movi' itself). This is what an index-driven
+    # player actually does with the offset.
+    import struct
+
+    pos, movi_fourcc_pos = 12, None  # walk top-level RIFF chunks
+    while pos + 8 <= len(avi):
+        ck, sz = avi[pos : pos + 4], struct.unpack("<I", avi[pos + 4 : pos + 8])[0]
+        if ck == b"LIST" and avi[pos + 8 : pos + 12] == b"movi":
+            movi_fourcc_pos = pos + 8
+            break
+        pos += 8 + sz + (sz & 1)
+    assert movi_fourcc_pos is not None
+    idx_pos = avi.rindex(b"idx1")
+    idx_len = struct.unpack("<I", avi[idx_pos + 4 : idx_pos + 8])[0]
+    entries = avi[idx_pos + 8 : idx_pos + 8 + idx_len]
+    assert idx_len == 16 * len(frames)
+    offsets = []
+    for i in range(len(frames)):
+        ck, flags, off, size = struct.unpack("<4sIII", entries[i * 16 : i * 16 + 16])
+        assert ck == b"00dc"
+        assert avi[movi_fourcc_pos + off : movi_fourcc_pos + off + 4] == b"00dc"
+        assert size == len(frames[i])
+        offsets.append(off)
+    assert offsets[0] == 4  # first chunk header sits right after 'movi'
+
 
 def test_mjpeg_gradient_frames_decode_within_codec_error(spark):
     """Non-constant (gradient) frames through the FULL Spark path:
