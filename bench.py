@@ -374,9 +374,12 @@ def main() -> None:
         spec = registry.get(name)
         if spec is None:
             continue
-        if "baseline" in spec.tags:
-            # O(n²) oracle baselines are correctness fixtures, not
-            # throughput claims — never part of the headline metric.
+        if "baseline" in spec.tags or "surface-pin" in spec.tags:
+            # O(n²) oracle baselines are correctness fixtures, and
+            # surface-pins (q_ltv_recursive's native WITH RECURSIVE
+            # path, bit-equal to the q_ltv_fold headline entry) are API
+            # correctness anchors — neither is a throughput claim, so
+            # neither is part of the headline metric (VERDICT r8 #3).
             continue
         runs: list[float] = []
         try:

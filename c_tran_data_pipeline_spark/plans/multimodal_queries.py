@@ -749,10 +749,27 @@ _CROSSMODAL_CTES = r"""
                SUM(b * (CAST(1 AS BIGINT) << CAST((63 - i) % 16 AS INT))) AS slc
         FROM bits GROUP BY 1, 2, 3
     ),
+    ccnt AS (
+        SELECT fam, pert, COUNT(*) AS c FROM d GROUP BY 1, 2
+    ),
+    scell AS (
+        -- per-(band, slice) cell size in DOC space: each (fam, pert)
+        -- class contributes its doc count to the cell its slice lands in
+        SELECT band, slc, SUM(c) AS ssz
+        FROM slices JOIN ccnt USING (fam, pert)
+        GROUP BY 1, 2
+    ),
+    stot AS (SELECT SUM(ssz) AS tot, COUNT(*) AS cells FROM scell),
+    cold AS (
+        -- the hot-slice cap replayed integer-exactly (operators/
+        -- multimodal.py _drop_hot_slices): keep cells with
+        -- size * n_cells <= 8 * total_rows, i.e. size <= 8 x mean
+        SELECT band, slc FROM scell, stot WHERE ssz * cells <= 8 * tot
+    ),
     spairs AS (
         SELECT DISTINCT a.fam * 2 + CAST(a.pert AS INT) AS k1,
                         b.fam * 2 + CAST(b.pert AS INT) AS k2
-        FROM slices a JOIN slices b USING (band, slc)
+        FROM slices a JOIN slices b USING (band, slc) JOIN cold USING (band, slc)
         WHERE a.fam * 2 + CAST(a.pert AS INT) < b.fam * 2 + CAST(b.pert AS INT)
     ),
     hp AS (
@@ -766,7 +783,12 @@ _CROSSMODAL_CTES = r"""
     sham AS (
         SELECT k1, k2, ham FROM hp WHERE ham <= 3
         UNION ALL
-        SELECT k, k, 0 FROM (SELECT DISTINCT fam * 2 + CAST(pert AS INT) AS k FROM d)
+        -- intra-class pairs (identical images) survive the cap iff the
+        -- class keeps >= 1 cold cell, same as the Spark join
+        SELECT k, k, 0 FROM (
+            SELECT DISTINCT fam * 2 + CAST(pert AS INT) AS k
+            FROM slices JOIN cold USING (band, slc)
+        )
     ),
     cand AS (
         SELECT a.doc_id AS a1, b.doc_id AS a2, sham.ham
@@ -907,10 +929,24 @@ def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
                SUM(b * (CAST(1 AS BIGINT) << CAST((63 - i) % 16 AS INT))) AS slc
         FROM bits GROUP BY 1, 2, 3
     ),
+    ccnt AS (
+        SELECT fam, pert, COUNT(*) AS c FROM d GROUP BY 1, 2
+    ),
+    scell AS (
+        SELECT band, slc, SUM(c) AS ssz
+        FROM slices JOIN ccnt USING (fam, pert)
+        GROUP BY 1, 2
+    ),
+    stot AS (SELECT SUM(ssz) AS tot, COUNT(*) AS cells FROM scell),
+    cold AS (
+        -- hot-slice cap sized over the UNION (store + new batch) —
+        -- exactly the doc space the Spark operator sizes; integer-exact
+        SELECT band, slc FROM scell, stot WHERE ssz * cells <= 8 * tot
+    ),
     spairs AS (
         SELECT DISTINCT a.fam * 2 + CAST(a.pert AS INT) AS k1,
                         b.fam * 2 + CAST(b.pert AS INT) AS k2
-        FROM slices a JOIN slices b USING (band, slc)
+        FROM slices a JOIN slices b USING (band, slc) JOIN cold USING (band, slc)
         WHERE a.fam * 2 + CAST(a.pert AS INT) < b.fam * 2 + CAST(b.pert AS INT)
     ),
     hp AS (
@@ -924,7 +960,10 @@ def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     sham AS (
         SELECT k1, k2, ham FROM hp WHERE ham <= 3
         UNION ALL
-        SELECT k, k, 0 FROM (SELECT DISTINCT fam * 2 + CAST(pert AS INT) AS k FROM d)
+        SELECT k, k, 0 FROM (
+            SELECT DISTINCT fam * 2 + CAST(pert AS INT) AS k
+            FROM slices JOIN cold USING (band, slc)
+        )
     )
     SELECT a.doc_id AS a1, b.doc_id AS a2, CAST(sham.ham AS INT) AS hamming
     FROM (SELECT doc_id, fam * 2 + CAST(pert AS INT) AS k FROM d) a

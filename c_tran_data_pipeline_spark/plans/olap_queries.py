@@ -3229,8 +3229,13 @@ _LTV_RECURSIVE_SQL = """
     "lineage, measured 12.0 s vs ~7 s at sf0.1) — ContextCleaner "
     "releases it after collection, so repeated bench runs in one "
     "session no longer accumulate cache entries, and the backing temp "
-    "view is uniquely named and dropped at analysis (ADVICE r6).",
-    tags=("olap", "recursive", "warehouse"),
+    "view is uniquely named and dropped at analysis (ADVICE r6). "
+    "Tagged surface-pin (VERDICT r8 #3): still registered, exact-"
+    "oracled, and driver-gated, but EXCLUDED from the bench headline — "
+    "the one-job-per-recursion-level native path prices scheduler "
+    "latency, not the plan you'd run at 100 TB; q_ltv_fold (bit-equal "
+    "by pinned test) is the headline entry.",
+    tags=("olap", "recursive", "warehouse", "surface-pin"),
 )
 def q_ltv_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.recursion import decayed_ltv

@@ -61,76 +61,73 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # 50 queries whose latest driver row is oldest, with new registrations
 # (evidence-free by construction) leading.
 _GATE_FIRST: tuple[str, ...] = (
-    # ROUND-8 ROTATION (VERDICT.md r7 item 6). Order: (a) the seven NEW
-    # r8 registrations (evidence-free by construction) — the media-codec
-    # and cross-modal family plus the fold-LTV headline twin; then (b)
-    # the four queries whose PHYSICAL PLANS changed this round (broadcast
-    # -scalar totals, global_cummax/global_rank routing — values are
-    # hash-verified unchanged in this repo's sweeps, but fresh driver
-    # rows close the loop) plus q_payload_chunks (zero-length guard);
-    # then (c) the stalest exact-oracle rows — the r02 cohort, exactly
-    # as VERDICT r7 asked — to fill the 50-row budget. The whole
-    # registry is ALSO re-verified every session by full oracle-CLI
-    # sweeps at sf0.01 AND sf0.1 (VERIFICATION.md).
-    # (a) round-8 registrations:
-    "q_video_mjpeg_features",
-    "q_frame_sample_mjpeg",
-    "q_audio_features_adpcm",
+    # ROUND-9 ROTATION (VERDICT.md r8 item 1). Order: (a) the two NEW r9
+    # registrations (evidence-free by construction) — the end-to-end
+    # cross-modal corpus-prep flagship and the incremental IVF-PQ index
+    # append; then (b) the three queries whose PHYSICAL PLANS changed
+    # this round (the hot-slice cap is live in the perceptual-hash
+    # banding family and replayed in their oracles — values are
+    # hash-verified unchanged at both SFs in this repo's sweeps, but
+    # fresh driver rows close the loop); then (c) the FULL r03 cohort —
+    # all 19 exact queries whose latest driver evidence is round 3 —
+    # then (d) the alphabetically-first 26 of the r04 cohort to fill the
+    # 50-row budget. tests/test_evidence_freshness.py makes this
+    # rotation debt a RED TEST: any exact query whose latest committed
+    # CORRECTNESS row is >5 rounds old must be in this round's gate.
+    # (a) round-9 registrations:
+    "q_corpus_prep_crossmodal",
+    "q_ann_ivfpq_append",
+    # (b) round-9 plan changes (hot-slice cap, VERDICT r8 #2):
     "q_pair_curation_crossmodal",
     "q_incremental_image_neardup",
     "q_crossmodal_clusters",
-    "q_ltv_fold",
-    # (b) round-8 plan rewrites + guard changes:
-    "q_chi2_independence",
-    "q_cramers_v",
-    "q_skyline_orders",
-    "q_source_gini",
-    "q_payload_chunks",
-    # (c) stalest driver evidence (r02 cohort first, then r03):
-    "q_sessionize",
-    "q_text_repetition",
-    "q_quality_deciles",
-    "q_upsample_mix",
-    "q_weighted_sample",
-    "q_pivot_event_counts",
-    "q_resample_ffill",
-    "q_value_rank_profile",
-    "q_shipping_priority",
-    "q_small_qty_revenue",
-    "q_summaries",
-    "q_skew_salted_join",
-    "q_skew_salted_agg",
-    "q_zorder_cells",
-    "q_quantize_embeddings",
-    "q_pricing_summary",
-    "q_top3_orders_per_customer",
-    "q_source_mix_report",
-    "q_prefix_dedup",
-    "q_token_budget_cap",
-    "q_quality_topp",
-    "q_text_normalize",
-    "q_char_entropy",
-    "q_stop_tokens",
-    "q_langid_confusion",
-    "q_bigram_pmi",
-    "q_bm25_rank",
-    "q_bpe_merge_candidates",
-    "q_psi_drift",
-    "q_global_shuffle_shards",
-    "q_temperature_sample",
-    "q_span_corruption",
-    "q_grouped_kfold",
-    "q_customer_order_distribution",
-    "q_brand_supplier_counts",
-    "q_waiting_orders",
-    "q_idle_customers",
-    "q_knn_label",
+    # (c) the full r03-stale cohort:
+    "q_debounce_events",
+    "q_debounce_heartbeat",
+    "q_disjunctive_revenue",
+    "q_fk_orphans",
+    "q_important_stock",
     "q_incremental_neardup",
+    "q_min_cost_supplier",
     "q_minhash_estimate",
+    "q_moving_average_24h",
+    "q_neardup_degree",
+    "q_negative_samples",
+    "q_promo_revenue",
+    "q_retrieval_metrics",
     "q_rolling_actives",
+    "q_scd2_history",
+    "q_session_overlap",
+    "q_table_diff",
     "q_table_stats",
     "q_volume_shipping",
-    "q_promo_revenue",
+    # (d) oldest r04 names, alphabetical, filling the 50-row budget:
+    "q_assoc_rules",
+    "q_attribution",
+    "q_autocorr_daily",
+    "q_benford_audit",
+    "q_cdc_chunks",
+    "q_clustering_coeff",
+    "q_conversion_latency",
+    "q_corr_matrix",
+    "q_cusum_changepoint",
+    "q_dataset_card",
+    "q_dedup_prefix_filter",
+    "q_degree_assortativity",
+    "q_dup_span_fraction",
+    "q_event_transitions",
+    "q_hits",
+    "q_incremental_cdc",
+    "q_interarrival_stats",
+    "q_kcore",
+    "q_ks_test",
+    "q_label_prop",
+    "q_large_orders",
+    "q_linkage_score",
+    "q_lm_score_kn",
+    "q_lsh_quality",
+    "q_mann_whitney",
+    "q_modal_priority",
 )
 
 

@@ -39,12 +39,19 @@ from pyspark.sql import functions as F  # noqa: E402
 VOCAB = [f"w{i}" for i in range(31)]
 
 
-def synth_pairs(spark: SparkSession, n: int) -> DataFrame:
+def synth_pairs(spark: SparkSession, n: int, degenerate_frac: float = 0.0) -> DataFrame:
     """n deterministic (image, caption) rows: captions 10-100 tokens over
     the 31-word vocabulary; images 8×8 md5-pixel bodies with family
     id = doc_id % (n//5) and a +40-on-pixel-0 perturbed sibling class
     for every third doc (the q_pair_curation_crossmodal fixture at
-    ladder scale)."""
+    ladder scale).
+
+    ``degenerate_frac``: that fraction of docs instead carry a FLAT
+    (constant-gray) thumbnail — every flat image aHashes to 0 regardless
+    of gray level, so they all collapse into ONE (band, slice) cell per
+    band: the planted hot-slice skew the mean-relative cap
+    (ahash_neardup_pairs max_slice_factor) exists to bound. Without the
+    cap that cell alone emits (frac·n)²/2 candidates."""
     import hashlib
     import struct
 
@@ -60,10 +67,15 @@ def synth_pairs(spark: SparkSession, n: int) -> DataFrame:
     m = max(n // 5, 1)
     header = struct.pack("<4sHHH", b"FAKE", 8, 8, 1)
 
+    degen_mod = int(1 / degenerate_frac) if degenerate_frac else 0
+
     def add_images(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for i in pdf["asset_id"]:
+                if degen_mod and int(i) % degen_mod == degen_mod - 1:
+                    payloads.append(header + bytes([int(i) % 256] * 64))
+                    continue
                 fam, pert = int(i) % m, int(i) % 3 == 0
                 body = bytearray()
                 for blk in range(4):
@@ -108,6 +120,32 @@ def main() -> None:
     ratios = [r[4] for r in rows]
     assert max(ratios) / min(ratios) < 1.5, f"pairs/doc drifted: {ratios}"
     print("OK: pairs/doc stable across 16x ->", [round(r, 3) for r in ratios])
+
+    # Degenerate rungs (VERDICT r8 #2): 10% of docs are flat thumbnails
+    # that ALL aHash to 0 — one hot cell per band. Uncapped, that cell
+    # alone emits (0.1n)²/2 candidates (1.28e10 at the top rung, a dead
+    # cluster); with the default mean-relative cap the plan must stay
+    # LINEAR and the clean pairs/doc band must hold.
+    drows = []
+    for n in (100_000, 400_000, 1_600_000):
+        pairs = synth_pairs(spark, n, degenerate_frac=0.1)
+        t0 = time.perf_counter()
+        out = crossmodal_joint_neardup(pairs, codec="fake", max_ham=3, bands=4)
+        agg = out.agg(
+            F.count(F.lit(1)).alias("pairs"),
+            F.sum(F.col("joint_dup").cast("int")).alias("joint"),
+        ).collect()[0]
+        wall = time.perf_counter() - t0
+        per_doc = agg["pairs"] / n
+        drows.append((n, agg["pairs"], agg["joint"], per_doc, wall))
+        print(
+            f"degen10% docs={n:>9,} pairs={agg['pairs']:>9,} joint={agg['joint']:>6,} "
+            f"pairs/doc={per_doc:.3f} wall={wall:.1f}s",
+            flush=True,
+        )
+    dratios = [r[3] for r in drows]
+    assert max(dratios) / min(dratios) < 1.5, f"degenerate pairs/doc drifted: {dratios}"
+    print("OK: capped degenerate rungs stay linear ->", [round(r, 3) for r in dratios])
 
 
 if __name__ == "__main__":
