@@ -167,6 +167,8 @@ HEADLINE = [
     "q_pair_curation_crossmodal",
     "q_incremental_image_neardup",
     "q_crossmodal_clusters",
+    "q_corpus_prep_crossmodal",
+    "q_ann_ivfpq_append",
 ]
 
 # Queries added to the headline set after round 1; excluded from the

@@ -389,23 +389,44 @@ def ivfpq_index(
         _nearest_cell,
     )
 
-    dsub = None
     train = train_df if train_df is not None else corpus
     cents = _kmeans_rows(train, nlist=nlist, iters=iters, key=key, vec=vec, dim=dim)
     books = train_pq(train, m=m, ksub=ksub, dim=dim or len(cents[0][1]), iters=iters, key=key, vec=vec)
+    encoded = encode_ivfpq(corpus, cents, books, key=key, vec=vec)
+    return cents, books, encoded
+
+
+def encode_ivfpq(
+    corpus: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    books: Codebooks,
+    key: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Encode a batch against FROZEN quantizers — one projection per row
+    (centroids/codebooks as literals, no joins, no training jobs):
+    (neighbor_id, codes, __cv, centroid_id). This is the shared encode
+    of ivfpq_index (full corpus at build) and ivfpq_append (daily
+    batches) — same expression, so an appended row's codes and cell are
+    bit-identical to what a rebuild with the same quantizers assigns."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _as_double as _ad,
+        _nearest_cell,
+    )
+
+    m = len(books)
     dsub = len(books[0][0][1])
     cv = _ad(F.col(vec))
     code_cols = []
     for j in range(m):
         scores = _sub_scores(F.slice(cv, j * dsub + 1, dsub), books[j])
         code_cols.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
-    encoded = corpus.select(
+    return corpus.select(
         F.col(key).alias("neighbor_id"),
         F.array(*code_cols).alias("codes"),
         cv.alias("__cv"),
         _nearest_cell(cv, cents).alias("centroid_id"),
     )
-    return cents, books, encoded
 
 
 def write_ivfpq_index(
@@ -425,6 +446,15 @@ def write_ivfpq_index(
     read_ivfpq_index can validate it so a cached index is never served
     for a different recipe or corpus.
 
+    GENERATION LAYOUT (round 9, for ivfpq_append): the encoded corpus
+    lands in ``path/g000000`` and the sidecar records
+    ``generations: ["g000000"]`` plus the per-cell row histogram, both
+    at build (``base_counts``, the drift baseline) and current
+    (``cell_counts``). Readers open ONLY the sidecar-listed generation
+    dirs, so an append whose parquet landed but whose sidecar bump
+    didn't is invisible — the sidecar stays the single commit marker
+    for builds AND appends.
+
     LOCAL-FILESYSTEM CONTRACT: ``path`` must be a local path — the
     parquet half goes through Spark but the sidecar uses
     open()/os.replace(), so on HDFS/S3 the commit-marker protocol would
@@ -434,10 +464,27 @@ def write_ivfpq_index(
     import os
 
     cents, books, encoded = index
-    encoded.write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+    gen0 = "g000000"
+    encoded.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        os.path.join(path, gen0)
+    )
+    counts = {
+        str(r["centroid_id"]): r["n"]
+        for r in encoded.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
     tmp = os.path.join(path, "_ivfpq_meta.json.__tmp__")
     with open(tmp, "w") as f:
-        json.dump({"centroids": cents, "codebooks": books, "meta": meta}, f)
+        json.dump(
+            {
+                "centroids": cents,
+                "codebooks": books,
+                "meta": meta,
+                "generations": [gen0],
+                "base_counts": counts,
+                "cell_counts": counts,
+            },
+            f,
+        )
     os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
 
 
@@ -452,18 +499,18 @@ def read_ivfpq_index(
     it exactly or a ValueError is raised — the guard against serving an
     index built with different hyperparameters or from a different
     corpus than the caller assumes. Same local-filesystem contract as
-    write_ivfpq_index (sidecar read via open())."""
+    write_ivfpq_index (sidecar read via open()).
+
+    Only SIDECAR-LISTED generation dirs are opened (each its own
+    partitioned scan, unioned by name — cell pruning still reaches each
+    scan as a parquet PartitionFilter), so a torn append — parquet
+    written, sidecar bump lost — is simply never read. Legacy sidecars
+    without ``generations`` fall back to the flat root-scan layout."""
     import json
     import os
+    from functools import reduce
 
-    meta_path = os.path.join(path, "_ivfpq_meta.json")
-    if not os.path.exists(meta_path):
-        raise FileNotFoundError(
-            f"no committed IVF-PQ index at {path} (missing _ivfpq_meta.json "
-            f"sidecar — torn or absent write)"
-        )
-    with open(meta_path) as f:
-        meta = json.load(f)
+    meta = _read_ivfpq_sidecar(path)
     if expect_meta is not None and meta.get("meta") != expect_meta:
         raise ValueError(
             f"IVF-PQ index at {path} was built with different metadata "
@@ -474,7 +521,152 @@ def read_ivfpq_index(
         [(int(cid), [float(x) for x in cent]) for cid, cent in book]
         for book in meta["codebooks"]
     ]
-    return cents, books, spark.read.parquet(path)
+    gens = meta.get("generations")
+    if gens:
+        scans = [spark.read.parquet(os.path.join(path, g)) for g in gens]
+        encoded = reduce(lambda a, b: a.unionByName(b), scans)
+    else:  # pre-generation layout: encoded parquet at the root
+        encoded = spark.read.parquet(path)
+    return cents, books, encoded
+
+
+def _read_ivfpq_sidecar(path: str) -> dict:
+    import json
+    import os
+
+    meta_path = os.path.join(path, "_ivfpq_meta.json")
+    if not os.path.exists(meta_path):
+        raise FileNotFoundError(
+            f"no committed IVF-PQ index at {path} (missing _ivfpq_meta.json "
+            f"sidecar — torn or absent write)"
+        )
+    with open(meta_path) as f:
+        return json.load(f)
+
+
+class IndexStaleError(ValueError):
+    """Raised by ivfpq_append when the cell-size distribution has
+    drifted past the threshold: the frozen coarse quantizer no longer
+    balances the corpus, so appending would keep fattening hot cells
+    (probe cost grows with the largest probed cell). Retrain + rebuild
+    instead of appending."""
+
+
+def ivfpq_append(
+    spark,
+    path: str,
+    new_vectors: DataFrame,
+    key: str = "vec_id",
+    vec: str = "embedding",
+    drift_factor: float = 4.0,
+    expect_meta: dict | None = None,
+    allow_stale: bool = False,
+) -> dict:
+    """Append a batch to a persisted IVF-PQ index with FROZEN quantizers
+    (VERDICT r8 #6 — the daily-ingest contract the slice store and
+    semantic store already honor): assign each new vector to its
+    existing cell, re-encode with the stored codebooks (encode_ivfpq —
+    bit-identical to what a rebuild with the same quantizers assigns,
+    pinned in tests/test_pq.py), land the batch as a NEW generation dir
+    under the partitioned layout, and bump the sidecar LAST — the same
+    sidecar-last commit marker as the build, so a crash at any point
+    leaves the previous committed index fully intact and the torn
+    generation unreferenced (cleaned up by the next successful append).
+
+    STALENESS TRIGGER: the sidecar carries the per-cell histogram at
+    build time (``base_counts``) and currently (``cell_counts``). If
+    appending this batch would push any cell's growth ratio past
+    ``drift_factor`` × the overall corpus growth ratio — i.e. the new
+    data concentrates in cells the quantizer sized for far less — the
+    append raises IndexStaleError BEFORE writing (``allow_stale=True``
+    records the drift in the sidecar and proceeds). Scale rationale:
+    search cost per probe is the probed cells' sizes; uniform growth
+    keeps nprobe/nlist pruning honest, concentrated growth silently
+    degrades toward a flat scan, so drift must be a hard signal, not a
+    log line.
+
+    Returns {"generation", "appended", "total", "max_cell_growth",
+    "overall_growth", "stale"}."""
+    import json
+    import os
+    import shutil
+
+    meta = _read_ivfpq_sidecar(path)
+    if expect_meta is not None and meta.get("meta") != expect_meta:
+        raise ValueError(
+            f"IVF-PQ index at {path} was built with different metadata "
+            f"(stored {meta.get('meta')!r}, expected {expect_meta!r}) — rebuild"
+        )
+    gens = meta.get("generations")
+    if not gens:
+        raise ValueError(
+            f"IVF-PQ index at {path} uses the pre-generation flat layout — "
+            f"rebuild with write_ivfpq_index before appending"
+        )
+    cents = [(int(cid), [float(x) for x in cvec]) for cid, cvec in meta["centroids"]]
+    books: Codebooks = [
+        [(int(cid), [float(x) for x in cent]) for cid, cent in book]
+        for book in meta["codebooks"]
+    ]
+
+    encoded = encode_ivfpq(new_vectors, cents, books, key=key, vec=vec)
+    new_counts = {
+        str(r["centroid_id"]): r["n"]
+        for r in encoded.groupBy("centroid_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    base = {str(k): int(v) for k, v in (meta.get("base_counts") or {}).items()}
+    cur = {str(k): int(v) for k, v in (meta.get("cell_counts") or {}).items()}
+    projected = dict(cur)
+    for c, n in new_counts.items():
+        projected[c] = projected.get(c, 0) + int(n)
+    base_total = max(sum(base.values()), 1)
+    proj_total = sum(projected.values())
+    overall_growth = proj_total / base_total
+    max_cell_growth = max(
+        (projected[c] / max(base.get(c, 0), 1) for c in projected), default=0.0
+    )
+    stale = max_cell_growth > drift_factor * overall_growth
+    if stale and not allow_stale:
+        raise IndexStaleError(
+            f"cell-size drift: max cell growth {max_cell_growth:.2f}x vs "
+            f"overall {overall_growth:.2f}x exceeds drift_factor="
+            f"{drift_factor} — retrain the quantizers (rebuild) instead "
+            f"of appending, or pass allow_stale=True to force"
+        )
+
+    # clean any UNREFERENCED generation dirs (torn appends that wrote
+    # parquet but lost the sidecar bump) so their numbers can be reused
+    committed = set(gens)
+    for entry in os.listdir(path):
+        if (
+            entry.startswith("g")
+            and entry[1:].isdigit()
+            and entry not in committed
+            and os.path.isdir(os.path.join(path, entry))
+        ):
+            shutil.rmtree(os.path.join(path, entry), ignore_errors=True)
+
+    gen_n = max(int(g[1:]) for g in gens) + 1
+    gen = f"g{gen_n:06d}"
+    appended = sum(int(n) for n in new_counts.values())
+    encoded.write.partitionBy("centroid_id").mode("overwrite").parquet(
+        os.path.join(path, gen)
+    )
+    meta["generations"] = [*gens, gen]
+    meta["cell_counts"] = projected
+    meta["stale"] = bool(stale)
+    tmp = os.path.join(path, "_ivfpq_meta.json.__tmp__")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(path, "_ivfpq_meta.json"))
+    return {
+        "generation": gen_n,
+        "appended": appended,
+        "total": proj_total,
+        "max_cell_growth": round(max_cell_growth, 4),
+        "overall_growth": round(overall_growth, 4),
+        "stale": bool(stale),
+    }
 
 
 def ivfpq_search(

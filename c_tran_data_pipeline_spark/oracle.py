@@ -233,6 +233,16 @@ ROWS_ONLY_EVIDENCE: dict[str, str] = {
         "train-in-query q_ann_pq_topk — identical deterministic training "
         "parameters, zero training jobs)"
     ),
+    "q_ann_ivfpq_append": (
+        "tests/test_pq.py::test_ivfpq_append_equals_rebuild_and_commit_protocol "
+        "(append with frozen quantizers is ROW-IDENTICAL to a frozen-quantizer "
+        "rebuild of old∪new; torn generation dirs are invisible to readers and "
+        "reclaimed by the next append; PartitionFilters reach every "
+        "generation's scan) + ::test_ivfpq_append_staleness_trigger (cell-size "
+        "drift raises IndexStaleError BEFORE writing; allow_stale records it) + "
+        "::test_registered_append_query_row_identical_to_frozen_rebuild (the "
+        "registered base-80 + append + search cycle, idempotent per run)"
+    ),
     # q_audio_features graduated to an EXACT DuckDB oracle in round 7
     # (the oracle re-synthesizes the sine PCM sample-for-sample and
     # recomputes every feature, cross-checking the whole WAV

@@ -706,12 +706,15 @@ def q_audio_features_adpcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_features(assets, codec="adpcm")
 
 
-_CROSSMODAL_CTES = r"""
+_CROSSMODAL_CTES_TEMPLATE = r"""
     d AS (
         -- photo family from the caption's 8-word-prefix hash: near-dup
         -- captions (prefix-stable edits) share an image, so
         -- joint_dup=true rows exist; pigeonhole still collides ~5
-        -- unrelated captions per family (the keep-set rows)
+        -- unrelated captions per family (the keep-set rows). The family
+        -- space is sized by the FULL documents count even when the
+        -- source relation is a filtered subset (the Spark side counts
+        -- before filtering, so fam assignment is filter-invariant).
         SELECT doc_id,
                CAST('0x' || substr(md5(array_to_string(
                    string_split_regex(trim(text), '\s+')[1:8], ' ')), 1, 15)
@@ -719,7 +722,7 @@ _CROSSMODAL_CTES = r"""
                    % GREATEST((SELECT COUNT(*) FROM documents) // 5, 1) AS fam,
                doc_id % 3 = 0 AS pert,
                text
-        FROM documents
+        FROM __SRC__
     ),
     px AS (
         -- the synthetic 8x8 body replayed: pixel i = byte (i%16) of
@@ -814,6 +817,18 @@ _CROSSMODAL_CTES = r"""
 """
 
 
+def _crossmodal_ctes(src: str = "documents") -> str:
+    """The shared cross-modal CTE stack (md5 pixels → integer aHash →
+    banding + hot-slice cap → candidates → exact caption Jaccard) with
+    the document source relation pluggable, so the corpus-prep flagship
+    can run it over its langid/quality-filtered ``kept`` CTE while the
+    standalone pair queries keep reading ``documents``."""
+    return _CROSSMODAL_CTES_TEMPLATE.replace("__SRC__", src)
+
+
+_CROSSMODAL_CTES = _crossmodal_ctes()
+
+
 @query(
     "q_pair_curation_crossmodal",
     "WITH "
@@ -856,23 +871,30 @@ _CROSSMODAL_CTES = r"""
     tags=("multimodal", "dedup", "similarity", "udf"),
 )
 def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-
-    from c_tran_data_pipeline_spark.operators.multimodal import (
-        _pack_header,
-        crossmodal_joint_neardup,
-    )
+    from c_tran_data_pipeline_spark.operators.multimodal import crossmodal_joint_neardup
 
     d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
     # Photo-family count scales with the corpus (ONE count job at build
     # time, like the classifier/BPE training queries): ~5 docs share each
     # family, so candidate volume stays linear in corpus size.
     m = max(d.count() // 5, 1)
+    pairs = _synth_crossmodal(d, m)
+    return crossmodal_joint_neardup(pairs, codec="fake", max_ham=3, bands=4)
+
+
+def _synth_crossmodal(d: DataFrame, m: int) -> DataFrame:
+    """(asset_id, payload, caption) from (doc_id, text): the md5-pixel
+    photo-family fixture shared by the whole cross-modal family. The
+    family comes from the caption's 8-word-prefix hash (md5_long recipe:
+    first 15 hex chars as int, mod ``m``) so prefix-stable near-dup
+    captions share the photo — replayed in SQL via the same md5/substr
+    form — and every third doc carries the +40-on-pixel-0 perturbed
+    near-dup sibling."""
+    import hashlib
+
+    from c_tran_data_pipeline_spark.operators.multimodal import _pack_header
 
     def _img(doc_id: int, text: str) -> bytes:
-        # family from the caption's 8-word-prefix hash (md5_long recipe:
-        # first 15 hex chars as int) — prefix-stable near-dup captions
-        # share the photo, replayed in SQL via the same md5/substr form
         pfx = " ".join(text.split()[:8])
         fam = int(hashlib.md5(pfx.encode()).hexdigest()[:15], 16) % m
         pert = doc_id % 3 == 0
@@ -895,8 +917,9 @@ def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    pairs = d.mapInPandas(synthesize, "asset_id long, payload binary, caption string")
-    return crossmodal_joint_neardup(pairs, codec="fake", max_ham=3, bands=4)
+    return d.select("doc_id", "text").mapInPandas(
+        synthesize, "asset_id long, payload binary, caption string"
+    )
 
 
 @query(
@@ -1072,4 +1095,181 @@ def q_crossmodal_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return dedup_clusters(joint).select(
         F.col("doc_id").alias("asset_id"), "component"
+    )
+
+
+def _corpus_prep_crossmodal_sql() -> str:
+    """The full LAION-shape cascade replayed in DuckDB: langid + quality
+    floor (shared CASE expressions), the cross-modal CTE stack over the
+    KEPT subset (md5 pixels → integer aHash → banding with the
+    hot-slice cap → exact caption Jaccard), the recursive-CTE joint
+    transitive closure, min-id representative keep/drop, per-source
+    quality quota, and the greedy pack fold as a second recursive CTE
+    (one doc per shard per level, overflow-reset running total)."""
+    from c_tran_data_pipeline_spark.plans.text_queries import (
+        langid_case_sql,
+        quality_sql,
+    )
+
+    return (
+        "WITH RECURSIVE scored AS (\n"
+        f"    SELECT doc_id, source, text, {langid_case_sql()} AS pred_lang,\n"
+        f"           {quality_sql()} AS quality\n"
+        "    FROM documents\n"
+        "),\n"
+        # MATERIALIZED: DuckDB inlines CTEs by default, and `kept` is
+        # referenced by the whole cross-modal stack (d -> px/bits/slices
+        # and the per-spair correlated hamming subquery) plus the
+        # survivor join — inlined, the langid/quality CASE cascade
+        # re-evaluates per reference and the sf0.1 oracle ran >25 min;
+        # materialized once it matches the Spark plan's localCheckpoint.
+        "kept AS MATERIALIZED (\n"
+        "    SELECT doc_id, source, text, quality FROM scored\n"
+        "    WHERE pred_lang = 'en' AND quality >= 0.2\n"
+        "),\n"
+        + _crossmodal_ctes("kept")
+        + r""",
+    jp AS (
+        SELECT c.a1, c.a2
+        FROM cand c
+        LEFT JOIN sizes z1 ON z1.doc_id = c.a1
+        LEFT JOIN sizes z2 ON z2.doc_id = c.a2
+        LEFT JOIN inter i ON i.a1 = c.a1 AND i.a2 = c.a2
+        WHERE COALESCE(i.nc, 0) * 2 >=
+                  COALESCE(z1.n, 0) + COALESCE(z2.n, 0) - COALESCE(i.nc, 0)
+          AND COALESCE(z1.n, 0) + COALESCE(z2.n, 0) - COALESCE(i.nc, 0) > 0
+    ),
+    edges AS (SELECT a1 AS a, a2 AS b FROM jp UNION SELECT a2, a1 FROM jp),
+    reach(node, lbl) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT e.a, r.lbl FROM edges e JOIN reach r ON e.b = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(lbl) AS component FROM reach GROUP BY node),
+    surv AS (
+        SELECT k.* FROM kept k LEFT JOIN comp c ON k.doc_id = c.doc_id
+        WHERE c.doc_id IS NULL OR c.component = k.doc_id
+    ),
+    capped AS (
+        SELECT doc_id, text FROM (
+            SELECT s.*, ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY quality DESC, doc_id) AS rn
+            FROM surv s
+        ) WHERE rn <= 15
+    ),
+    counted AS (
+        SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+               CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 16 AS shard
+        FROM capped
+    ),
+    idxd AS (
+        SELECT shard, doc_id, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS idx
+        FROM counted
+    ),
+    rec AS (
+        SELECT shard, 0::BIGINT AS idx, CAST(NULL AS BIGINT) AS doc_id,
+               CAST(NULL AS BIGINT) AS n_tokens, 0::BIGINT AS pack_seq,
+               0::BIGINT AS cur_tok
+        FROM (SELECT DISTINCT shard FROM idxd)
+        UNION ALL
+        SELECT r.shard, r.idx + 1, dd.doc_id, dd.n_tokens,
+               CASE WHEN r.cur_tok > 0 AND r.cur_tok + dd.n_tokens > 512
+                    THEN r.pack_seq + 1 ELSE r.pack_seq END,
+               CASE WHEN r.cur_tok > 0 AND r.cur_tok + dd.n_tokens > 512
+                    THEN dd.n_tokens ELSE r.cur_tok + dd.n_tokens END
+        FROM rec r JOIN idxd dd ON dd.shard = r.shard AND dd.idx = r.idx + 1
+    )
+    SELECT shard, CAST(pack_seq AS INT) AS pack_seq,
+           string_agg(doc_id, ',' ORDER BY idx) AS doc_ids_csv,
+           CAST(COUNT(*) AS INT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           (SUM(n_tokens) > 512) AS overflow
+    FROM rec WHERE idx >= 1
+    GROUP BY shard, pack_seq
+    """
+    )
+
+
+@query(
+    "q_corpus_prep_crossmodal",
+    _corpus_prep_crossmodal_sql(),
+    doc="The end-to-end MULTIMODAL training-data prep (VERDICT r8 #5) — "
+    "the LAION-shape run a real (image, caption) corpus user does, as "
+    "ONE registered cascade, the cross-modal twin of "
+    "q_corpus_prep_neardup: langid -> quality floor (cheap text "
+    "signals FIRST, so only surviving docs' images are ever decoded "
+    "-> the scale-correct stage order) -> real aHash decode of the "
+    "kept docs' images -> banded hamming-LSH with the hot-slice cap "
+    "-> exact caption 3-gram Jaccard on the candidate set -> joint "
+    "verdict -> connected components over joint dups (min-id "
+    "representative kept) -> per-source quality quota (15/source) -> "
+    "greedy 512-token sequence packing across 16 hash shards. EXACT "
+    "oracle: every stage already has a proven replay (langid/quality "
+    "CASE expressions, md5-pixel integer aHash + cap CTEs, "
+    "recursive-CTE transitive closure, ROW_NUMBER quota, recursive "
+    "pack fold), composed here into one WITH RECURSIVE statement with "
+    "TWO recursive CTEs — so a cross-stage checkpoint/reuse mistake "
+    "anywhere in the cascade moves the final pack hash. The kept set "
+    "is one lazy localCheckpoint consumed by image synth, survivor "
+    "join, quota, and pack (the silver-layer materialization).",
+    tags=("curation", "multimodal", "dedup", "graph", "packing", "pipeline", "udf"),
+)
+def q_corpus_prep_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from c_tran_data_pipeline_spark.functions.text import lang_id, quality_score
+    from c_tran_data_pipeline_spark.operators.curation import domain_cap
+    from c_tran_data_pipeline_spark.operators.graph import dedup_clusters
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        crossmodal_joint_neardup,
+    )
+    from c_tran_data_pipeline_spark.operators.packing import pack_sequences
+
+    d = spread(load_table(spark, sf_dir, "documents"))
+    # family space sized by the FULL corpus (one count job), so fam
+    # assignment is invariant to the quality filter — matches the oracle
+    m = max(d.count() // 5, 1)
+    scored = d.select(
+        "doc_id",
+        "source",
+        "text",
+        lang_id("text").alias("pred_lang"),
+        quality_score("text").alias("quality"),
+    )
+    # kept is consumed FOUR times (image synth, survivor join, quota,
+    # pack) — lazy checkpoint materializes the scan->score->filter
+    # cascade once, as a byproduct of the CC loop's first eager action.
+    kept = (
+        scored.filter((F.col("pred_lang") == "en") & (F.col("quality") >= 0.2))
+        .drop("pred_lang")
+        .localCheckpoint(eager=False)
+    )
+    assets = _synth_crossmodal(kept, m)
+    pairs = crossmodal_joint_neardup(assets, codec="fake", max_ham=3, bands=4)
+    joint = pairs.filter(F.col("joint_dup")).select(
+        F.col("a1").alias("d1"), F.col("a2").alias("d2")
+    )
+    comp = dedup_clusters(joint)
+    survivors = (
+        kept.join(comp, on="doc_id", how="left")
+        .filter(F.col("component").isNull() | (F.col("component") == F.col("doc_id")))
+        .drop("component")
+    )
+    capped = domain_cap(
+        survivors,
+        domain="source",
+        order_by=[F.col("quality").desc(), F.col("doc_id").asc()],
+        cap=15,
+    )
+    packed = pack_sequences(capped, max_tokens=512, shards=16)
+    return packed.select(
+        "shard",
+        "pack_seq",
+        F.concat_ws(",", F.transform("doc_ids", lambda x: x.cast("string"))).alias(
+            "doc_ids_csv"
+        ),
+        "n_docs",
+        "total_tokens",
+        "overflow",
     )

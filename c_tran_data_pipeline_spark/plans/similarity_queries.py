@@ -1265,6 +1265,127 @@ def q_ann_ivf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivfpq80_meta(sf_dir: str) -> dict:
+    return {
+        "params": _IVFPQ_PARAMS,
+        "fixture": _ivfpq_fixture_fingerprint(sf_dir),
+        "subset": "vec_id % 10 < 8",
+    }
+
+
+def _ivfpq80_cache_path(sf_dir: str) -> str:
+    import hashlib
+    import json as _json
+    import os
+
+    tag = hashlib.md5(
+        _json.dumps(
+            {"sf_dir": os.path.abspath(sf_dir), "params": _IVFPQ_PARAMS, "subset": 80},
+            sort_keys=True,
+        ).encode()
+    ).hexdigest()[:10]
+    base = os.path.basename(sf_dir.rstrip("/")) or "sf"
+    from c_tran_data_pipeline_spark.session import index_cache_dir
+
+    return os.path.join(index_cache_dir(), f"ivfpq80_{base}_{tag}")
+
+
+def _ensure_ivfpq80(spark: SparkSession, sf_dir: str) -> str:
+    """Committed BASE index over the historical 80% of the corpus — the
+    thing a daily-ingest user already has on disk before today's batch
+    arrives. Built/validated exactly like _ensure_ivfpq (pid-unique temp
+    + whole-directory swap, sidecar recipe + fixture fingerprint)."""
+    import json as _json
+    import os
+    import shutil
+
+    from c_tran_data_pipeline_spark.operators.pq import (
+        deterministic_sample,
+        ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    path = _ivfpq80_cache_path(sf_dir)
+    try:
+        with open(os.path.join(path, "_ivfpq_meta.json")) as f:
+            rec = _json.load(f)
+        # only a pristine single-generation base is reusable (a prior
+        # crashed run may have committed appends into the cache copy)
+        if rec.get("meta") == _ivfpq80_meta(sf_dir) and rec.get("generations") == [
+            "g000000"
+        ]:
+            return path
+    except (OSError, ValueError):
+        pass
+    p = _IVFPQ_PARAMS
+    base = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") % 10 < 8)
+    idx = ivfpq_index(
+        base,
+        m=p["m"],
+        ksub=p["ksub"],
+        nlist=p["nlist"],
+        iters=p["iters"],
+        dim=p["dim"],
+        train_df=deterministic_sample(base, mod=p["train_sample_mod"], key="vec_id"),
+    )
+    tmp = f"{path}.build-{os.getpid()}"
+    write_ivfpq_index(idx, tmp, meta=_ivfpq80_meta(sf_dir))
+    shutil.rmtree(path, ignore_errors=True)
+    os.rename(tmp, path)
+    return path
+
+
+@query(
+    "q_ann_ivfpq_append",
+    None,  # the append path writes + reads a persisted index — not
+    # SQL-expressible; the incremental == rebuild-equivalence pin, the
+    # torn-generation commit protocol, and the drift trigger live in
+    # tests/test_pq.py
+    doc="Incremental IVF-PQ index MAINTENANCE (operators/pq.py "
+    "ivfpq_append — VERDICT r8 #6): the daily-ingest cycle a "
+    "production vector store runs. The base index over the historical "
+    "80% of the corpus is committed once (sampled training happens "
+    "only there); each call then copies that committed base to a "
+    "working dir (so the cycle is idempotent per run), appends "
+    "today's 20% batch with FROZEN quantizers — assign to existing "
+    "cells, re-encode with the stored codebooks, land as a NEW "
+    "generation dir under the partitionBy(centroid_id) layout, "
+    "sidecar bump LAST as the commit marker — and searches the "
+    "appended index (20 queries, k=3, nprobe=4, static cell pruning "
+    "-> parquet PartitionFilters on every generation's scan). ZERO "
+    "training jobs on the append path; per-batch cost scales with "
+    "the BATCH, like the slice-store and semantic-store ingests. The "
+    "cell-size drift trigger (any cell growing past drift_factor x "
+    "overall growth raises IndexStaleError before writing) is "
+    "exercised with allow_stale-off in tests/test_pq.py; here the "
+    "uniform fixture batch is legitimately balanced, and appended "
+    "search results are row-identical to a frozen-quantizer rebuild "
+    "(pinned).",
+    tags=("similarity", "topk", "quantize", "incremental"),
+)
+def q_ann_ivfpq_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import shutil
+
+    from c_tran_data_pipeline_spark.operators.pq import (
+        ivfpq_append,
+        ivfpq_search,
+        read_ivfpq_index,
+    )
+
+    base_path = _ensure_ivfpq80(spark, sf_dir)
+    work = f"{base_path}.append-{os.getpid()}"
+    shutil.rmtree(work, ignore_errors=True)
+    shutil.copytree(base_path, work)
+    emb = load_table(spark, sf_dir, "embeddings")
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    ivfpq_append(spark, work, new, drift_factor=8.0, allow_stale=True)
+    idx = read_ivfpq_index(spark, work, expect_meta=_ivfpq80_meta(sf_dir))
+    return ivfpq_search(
+        idx, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, rerank_factor=8
+    )
+
+
 _MMR_ORACLE = """
     WITH RECURSIVE topk AS (
         SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,

@@ -49,6 +49,9 @@ SORT_KEYS = {
     "q_tokenizer_fertility": ["source"],
     "q_audio_mfcc": ["asset_id", "coef_idx"],
     "q_hll_vocab_union": ["source"],
+    # round-9: incremental IVF-PQ append (base-80 build + batch append +
+    # search — same result shape as the other ANN searches)
+    "q_ann_ivfpq_append": ["query_id", "rank"],
 }
 
 

@@ -256,3 +256,163 @@ def test_sampled_training_recall_does_not_collapse(spark):
     e = {(r.query_id, r.neighbor_id) for r in _exact_l2_topk(emb, queries).collect()}
     recall = len(a & e) / len(e)
     assert recall >= 0.35, f"sampled-train ivfpq recall@3 collapsed: {recall:.2f}"
+
+
+def test_ivfpq_append_equals_rebuild_and_commit_protocol(spark, tmp_path):
+    """Incremental index maintenance (VERDICT r8 #6): (1) appending a
+    batch with FROZEN quantizers is bit-equivalent to rebuilding the
+    encoded corpus with those same quantizers — searches over the
+    appended on-disk index are row-identical to searches over the
+    in-memory old∪new encode; (2) the sidecar-last commit marker covers
+    appends: a torn append (generation parquet written, sidecar bump
+    lost) is invisible to readers and cleaned by the next successful
+    append; (3) static cell pruning still reaches every generation's
+    scan as a parquet PartitionFilter."""
+    import os
+    import shutil
+
+    from c_tran_data_pipeline_spark.operators.pq import (
+        encode_ivfpq,
+        ivfpq_append,
+        ivfpq_index,
+        ivfpq_search,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    old = emb.filter(F.col("vec_id") % 10 < 8)
+    new = emb.filter(F.col("vec_id") % 10 >= 8)
+    queries = emb.filter(F.col("vec_id") < 20)
+    path = str(tmp_path / "ivfpq")
+
+    cents, books, _ = idx = ivfpq_index(old, m=8, ksub=16, nlist=16, iters=2, dim=64)
+    write_ivfpq_index(idx, path)
+    n_old = read_ivfpq_index(spark, path)[2].count()
+
+    stats = ivfpq_append(spark, path, new)
+    assert stats["generation"] == 1 and not stats["stale"]
+    disk = read_ivfpq_index(spark, path)
+    assert disk[2].count() == n_old + stats["appended"] == emb.count()
+
+    got = sorted(
+        map(tuple, ivfpq_search(disk, queries, k=3, nprobe=4, rerank_factor=8).collect())
+    )
+    rebuilt = (cents, books, encode_ivfpq(old.unionByName(new), cents, books))
+    want = sorted(
+        map(tuple, ivfpq_search(rebuilt, queries, k=3, nprobe=4, rerank_factor=8).collect())
+    )
+    assert got == want  # append == rebuild with the same frozen quantizers
+
+    # pruning reaches the generation scans
+    plan = (
+        ivfpq_search(disk, queries, k=3, nprobe=4, rerank_factor=8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PartitionFilters" in plan
+    assert "centroid_id" in plan.split("PartitionFilters", 1)[1][:300]
+
+    # torn append: write the NEXT generation's parquet by hand, no bump
+    sidecar = os.path.join(path, "_ivfpq_meta.json")
+    before = open(sidecar).read()
+    encode_ivfpq(new, cents, books).write.partitionBy("centroid_id").parquet(
+        os.path.join(path, "g000002")
+    )
+    assert read_ivfpq_index(spark, path)[2].count() == emb.count()  # unreferenced → unread
+    assert open(sidecar).read() == before
+    # the next successful append reclaims the torn dir's number
+    stats2 = ivfpq_append(spark, path, new.limit(5))
+    assert stats2["generation"] == 2
+    assert read_ivfpq_index(spark, path)[2].count() == emb.count() + 5
+
+    # flat (pre-generation) layouts refuse to append
+    flat = str(tmp_path / "flat")
+    idx[2].write.partitionBy("centroid_id").parquet(flat)
+    import json as _json
+
+    with open(os.path.join(flat, "_ivfpq_meta.json"), "w") as f:
+        _json.dump({"centroids": cents, "codebooks": books, "meta": None}, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pre-generation"):
+        ivfpq_append(spark, flat, new)
+    shutil.rmtree(flat)
+
+
+def test_ivfpq_append_staleness_trigger(spark, tmp_path):
+    """Cell-size drift forces retrain: a batch concentrated in one cell
+    (every row a copy of one stored vector) pushes that cell's growth
+    far past drift_factor × overall growth → IndexStaleError BEFORE any
+    write; allow_stale=True proceeds and records stale in the sidecar."""
+    import json as _json
+    import os
+
+    import pytest as _pytest
+
+    from c_tran_data_pipeline_spark.operators.pq import (
+        IndexStaleError,
+        ivfpq_append,
+        ivfpq_index,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    path = str(tmp_path / "ivfpq")
+    idx = ivfpq_index(emb, m=8, ksub=16, nlist=16, iters=2, dim=64)
+    write_ivfpq_index(idx, path)
+
+    v0 = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    skewed = spark.range(100_000, 100_000 + n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(float(x)) for x in v0]).alias("embedding"),
+    )
+    with _pytest.raises(IndexStaleError, match="drift"):
+        ivfpq_append(spark, path, skewed)
+    # nothing was written: the committed index is untouched
+    assert read_ivfpq_index(spark, path)[2].count() == n
+    meta = _json.load(open(os.path.join(path, "_ivfpq_meta.json")))
+    assert meta["generations"] == ["g000000"] and "stale" not in meta
+
+    stats = ivfpq_append(spark, path, skewed, allow_stale=True)
+    assert stats["stale"] and stats["max_cell_growth"] > 4.0 * stats["overall_growth"]
+    meta = _json.load(open(os.path.join(path, "_ivfpq_meta.json")))
+    assert meta["stale"] is True
+    assert read_ivfpq_index(spark, path)[2].count() == 2 * n
+
+
+def test_registered_append_query_row_identical_to_frozen_rebuild(spark, tmp_path, monkeypatch):
+    """The REGISTERED q_ann_ivfpq_append (base-80 committed index +
+    20%-batch append + search) returns exactly what a frozen-quantizer
+    rebuild over the full corpus returns — the same-recipe equivalence,
+    through the real cache/commit path end to end."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    from c_tran_data_pipeline_spark.operators.pq import (
+        encode_ivfpq,
+        ivfpq_search,
+        read_ivfpq_index,
+    )
+    from c_tran_data_pipeline_spark.plans.similarity_queries import (
+        _ensure_ivfpq80,
+        q_ann_ivfpq_append,
+    )
+
+    got = sorted(map(tuple, q_ann_ivfpq_append(spark, SF_SMOKE).collect()))
+
+    cents, books, _ = read_ivfpq_index(spark, _ensure_ivfpq80(spark, SF_SMOKE))
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    rebuilt = (cents, books, encode_ivfpq(emb, cents, books))
+    want = sorted(
+        map(
+            tuple,
+            ivfpq_search(
+                rebuilt, emb.filter(F.col("vec_id") < 20), k=3, nprobe=4, rerank_factor=8
+            ).collect(),
+        )
+    )
+    assert got == want
+    # idempotent per run: a second call re-copies the base and lands on
+    # the same rows (no unbounded growth of the cached index)
+    again = sorted(map(tuple, q_ann_ivfpq_append(spark, SF_SMOKE).collect()))
+    assert again == got

@@ -224,6 +224,15 @@ _ALLOWED_SCALAR_BROADCAST = {
     # window — see _BOUNDED_GLOBAL_WINDOW_NOTES)
     "q_chi2_independence",
     "q_cramers_v",
+    # 1-row (total slice rows, n cells) scalar re-entering as the
+    # hot-slice cap threshold (r9: _drop_hot_slices in the aHash
+    # banding family — the integer size*cells <= factor*total compare)
+    "q_pair_curation_crossmodal",
+    "q_incremental_image_neardup",
+    "q_crossmodal_clusters",
+    "q_corpus_prep_crossmodal",
+    "q_image_ahash_neardup",
+    "q_image_phash_neardup",
 }
 
 
@@ -297,6 +306,10 @@ _ALLOWED_PYTHON = {
     "q_incremental_image_neardup",
     # composes q_pair_curation_crossmodal's synthesis/aHash (r8)
     "q_crossmodal_clusters",
+    # the end-to-end cross-modal corpus prep (r9): md5-pixel synthesis +
+    # aHash (mapInPandas) + the greedy pack fold (applyInPandas) — the
+    # relational middle (banding joins, Jaccard, CC, quota) stays JVM
+    "q_corpus_prep_crossmodal",
 }
 
 
