@@ -2,7 +2,7 @@
 # The oracle corpus is verified at BOTH sf0.01 (the driver's gate SF)
 # and sf0.1 (the bench SF); VERIFICATION.md records the latest results.
 
-.PHONY: test oracle oracle-sf01 bench verify
+.PHONY: test oracle oracle-sf01 bench bench-compare verify
 
 test:
 	python -m pytest tests/ -x -q
@@ -20,4 +20,13 @@ oracle-sf01:
 bench:
 	python bench.py
 
-verify: test oracle oracle-sf01 bench
+# Round-over-round bench adjudication (VERDICT r8 #4): classify every
+# common query of the newest committed BENCH_DETAIL_r*.json vs the
+# fresh BENCH_DETAIL.json in calibrated fixed-work units (1.5x
+# threshold). Exits nonzero iff any query is REGRESSED, so an
+# unadjudicated slowdown gates the round mechanically; the per-round
+# classification is committed as BENCH_COMPARE_r{N}.json.
+bench-compare:
+	python scripts/bench_compare.py `ls BENCH_DETAIL_r*.json | sort | tail -1` BENCH_DETAIL.json
+
+verify: test oracle oracle-sf01 bench bench-compare

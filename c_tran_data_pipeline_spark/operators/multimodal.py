@@ -1201,8 +1201,6 @@ def crossmodal_joint_neardup(
     LSH-bounded candidate set (two hash equi-joins on asset_id);
     captions are short by nature — for document-length payloads use the
     shared-shingle inverted-index form in operators/dedup.py instead."""
-    from c_tran_data_pipeline_spark.functions.text import shingles
-
     hashes = image_ahash(pairs.select("asset_id", "payload"), codec=codec)
     img = ahash_neardup_pairs(
         hashes, max_ham=max_ham, bands=bands, max_slice_factor=max_slice_factor
@@ -1214,18 +1212,40 @@ def crossmodal_joint_neardup(
     # spark.driver.maxResultSize; with the hints the plan is two shuffled
     # hash joins and the rung completes). Broadcast stays right only for
     # bounded relations; a corpus never is.
-    caps = pairs.select(F.col("asset_id"), shingles("caption", ngram).alias("sh"))
-    j = img.join(
-        caps.select(F.col("asset_id").alias("a1"), F.col("sh").alias("sh1")).hint(
-            "shuffle_hash"
-        ),
-        "a1",
-    ).join(
-        caps.select(F.col("asset_id").alias("a2"), F.col("sh").alias("sh2")).hint(
-            "shuffle_hash"
-        ),
-        "a2",
+    caps = pairs.select("asset_id", "caption")
+    return _caption_joint_verdict(
+        img, caps, ngram, joint_num, joint_den, hint="shuffle_hash"
     )
+
+
+def _caption_joint_verdict(
+    img: DataFrame,
+    caps: DataFrame,
+    ngram: int,
+    joint_num: int,
+    joint_den: int,
+    hint: str | None,
+) -> DataFrame:
+    """Join (a1, a2, hamming) image candidates to caption shingles and
+    emit the joint verdict: (a1, a2, hamming, caption_jaccard,
+    joint_dup) with the threshold evaluated as the exact integer
+    comparison ``inter·den ≥ union·num`` (no float edge — the single
+    implementation both the batch and incremental cross-modal operators
+    route through, so their equivalence pin compares one code path
+    against itself plus the candidate-set delta).
+
+    ``hint``: "shuffle_hash" when ``caps`` is corpus-sized (the batch
+    operator); None when the caller has already restricted ``caps`` to
+    the LSH candidate ids (the incremental operator) and the bounded
+    side should broadcast."""
+    from c_tran_data_pipeline_spark.functions.text import shingles
+
+    sh = caps.select(F.col("asset_id"), shingles("caption", ngram).alias("sh"))
+    s1 = sh.select(F.col("asset_id").alias("a1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("asset_id").alias("a2"), F.col("sh").alias("sh2"))
+    if hint is not None:
+        s1, s2 = s1.hint(hint), s2.hint(hint)
+    j = img.join(s1, "a1").join(s2, "a2")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     union = F.size("sh1") + F.size("sh2") - inter
     jac = F.when(union > 0, inter.cast("double") / union.cast("double")).otherwise(
@@ -1240,3 +1260,67 @@ def crossmodal_joint_neardup(
             "joint_dup"
         ),
     )
+
+
+def crossmodal_incremental_neardup(
+    new_pairs: DataFrame,
+    slice_store: DataFrame,
+    caption_store: DataFrame,
+    codec: str = "fake",
+    max_ham: int = 3,
+    bands: int = 4,
+    ngram: int = 3,
+    joint_num: int = 1,
+    joint_den: int = 2,
+    max_slice_factor: int | None = 8,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Cross-modal (image, caption) near-dup verdicts for a NEW batch
+    against an already-indexed corpus — the daily-ingest form of
+    ``crossmodal_joint_neardup``: only the new batch's payloads decode
+    and hash (``incremental_image_neardup`` probes the persisted
+    (id, h, band, slice) table), and the caption store carries caption
+    STRINGS, never pixels, so the old corpus' media bytes are untouched.
+
+    Input: ``new_pairs`` (asset_id, payload, caption); ``slice_store``
+    from ``ahash_band_slices`` over everything ingested so far;
+    ``caption_store`` (asset_id, caption) for the same ids.
+
+    Returns ``(verdicts, updated_slices, updated_captions)``: verdicts
+    is every image near-dup candidate pair with ≥1 new endpoint —
+    new×old AND new×new — carrying the same columns as the batch
+    operator (a1, a2, hamming, caption_jaccard, joint_dup). The
+    hot-slice cap sizes cells over store ∪ batch (exactly what a batch
+    run over old ∪ new sizes), so incremental == batch is exact: these
+    are bit-for-bit the rows ``crossmodal_joint_neardup(old ∪ new)``
+    adds over ``crossmodal_joint_neardup(old)`` (pinned in
+    tests/test_crossmodal_ingest.py).
+
+    Scale: per-batch cost is O(|new|) decode+hash, the (band, slice)
+    probe join against the store, and ONE broadcast semi-join
+    restricting the caption table to the LSH-bounded candidate ids
+    (bounded by the hot-slice cap) before any shingling — the caption
+    Jaccard never touches non-candidate rows."""
+    img_pairs, updated_slices = incremental_image_neardup(
+        new_pairs.select("asset_id", "payload"),
+        slice_store,
+        codec=codec,
+        max_ham=max_ham,
+        bands=bands,
+        max_slice_factor=max_slice_factor,
+    )
+    caps_all = caption_store.select("asset_id", "caption").unionByName(
+        new_pairs.select("asset_id", "caption")
+    )
+    # Candidate ids are LSH-bounded (and capped) — broadcast them so the
+    # corpus-sized caption store is restricted by a map-side semi-join
+    # before shingling; only candidate captions ship shingle arrays.
+    ids = (
+        img_pairs.select(F.col("a1").alias("asset_id"))
+        .unionByName(img_pairs.select(F.col("a2").alias("asset_id")))
+        .distinct()
+    )
+    caps_cand = caps_all.join(F.broadcast(ids), "asset_id", "left_semi")
+    verdicts = _caption_joint_verdict(
+        img_pairs, caps_cand, ngram, joint_num, joint_den, hint=None
+    )
+    return verdicts, updated_slices, caps_all
