@@ -1300,6 +1300,8 @@ def crossmodal_incremental_neardup(
     restricting the caption table to the LSH-bounded candidate ids
     (bounded by the hot-slice cap) before any shingling — the caption
     Jaccard never touches non-candidate rows."""
+    from c_tran_data_pipeline_spark.session import persist_once
+
     img_pairs, updated_slices = incremental_image_neardup(
         new_pairs.select("asset_id", "payload"),
         slice_store,
@@ -1308,6 +1310,15 @@ def crossmodal_incremental_neardup(
         bands=bands,
         max_slice_factor=max_slice_factor,
     )
+    # The candidate relation is consumed THREE times below (the
+    # broadcast id build + the verdict join's probe side) and its
+    # lineage contains the batch decode + the probe join — without a
+    # pin each consumer re-runs that pipeline (measured 25 s → 9 s per
+    # 500-asset batch at the 10k-store ladder rung). It is LSH-bounded
+    # and capped, so the pin is candidate-sized, never corpus-sized;
+    # ContextCleaner reclaims it when the frame goes out of scope
+    # (the q_ltv_recursive lifecycle).
+    img_pairs = persist_once(img_pairs)
     caps_all = caption_store.select("asset_id", "caption").unionByName(
         new_pairs.select("asset_id", "caption")
     )
