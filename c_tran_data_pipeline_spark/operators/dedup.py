@@ -259,23 +259,32 @@ def incremental_neardup(
 
     Scale: this is the daily-ingest near-dup shape — per-batch cost is
     O(|new|) hashing plus an equi-join of the new buckets against the
-    store on (band, bucket). Persist the store partitioned/bucketed by
-    (band, bucket) (sinks/bucketed.py) and the probe join co-locates
-    with zero shuffle on the stored side; the store carries ~bands
+    store on (band, bucket). The probe is SPLIT into new×store + new×new
+    (a bag-union decomposition of the old new×(store ∪ new) join —
+    identical pair set after the canonical distinct) precisely so the
+    store side keeps its own storage layout: a union would erase it and
+    force an O(corpus) reshuffle of the store EVERY batch, turning the
+    O(new) promise into O(corpus) network. Persist the store bucketed by
+    (band, bucket) (sinks/bucketed.py) and the probe join reads
+    co-located buckets with ZERO Exchange on the stored side (pinned on
+    the executed plan in tests/test_scale.py); the store carries ~bands
     32-byte rows per doc, never text. The caller appends
     ``updated_store``'s new rows (or writes the returned frame) — the
     operator itself stays side-effect-free."""
     nb = minhash_buckets(new_docs, payload, key, num_hashes, bands, n)
-    all_b = bucket_store.select(key, "band", "bucket").unionByName(nb)
+    store = bucket_store.select(key, "band", "bucket")
+    all_b = store.unionByName(nb)
     a = nb.alias("a")
-    b = all_b.alias("b")
-    ka, kb = F.col(f"a.{key}"), F.col(f"b.{key}")
-    pairs = (
-        a.join(b, on=["band", "bucket"])
-        .filter(ka != kb)
-        .select(F.least(ka, kb).alias("d1"), F.greatest(ka, kb).alias("d2"))
-        .distinct()
-    )
+    ka = F.col(f"a.{key}")
+
+    def _canon(joined, kb):
+        return joined.filter(ka != kb).select(
+            F.least(ka, kb).alias("d1"), F.greatest(ka, kb).alias("d2")
+        )
+
+    cross = _canon(a.join(store.alias("b"), on=["band", "bucket"]), F.col(f"b.{key}"))
+    within = _canon(a.join(nb.alias("c"), on=["band", "bucket"]), F.col(f"c.{key}"))
+    pairs = cross.unionByName(within).distinct()
     return pairs, all_b
 
 

@@ -1056,13 +1056,23 @@ def incremental_image_neardup(
 
     Scale: per-batch cost is O(|new|) decode+hash plus an equi-join of
     the new slices against the store on (band, slice) — the store side
-    never re-reads media bytes. The probe side is corpus-sized, so the
-    join carries the same shuffle_hash pin as the batch operator.
+    never re-reads media bytes. The probe is SPLIT into new×store +
+    new×new (a bag-union decomposition of new×(store ∪ new) — identical
+    pair set after the canonical distinct) so the store side keeps its
+    own storage layout: a union would erase it and force an O(corpus)
+    reshuffle of the store EVERY batch. Persist the store bucketed by
+    (band, slice) (sinks/bucketed.py) and BOTH store consumers — the
+    cap's sizing aggregate and the probe join — read co-located buckets
+    with ZERO Exchange on the stored side (pinned on the executed plan
+    in tests/test_scale.py); unbucketed stores shuffle once per batch,
+    with the shuffle_hash pin keeping AQE from promoting the
+    corpus-sized side to a runtime broadcast.
 
     ``max_slice_factor``: drop (band, slice) cells larger than factor ×
     the mean cell size before the probe join (see _drop_hot_slices) —
-    sized over the UNION (store ∪ new batch), exactly the cells a batch
-    run over old∪new would size, so the incremental == batch equivalence
+    cell sizes are per-side counts merged by sum, integer-identical to
+    sizing the UNION (store ∪ new batch), exactly the cells a batch run
+    over old∪new would size, so the incremental == batch equivalence
     pin survives the cap bit-for-bit. The STORE returned is uncapped —
     the cap is a join-time guard, never store surgery (a cell that is
     hot today may cool as the corpus grows)."""
@@ -1071,39 +1081,63 @@ def incremental_image_neardup(
             f"incremental_image_neardup: pigeonhole needs max_ham <= bands-1 "
             f"(got max_ham={max_ham}, bands={bands})"
         )
+    from c_tran_data_pipeline_spark.session import persist_once
+
     nh = image_ahash(new_assets, codec=codec)
-    nb = ahash_band_slices(nh, bands=bands)
+    # Batch-sized pin (≈20 B/row, never pixels): the sizing aggregate
+    # and both probe joins read the new slices, and without the persist
+    # each read would re-decode the new batch's payloads. (The old form
+    # persisted the store ∪ batch union — O(corpus) cache churn per
+    # batch; only the batch side needs pinning.)
+    nb = persist_once(ahash_band_slices(nh, bands=bands))
     store = slice_store.select("id", "h", "band", "slice")
     all_b = store.unionByName(nb)
     if max_slice_factor is None:
-        a_side, b_side = nb, all_b
+        nb_k, store_k = nb, store
     else:
-        from c_tran_data_pipeline_spark.session import persist_once
+        # Per-side cell counts merged by sum ≡ one count over the bag
+        # union; the store-side groupBy runs on the store's own layout.
+        def _sizes(side: DataFrame) -> DataFrame:
+            return side.groupBy("band", "slice").agg(F.count(F.lit(1)).alias("__ssz"))
 
-        # Flag-and-persist the ids-only union (≈20 B/row, never pixels):
-        # the sizing aggregate plus both join sides read it, and without
-        # the persist each read would re-decode the new batch's payloads.
-        flagged = persist_once(
-            store.withColumn("__new", F.lit(False)).unionByName(
-                nb.withColumn("__new", F.lit(True))
-            )
+        sizes = (
+            _sizes(store)
+            .unionByName(_sizes(nb))
+            .groupBy("band", "slice")
+            .agg(F.sum("__ssz").alias("__ssz"))
         )
-        kept = _drop_hot_slices(flagged, max_slice_factor)
-        a_side = kept.filter(F.col("__new")).drop("__new")
-        b_side = kept.drop("__new")
-        all_b = flagged.drop("__new")
-    a, b = a_side.alias("a"), b_side.hint("shuffle_hash").alias("b")
-    ka, kb = F.col("a.id"), F.col("b.id")
-    pairs = (
-        a.join(b, on=["band", "slice"])
-        .filter(ka != kb)
-        .select(
+        tot = sizes.agg(F.sum("__ssz").alias("__tot"), F.count(F.lit(1)).alias("__cells"))
+        hot = (
+            sizes.crossJoin(F.broadcast(tot))
+            .filter(
+                F.col("__ssz") * F.col("__cells")
+                > F.lit(max_slice_factor) * F.col("__tot")
+            )
+            .select("band", "slice")
+        )
+        nb_k = nb.join(F.broadcast(hot), ["band", "slice"], "left_anti")
+        store_k = store.join(F.broadcast(hot), ["band", "slice"], "left_anti")
+
+    a = nb_k.alias("a")
+    ka = F.col("a.id")
+
+    def _canon(joined, kb, hb):
+        return joined.filter(ka != kb).select(
             F.least(ka, kb).alias("a1"),
             F.greatest(ka, kb).alias("a2"),
-            F.bit_count(F.col("a.h").bitwiseXOR(F.col("b.h"))).alias("hamming"),
+            F.bit_count(F.col("a.h").bitwiseXOR(hb)).alias("hamming"),
         )
-        .filter(F.col("hamming") <= max_ham)
-        .distinct()
+
+    cross = _canon(
+        a.join(store_k.hint("shuffle_hash").alias("b"), on=["band", "slice"]),
+        F.col("b.id"),
+        F.col("b.h"),
+    )
+    within = _canon(
+        a.join(nb_k.alias("c"), on=["band", "slice"]), F.col("c.id"), F.col("c.h")
+    )
+    pairs = (
+        cross.unionByName(within).filter(F.col("hamming") <= max_ham).distinct()
     )
     return pairs, all_b
 

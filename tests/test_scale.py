@@ -94,6 +94,99 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_slice_store_probe_drops_store_exchanges(spark, tmp_path):
+    """The O(new) media-dedup probe against a BUCKETED slice store: the
+    split new×store + new×new join (incremental_image_neardup) lets the
+    store keep its (band, slice) bucket layout, so BOTH store consumers
+    — the hot-slice cap's sizing aggregate and the probe join — read
+    co-located buckets with no store-side Exchange. Pinned as an
+    exchange-count delta vs the identical plan over plain parquet
+    (≥2 fewer: sizing + probe), with identical output pairs. A union of
+    store ∪ batch (the pre-r9 form) erased the layout and reshuffled
+    the corpus every batch — exactly what this pin would catch."""
+    from c_tran_data_pipeline_spark.operators.multimodal import (
+        ahash_band_slices,
+        image_ahash,
+        incremental_image_neardup,
+        make_fake_image,
+    )
+
+    base = spark.createDataFrame(
+        [(i, make_fake_image(24, 16, 1, seed=i)) for i in range(60)],
+        "asset_id long, payload binary",
+    )
+    slices = ahash_band_slices(image_ahash(base, codec="fake"))
+    write_bucketed(
+        slices, "t_slices_b", 4, ["band", "slice"], path=str(tmp_path / "slices_b")
+    )
+    slices.write.parquet(str(tmp_path / "slices_p"))
+    batch = spark.createDataFrame(
+        # two stored twins + fresh assets
+        [(1000 + i, make_fake_image(24, 16, 1, seed=500 + i)) for i in range(8)]
+        + [(2000, make_fake_image(24, 16, 1, seed=0)), (2001, make_fake_image(24, 16, 1, seed=7))],
+        "asset_id long, payload binary",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # At fixture size the corpus store auto-broadcasts and the layout
+    # never engages; disable (the corpus-sized regime) so the pin
+    # exercises the shuffled path the operator is designed for.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_bucketed, _ = incremental_image_neardup(batch, spark.table("t_slices_b"))
+        p_plain, _ = incremental_image_neardup(
+            batch, spark.read.parquet(str(tmp_path / "slices_p"))
+        )
+        plan_b, plan_p = _final_plan(p_bucketed), _final_plan(p_plain)
+        n_b, n_p = plan_b.count("Exchange"), plan_p.count("Exchange")
+        assert n_b <= n_p - 2, f"bucketed {n_b} vs plain {n_p}:\n{plan_b}"
+        assert sorted(map(tuple, p_bucketed.collect())) == sorted(
+            map(tuple, p_plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_slices_b")
+
+
+def test_bucketed_minhash_store_probe_drops_store_exchange(spark, tmp_path):
+    """Text twin of the slice-store pin: incremental_neardup's new×store
+    probe over a (band, bucket)-bucketed MinHash store reads co-located
+    buckets — at least one fewer Exchange than plain parquet, same
+    pairs."""
+    from c_tran_data_pipeline_spark.operators.dedup import (
+        incremental_neardup,
+        minhash_buckets,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"the quick brown fox {i} jumps over the lazy dog number {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    store = minhash_buckets(docs)
+    write_bucketed(
+        store, "t_mh_b", 4, ["band", "bucket"], path=str(tmp_path / "mh_b")
+    )
+    store.write.parquet(str(tmp_path / "mh_p"))
+    batch = spark.createDataFrame(
+        [(100, "the quick brown fox 3 jumps over the lazy dog number 3"),
+         (101, "an entirely unrelated new document about something else")],
+        "doc_id long, text string",
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        p_bucketed, _ = incremental_neardup(batch, spark.table("t_mh_b"))
+        p_plain, _ = incremental_neardup(batch, spark.read.parquet(str(tmp_path / "mh_p")))
+        plan_b, plan_p = _final_plan(p_bucketed), _final_plan(p_plain)
+        n_b, n_p = plan_b.count("Exchange"), plan_p.count("Exchange")
+        assert n_b <= n_p - 1, f"bucketed {n_b} vs plain {n_p}:\n{plan_b}"
+        assert sorted(map(tuple, p_bucketed.collect())) == sorted(
+            map(tuple, p_plain.collect())
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS t_mh_b")
+
+
 def test_salted_join_rejects_non_invariant_how(spark):
     import pytest as _pytest
 
