@@ -3,7 +3,8 @@ multi-batch sequencing (batch B's image twins of batch-A assets must be
 caught, proving both stores grew BETWEEN micro-batches), exact
 incremental == batch verdict equivalence per batch, at-least-once
 replay idempotence (stores never double-grow, verdicts rewrite
-identically), the one-transaction combined-store swap's crash windows,
+identically), the generation-append commit's crash windows (a torn
+append is invisible until the sidecar bump and reclaimed by replay),
 and the torn-write refusal."""
 
 from __future__ import annotations
@@ -124,14 +125,16 @@ def test_multi_batch_joint_dedup_matches_batch_operator(spark, staged):
     assert verdicts == (p1 - p0) | (p2 - p1)
 
     # final store indexes exactly base ∪ A ∪ B in both modalities
-    slices, captions, meta = read_crossmodal_store(spark, store)
+    slices, captions, meta, gens = read_crossmodal_store(spark, store)
     all_ids = {r[0] for r in batch_a + batch_b} | {
         r["asset_id"] for r in base.select("asset_id").collect()
     }
     assert {r["id"] for r in slices.select("id").distinct().collect()} == all_ids
     assert {r["asset_id"] for r in captions.select("asset_id").collect()} == all_ids
     assert captions.count() == len(all_ids)  # no duplicate caption rows
-    assert meta == {"v": 1}  # metadata survives every swap
+    assert meta == {"v": 1}  # metadata survives every append
+    # O(batch) commits: one generation per ingested batch, base intact
+    assert gens == ["gen-base", "gen-b000000", "gen-b000001"]
 
 
 def test_replay_is_idempotent(spark, staged):
@@ -140,26 +143,44 @@ def test_replay_is_idempotent(spark, staged):
     verdicts over the SAME effective corpus and grows neither store."""
     store, inp, root, *_ = staged
     first = _verdict_set(_run(spark, store, inp, root, "first"))
-    slices0, caps0, _ = read_crossmodal_store(spark, store)
+    slices0, caps0, _, gens0 = read_crossmodal_store(spark, store)
     s0 = {tuple(r) for r in slices0.collect()}
     c0 = {tuple(r) for r in caps0.collect()}
     replay = _verdict_set(_run(spark, store, inp, root, "replay"))
-    slices1, caps1, _ = read_crossmodal_store(spark, store)
+    slices1, caps1, _, gens1 = read_crossmodal_store(spark, store)
     assert {tuple(r) for r in slices1.collect()} == s0  # no double growth
     assert {tuple(r) for r in caps1.collect()} == c0
+    assert gens1 == gens0  # replay rewrites generations, never adds
     assert replay == first  # verdicts rewrite identically
 
 
-def test_swap_crash_recovery(spark, staged):
-    """A crash between the swap's two renames (store gone, only the
-    .old aside present) must self-heal: the next run promotes the aside
-    back and ingests normally."""
+def test_torn_append_is_invisible_and_reclaimed(spark, staged):
+    """The crash window between the generation write and the sidecar
+    bump: the generation directory exists on disk but is UNLISTED —
+    readers must not see its rows, and a replay must reclaim it
+    (overwrite + commit) rather than double-append."""
+    import json
+
     store, inp, root, base, batch_a, batch_b = staged
-    os.rename(store, f"{store}.old")
-    verdicts = _run(spark, store, inp, root, "heal")
+    _run(spark, store, inp, root, "pre")
+    sidecar = os.path.join(store, "_crossmodal_store.json")
+    rec = json.load(open(sidecar))
+    committed = rec["generations"]
+    # simulate the crash: un-list every batch generation (their dirs stay)
+    rec["generations"] = ["gen-base"]
+    with open(sidecar, "w") as f:
+        json.dump(rec, f)
+    slices, captions, _, gens = read_crossmodal_store(spark, store)
+    base_ids = {r["asset_id"] for r in base.select("asset_id").collect()}
+    assert gens == ["gen-base"]
+    # unlisted generations are invisible: only base rows load
+    assert {r["id"] for r in slices.select("id").distinct().collect()} == base_ids
+    # replay reclaims: same generations re-land, full state committed
+    verdicts = _run(spark, store, inp, root, "reclaim")
     assert verdicts.count() > 0
-    slices, _, _ = read_crossmodal_store(spark, store)
-    assert {r["id"] for r in slices.select("id").distinct().collect()} >= {
+    slices2, _, _, gens2 = read_crossmodal_store(spark, store)
+    assert gens2 == committed
+    assert {r["id"] for r in slices2.select("id").distinct().collect()} == base_ids | {
         r[0] for r in batch_a + batch_b
     }
 
