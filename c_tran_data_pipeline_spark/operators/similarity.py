@@ -1276,29 +1276,76 @@ def build_semantic_store(
     return reps, centroids
 
 
+def _commit_semantic_sidecar(
+    path: str, generations: list[str], centroids, meta: dict
+) -> None:
+    """Atomically publish the store state (write-aside + os.replace):
+    readers see the old generation list or the new, never a torn one."""
+    import json
+    import os
+
+    tmp = os.path.join(path, "._semantic_store.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"generations": generations, "centroids": centroids, "meta": meta}, f)
+    os.replace(tmp, os.path.join(path, "_semantic_store.json"))
+
+
 def write_semantic_store(
     reps: DataFrame, centroids: list[tuple[int, list[float]]], path: str, meta: dict | None = None
 ) -> None:
     """Persist representatives partitioned BY CELL (each batch search
     reads only its probed cells' directories — the write_ivfpq_index
     layout contract, local/DFS filesystem) plus a JSON sidecar holding
-    the centroid table and caller metadata. The sidecar is written
-    AFTER the parquet and acts as the commit marker: a crash mid-write
+    the centroid table and caller metadata. The whole content lands as
+    one base GENERATION (``gen-base/cell=*``) and the sidecar is
+    written AFTER the parquet as the commit marker: a crash mid-write
     leaves parquet without the sidecar, and read_semantic_store refuses
-    it."""
+    it. Ingest growth appends further generations
+    (``append_semantic_store``) — O(batch) I/O per batch, the committed
+    corpus is never rewritten."""
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    reps.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, "gen-base")
+    )
+    _commit_semantic_sidecar(path, ["gen-base"], centroids, meta or {})
+
+
+def append_semantic_store(new_reps: DataFrame, path: str, gen: str) -> None:
+    """Append a batch's kept representatives as generation ``gen``:
+    write the delta (partitioned by cell, so probe-time PartitionFilters
+    prune every generation), then bump the sidecar LAST via atomic
+    replace — the single commit point. A torn append (crash before the
+    bump) leaves an unlisted directory that readers never open and the
+    replay reclaims by overwrite; centroids and meta are FROZEN across
+    appends (the incremental contract: assignment against persisted
+    centroids, zero training jobs). Appending ``gen`` twice is
+    idempotent (overwrite + already-listed check)."""
     import json
     import os
 
-    reps.write.partitionBy("cell").mode("overwrite").parquet(path)
-    with open(os.path.join(path, "_semantic_store.json"), "w") as f:
-        json.dump({"centroids": centroids, "meta": meta or {}}, f)
+    with open(os.path.join(path, "_semantic_store.json")) as f:
+        rec = json.load(f)
+    new_reps.write.partitionBy("cell").mode("overwrite").parquet(
+        os.path.join(path, gen)
+    )
+    gens = rec.get("generations", ["gen-base"])
+    if gen not in gens:
+        _commit_semantic_sidecar(
+            path, gens + [gen], rec["centroids"], rec.get("meta", {})
+        )
 
 
 def read_semantic_store(
     spark, path: str
 ) -> tuple[DataFrame, list[tuple[int, list[float]]], dict]:
     """Load a persisted store → (representatives, centroids, meta);
-    raises on a torn/uncommitted write (parquet without sidecar)."""
+    reads ONLY sidecar-listed generations (an unlisted directory is a
+    torn append) and raises on a torn/uncommitted store (parquet
+    without sidecar). Pre-generation stores (sidecar without a
+    ``generations`` list, reps at the store root) still read — the
+    legacy-compat contract write_ivfpq_index set."""
     import json
     import os
 
@@ -1311,7 +1358,21 @@ def read_semantic_store(
             f"semantic store at {path} is uncommitted or torn (no readable sidecar)"
         ) from e
     cents = [(int(c), [float(x) for x in v]) for c, v in rec["centroids"]]
-    return spark.read.parquet(path), cents, rec.get("meta", {})
+    gens = rec.get("generations")
+    if gens is None:  # legacy flat layout: reps partitioned at the root
+        reps = spark.read.parquet(path)
+    else:
+        # One partitioned read per generation, unioned: Spark refuses
+        # multiple partition-discovery roots in a single load, and a
+        # filter over the union still pushes cell PartitionFilters into
+        # EVERY branch's scan (pinned in tests/test_semantic_ingest.py).
+        from functools import reduce
+
+        reps = reduce(
+            DataFrame.unionByName,
+            [spark.read.parquet(os.path.join(path, g)) for g in gens],
+        )
+    return reps, cents, rec.get("meta", {})
 
 
 def incremental_semantic_dedup(

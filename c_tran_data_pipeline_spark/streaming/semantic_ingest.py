@@ -13,19 +13,22 @@ Composition, not new machinery:
 - per batch (``foreachBatch``): read the committed store, run
   ``incremental_semantic_dedup`` (assignment via centroid literals —
   zero training jobs), append the batch's keep-flag verdicts to the
-  flags ledger, and COMMIT the grown store by the tmp-directory +
-  swap recipe (write to ``<store>.build-<pid>``, which still READS the
-  old committed directory — never overwrite a directory a lazy plan is
-  reading — then rename-aside + rename-in + delete-aside, so SOME
-  committed store survives a crash at every point; the sidecar-last
-  marker inside makes a torn swap refuse to load rather than serve
-  half a store, and the next run promotes the aside copy back).
+  flags ledger, and COMMIT the kept rows as a NEW GENERATION under the
+  store (``append_semantic_store`` — the operators/pq.py index-append
+  recipe): per-batch store I/O is O(kept batch rows) — the committed
+  corpus is never rewritten, unlike the pre-r9 whole-store swap whose
+  write cost grew with the corpus. Readers open only sidecar-listed
+  generations, so a torn append (crash before the atomic sidecar
+  replace) is invisible and reclaimed by the replay's overwrite of the
+  same deterministic ``gen-b<batch_id>`` directory; centroids are
+  FROZEN across appends, the invariant incremental == full depends on.
 - delivery: at-least-once with an idempotent effect — a REPLAYED batch
   re-dedups vectors whose copies are already stored, every row pairs
   with its own stored copy (component anchored by a representative),
-  every keep flag comes back False, and the store append is empty. The
-  flags ledger records the replay verdicts as no-op rows; dedup state
-  never double-grows (pinned in tests/test_semantic_ingest.py).
+  every keep flag comes back False, and the generation append is
+  skipped entirely (empty delta). The flags ledger records the replay
+  verdicts as no-op rows; dedup state never double-grows (pinned in
+  tests/test_semantic_ingest.py).
 
 Reference parity: the reference's consumers poll, validate, and
 append-if-absent into Postgres (``topic_consumer.py:215-285``); this is
@@ -35,10 +38,8 @@ embedding-space dedup against persisted state.
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
 
@@ -54,45 +55,50 @@ def semantic_ingest_stream(
     """Start the availableNow ingest: dedup every micro-batch of
     ``new_vectors`` (streaming (vec_id, embedding)) against the
     committed store at ``store_path``, append verdicts to
-    ``flags_path``, and swap the grown store between batches."""
+    ``flags_path``, and commit the kept rows as generation
+    ``gen-b<batch_id>``."""
     from c_tran_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        append_semantic_store,
         incremental_semantic_dedup,
         read_semantic_store,
-        write_semantic_store,
     )
+    from c_tran_data_pipeline_spark.session import persist_once_owned
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if not batch_df.take(1):
             return
-        # Crash recovery: a failure between the swap's two renames leaves
-        # only the aside copy — promote it back before reading. (If BOTH
-        # exist, the committed path wins and the aside is a stale leftover
-        # cleaned at the next swap.)
-        old = f"{store_path}.old"
-        if not os.path.exists(store_path) and os.path.exists(old):
-            os.rename(old, store_path)
-        reps, cents, meta = read_semantic_store(spark, store_path)
-        flags, updated = incremental_semantic_dedup(
+        reps, cents, _meta = read_semantic_store(spark, store_path)
+        flags, _updated = incremental_semantic_dedup(
             batch_df, reps, cents, threshold=threshold, nprobe=nprobe
         )
-        flags.write.mode("append").parquet(flags_path)
-        # Build the next store version while the old one is still the
-        # committed read source, then swap whole (sidecar-last commit
-        # inside write_semantic_store + directory rename here). The old
-        # store is renamed ASIDE first — never rmtree'd before the new
-        # one is in place — so a crash at any point leaves a committed
-        # store on disk: before the aside-rename the old path is live;
-        # between the two renames the .old copy survives for manual
-        # (or next-run) restore; only after the new store is committed
-        # does the aside copy get deleted.
-        tmp = f"{store_path}.build-{os.getpid()}-{batch_id}"
-        write_semantic_store(updated, cents, tmp, meta=meta)
-        old = f"{store_path}.old"
-        shutil.rmtree(old, ignore_errors=True)  # stale aside from a prior crash
-        if os.path.exists(store_path):
-            os.rename(store_path, old)
-        os.rename(tmp, store_path)
-        shutil.rmtree(old, ignore_errors=True)
+        # Batch-sized pin: the ledger write and the delta join both
+        # consume flags, whose lineage holds the per-cell GEMM and the
+        # iterative component loop — without it the second consumer
+        # re-runs the whole dedup.
+        flags, owned = persist_once_owned(flags)
+        try:
+            flags.write.mode("append").parquet(flags_path)
+            # The store delta comes from the BATCH, not from `_updated`
+            # (store ∪ kept): subtracting the store back out would
+            # rescan the corpus per batch. The flags already carry each
+            # kept row's assigned cell, so the delta is one batch-sized
+            # join; the same _as_double cast the operator stores keeps
+            # the generation's schema bit-identical to a base build.
+            delta = batch_df.join(
+                flags.filter(F.col("keep")).select("vec_id", "cell"), "vec_id"
+            ).select(
+                "vec_id", "cell", _as_double(F.col("embedding")).alias("embedding")
+            )
+            # Replay: every keep flag is False (each row pairs with its
+            # own stored copy), the delta is empty, and the append —
+            # including the sidecar bump — is skipped, so state never
+            # double-grows.
+            if delta.take(1):
+                append_semantic_store(delta, store_path, f"gen-b{batch_id:06d}")
+        finally:
+            if owned:
+                flags.unpersist()
 
     return (
         new_vectors.writeStream.foreachBatch(process)

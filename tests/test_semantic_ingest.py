@@ -112,26 +112,70 @@ def test_replay_is_idempotent(spark, staged, tmp_path):
             assert r["keep"] is False and r["component"] == k
 
 
-def test_swap_crash_recovery(spark, staged):
-    """The swap is rename-aside + rename-in + delete-aside, so a crash
-    between the two renames (store gone, only the .old aside present —
-    the exact window the old rmtree-first recipe destroyed the last
-    committed copy in) must self-heal: the next run promotes the aside
-    back and ingests normally."""
+def test_torn_append_is_invisible_and_reclaimed(spark, staged):
+    """The generation-append crash window: a crash between the
+    generation write and the atomic sidecar replace leaves an UNLISTED
+    directory — readers must not see its rows, and a replay must
+    reclaim it (overwrite + commit) rather than double-append."""
+    import json
     import os
-    import shutil
 
-    store, inp, root, batch_a, batch_b, _ = staged
-    os.rename(store, f"{store}.old")  # simulate the torn-swap window
-    flags = _run(spark, store, inp, root, "crash")
-    assert not os.path.exists(f"{store}.old")  # aside cleaned after commit
+    store, inp, root, batch_a, batch_b, reps0 = staged
+    flags = _run(spark, store, inp, root, "pre")
     assert flags.count() == batch_a.count() + batch_b.count()
-    # a stale aside NEXT TO a committed store is ignored (committed wins)
-    shutil.copytree(store, f"{store}.old")
-    reps_before = read_semantic_store(spark, store)[0].count()
-    flags2 = _run(spark, store, inp, root, "crash2")
-    assert flags2.count() == batch_a.count() + batch_b.count()
-    assert read_semantic_store(spark, store)[0].count() == reps_before
+    sidecar = os.path.join(store, "_semantic_store.json")
+    rec = json.load(open(sidecar))
+    committed = rec["generations"]
+    assert committed[0] == "gen-base" and len(committed) == 3  # one gen per batch
+    # simulate the crash: un-list the batch generations (dirs stay)
+    rec["generations"] = ["gen-base"]
+    with open(sidecar, "w") as f:
+        json.dump(rec, f)
+    reps, _, _ = read_semantic_store(spark, store)
+    base_ids = {r["vec_id"] for r in reps0.select("vec_id").collect()}
+    # unlisted generations are invisible: only the base reps load
+    assert {r["vec_id"] for r in reps.select("vec_id").collect()} == base_ids
+    # replay reclaims: the same generations re-land, full state committed
+    _run(spark, store, inp, root, "reclaim")
+    assert json.load(open(sidecar))["generations"] == committed
+    reps2, _, _ = read_semantic_store(spark, store)
+    kept = {r["vec_id"]: r for r in flags.collect()}
+    assert {r["vec_id"] for r in reps2.select("vec_id").collect()} == base_ids | {
+        k for k, r in kept.items() if r["keep"]
+    }
+
+
+def test_probe_prunes_every_generation(spark, staged):
+    """The probed-cell read stays a parquet PartitionFilter in EVERY
+    generation's scan — the union-of-generations layout must not cost
+    the store its pruning."""
+    store, inp, root, *_ = staged
+    _run(spark, store, inp, root, "prune")
+    reps, _, _ = read_semantic_store(spark, store)
+    probe = reps.filter(F.col("cell").isin([0, 1]))
+    probe.collect()
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan" in l]
+    assert len(scans) == 3  # gen-base + one per ingested batch
+    for line in scans:
+        assert "PartitionFilters" in line and "cell" in line.split("PartitionFilters")[1][:60], line
+
+
+def test_legacy_flat_store_still_reads(spark, staged, tmp_path):
+    """Pre-generation stores (reps partitioned at the root, sidecar
+    without a generations list) keep reading — the compat contract the
+    IVF-PQ layout migration set."""
+    import json
+    import os
+
+    _store, _inp, _root, _a, _b, reps0 = staged
+    legacy = str(tmp_path / "legacy")
+    reps0.write.partitionBy("cell").parquet(legacy)
+    with open(os.path.join(legacy, "_semantic_store.json"), "w") as f:
+        json.dump({"centroids": [[0, [0.0] * 64]], "meta": {"v": 0}}, f)
+    reps, cents, meta = read_semantic_store(spark, legacy)
+    assert reps.count() == reps0.count()
+    assert cents == [(0, [0.0] * 64)] and meta == {"v": 0}
 
 
 def test_checkpoint_prevents_reprocessing(spark, staged):
