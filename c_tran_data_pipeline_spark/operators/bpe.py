@@ -53,6 +53,47 @@ def _initial_symbols(word: Column) -> Column:
     return F.concat(F.split(word, ""), F.array(F.lit(END)))
 
 
+def _sql_lit(s: str) -> str:
+    """``s`` as a Spark SQL string literal. Quote, backslash and control
+    characters (the END sentinel is \\x01) go out as ``\\uXXXX`` escapes,
+    which ``ParserUtils.unescapeSQLString`` decodes back to the exact
+    codepoint — so the parsed literal equals ``F.lit(s)`` byte-for-byte
+    for any BMP string (astral chars pass through raw, legal in a
+    literal)."""
+    out = []
+    for ch in s:
+        o = ord(ch)
+        if ch in ("'", "\\") or o < 0x20 or 0x7F <= o < 0xA0:
+            out.append("\\u%04x" % o)
+        else:
+            out.append(ch)
+    return "'" + "".join(out) + "'"
+
+
+def _merge_once_sql(inner: str, a: str, b: str) -> str:
+    """``_merge_once`` as ONE SQL expression string over the SQL fragment
+    ``inner``. Semantically identical to the Column form (pinned by
+    tests/test_bpe.py::test_merge_once_sql_equals_column_form); exists
+    because building the fold through the Python lambda API costs
+    hundreds of py4j round-trips PER MERGE (the round-9 census measured
+    2.2 s of driver wall per 16-merge cascade, ~9,500 socket
+    round-trips), while this string parses JVM-side in one call —
+    driver plan-construction time is serial wall time on any cluster
+    (guide §5/§7.3)."""
+    A, B, AB = _sql_lit(a), _sql_lit(b), _sql_lit(a + b)
+    return (
+        f"aggregate({inner}, "
+        "struct(CAST(array() AS array<string>) AS out, false AS pend), "
+        "(acc, x) -> CASE "
+        f"WHEN acc.pend AND x = {B} THEN struct(concat(acc.out, array({AB})) AS out, false AS pend) "
+        f"WHEN acc.pend AND x = {A} THEN struct(concat(acc.out, array({A})) AS out, true AS pend) "
+        f"WHEN acc.pend THEN struct(concat(acc.out, array({A}, x)) AS out, false AS pend) "
+        f"WHEN x = {A} THEN struct(acc.out AS out, true AS pend) "
+        "ELSE struct(concat(acc.out, array(x)) AS out, false AS pend) END, "
+        f"acc -> CASE WHEN acc.pend THEN concat(acc.out, array({A})) ELSE acc.out END)"
+    )
+
+
 def _merge_once(syms: Column, a: str, b: str) -> Column:
     """Replace every non-overlapping [a, b] adjacency in ``syms`` with
     the merged symbol a||b, left to right — one aggregate fold, pure
@@ -137,9 +178,14 @@ def bpe_train(
             break
         a, b, n = top[0]["p1"], top[0]["p2"], int(top[0]["n"])
         merges.append((a, b, n))
+        # SQL-string form of the fold (one py4j round-trip instead of
+        # hundreds); LAZY checkpoint — the plan is truncated to a
+        # LogicalRDD either way, and the next iteration's arg-max
+        # collect materializes it, so eager's extra blocking job per
+        # merge bought nothing (round-9 census: 2 jobs/merge -> 1).
         words = words.select(
-            _merge_once(F.col("syms"), a, b).alias("syms"), "cnt"
-        ).localCheckpoint()
+            F.expr(_merge_once_sql("syms", a, b)).alias("syms"), "cnt"
+        ).localCheckpoint(eager=False)
     return merges
 
 
@@ -149,10 +195,10 @@ def bpe_encode_words(
     """words + ``tokens`` (array of subword symbols): apply the learned
     merge list in rank order — the whole merge cascade is one chained
     Column expression (native fold per merge, no Python, no joins)."""
-    syms = _initial_symbols(F.col(word))
+    expr = f"concat(split(`{word}`, ''), array({_sql_lit(END)}))"
     for a, b, _n in merges:
-        syms = _merge_once(syms, a, b)
-    return words.withColumn("tokens", syms)
+        expr = _merge_once_sql(expr, a, b)
+    return words.withColumn("tokens", F.expr(expr))
 
 
 def bpe_token_counts(

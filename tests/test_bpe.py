@@ -135,6 +135,44 @@ def test_merge_once_overlap_and_double_letter(spark):
     assert out2[1] == ["ab", "ab"]
 
 
+def test_merge_once_sql_equals_column_form(spark):
+    """The SQL-string fold (_merge_once_sql, the product path since r9's
+    py4j-chatter fix) is row-identical to the Column-API fold on
+    adversarial symbols: quotes, backslashes, the \\x01 END sentinel,
+    unicode — so _sql_lit's escaping is proven against F.lit."""
+    from c_tran_data_pipeline_spark.operators.bpe import (
+        END,
+        _merge_once,
+        _merge_once_sql,
+    )
+
+    cases = [
+        ("a", "a"),
+        ("a", "b"),
+        ("l'", "\\o"),
+        ("w", END),
+        ("é", "ß"),
+    ]
+    rows = [
+        (["a", "a", "a"],),
+        (["a", "b", "a", "b"],),
+        (["l'", "\\o", "l'", "l'", "\\o"],),
+        (["w", END, "w"],),
+        (["é", "ß", "é"],),
+        ([],),
+    ]
+    df = spark.createDataFrame(rows, "syms array<string>")
+    for a, b in cases:
+        got_sql = [
+            list(r["m"])
+            for r in df.select(F.expr(_merge_once_sql("syms", a, b)).alias("m")).collect()
+        ]
+        got_col = [
+            list(r["m"]) for r in df.select(_merge_once(F.col("syms"), a, b).alias("m")).collect()
+        ]
+        assert got_sql == got_col, (a, b)
+
+
 def test_fertility_consistent_with_doc_grain_encode(spark):
     """q_tokenizer_fertility's source-grain sums equal the doc-grain
     encode (q_bpe_token_counts) re-aggregated by source driver-side,
