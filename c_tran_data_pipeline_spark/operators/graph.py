@@ -260,7 +260,23 @@ def pagerank(
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     n = nodes.count()  # scalar literal; bounded driver state (node count)
     pr = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    src_deg = edges.join(deg, "src").select("src", "dst", "outdeg")
+    # src_deg is consumed by EVERY iteration's join. Without the pin the
+    # round-9 before-plan re-derived AND re-shuffled the edges⋈degree
+    # subtree once per iteration (20 Exchanges, no ReusedExchange at
+    # iters=3). Repartition by the join key FIRST, then a lazy
+    # localCheckpoint: the LogicalRDD keeps its HashPartitioning(src),
+    # so every iteration's join shuffles only the O(V) rank side — the
+    # O(E) side moves over the network exactly once for the whole run
+    # (guide §2.4/§3.3; caching the edge relation is the standard
+    # iterative-graph trade, cf. GraphX). Lazy: iteration 1's job is
+    # the first consumer and materializes it — an eager barrier here
+    # would just serialize the same work.
+    src_deg = (
+        edges.join(deg, "src")
+        .select("src", "dst", "outdeg")
+        .repartition("src")
+        .localCheckpoint(eager=False)
+    )
     for i in range(iters):
         pr = (
             pr.join(src_deg, pr.node == src_deg.src)
@@ -443,12 +459,17 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
     irrational for no ranking benefit). The normalization scalar
     re-enters as a 1-row broadcast.
 
-    Each half-step's raw aggregate is localCheckpoint'ed (eager): it is
+    Each half-step's raw aggregate is localCheckpoint'ed LAZILY: it is
     referenced TWICE — once as the normalization total, once as the
     numerator — and feeds the next half-step's join, so without the
     checkpoint the logical tree doubles per half-step (2^(2·iters)
     plan replication; the round-4 explain audit measured 134 exchanges
-    at iters=2 vs 10 with checkpoints). The materialized state is
+    at iters=2 vs 10 with checkpoints). The plan truncates to a
+    LogicalRDD whether or not the checkpoint is eager, so eager's extra
+    blocking driver barrier per half-step bought nothing: lazily, the
+    normalization broadcast is the first consumer and materializes the
+    RDD as part of work already scheduled (round-9 census: 36 jobs ->
+    single digits for the same computation). The materialized state is
     |nodes| rows per half-step — the same O(V) a synchronous HITS keeps
     anywhere."""
     hub = (
@@ -461,7 +482,7 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
             .select("dst", F.col("score").cast("decimal(38,18)").alias("__c"))
             .groupBy("dst")
             .agg(F.sum("__c").alias("__raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         a_tot = a_raw.agg(F.sum("__raw").alias("__t"))
         auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
@@ -473,7 +494,7 @@ def hits(edges: DataFrame, iters: int = 2) -> DataFrame:
             .select("src", F.col("score").cast("decimal(38,18)").alias("__c"))
             .groupBy("src")
             .agg(F.sum("__c").alias("__raw"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         h_tot = h_raw.agg(F.sum("__raw").alias("__t"))
         hub = h_raw.crossJoin(F.broadcast(h_tot)).select(
@@ -509,8 +530,16 @@ def sssp_bounded(
     result is then only the ≤-rounds-hop optimum, as for any
     Bellman-Ford prefix."""
     dist = seeds.select("node").distinct().select("node", F.lit(0).alias("dist"))
-    e = edges.select(
-        F.col(src).alias("__u"), F.col(dst).alias("__v"), F.col(weight).alias("__w")
+    # Every relaxation round joins the frontier against e — pin it once
+    # (lazy; round 1 materializes it) instead of re-deriving the edge
+    # list per round, and key it by the join side so only the O(V)
+    # frontier shuffles per round (pagerank pattern, guide §2.4).
+    e = (
+        edges.select(
+            F.col(src).alias("__u"), F.col(dst).alias("__v"), F.col(weight).alias("__w")
+        )
+        .repartition("__u")
+        .localCheckpoint(eager=False)
     )
     for _ in range(rounds):
         relaxed = (
@@ -552,7 +581,7 @@ def kcore(
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     for _ in range(peels):
         keep = (
@@ -561,10 +590,16 @@ def kcore(
             .filter(F.col("__deg") >= k)
             .select("u")
         )
+        # Lazy checkpoints: the plan is truncated to a LogicalRDD either
+        # way (bounding the 3^p scan blow-up the docstring describes),
+        # and within the single final action the DAG scheduler computes
+        # each checkpointed RDD once and caches it — the p eager driver
+        # barriers bought nothing (round-9 census: 29 jobs -> single
+        # digits for the same shuffles).
         sym = (
             sym.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     return sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg")).select(
         F.col("u").alias("node"), "deg"
@@ -590,8 +625,15 @@ def label_propagation(
     the labels periodically for long runs)."""
     from pyspark.sql.window import Window
 
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    # sym is consumed by the label init and by every iteration's join —
+    # pin it once (lazy; the first consumer materializes it) keyed by
+    # the join side, so each iteration shuffles only the O(V) label
+    # relation (pagerank pattern, guide §2.4).
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .repartition("v")
+        .localCheckpoint(eager=False)
     )
     labels = sym.select(F.col("u").alias("node")).distinct().withColumn(
         "community", F.col("node")

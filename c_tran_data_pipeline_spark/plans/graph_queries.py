@@ -290,8 +290,9 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         # consumed by all four half-step joins — materialize the
-        # orders⋈lineitem derivation once (q_pagerank pattern)
-        .localCheckpoint(eager=True)
+        # orders⋈lineitem derivation once (q_pagerank pattern; lazy,
+        # the first half-step's normalization scan materializes it)
+        .localCheckpoint(eager=False)
     )
     out = hits(e0, iters=2)
     return out.select("node", "kind", F.round("score", 12).alias("score"))
