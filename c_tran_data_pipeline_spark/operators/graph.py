@@ -333,6 +333,13 @@ def triangles(edges: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
             F.when(F.col("ka") < F.col("kb"), F.col("b")).otherwise(F.col("a")).alias("dst"),
             F.greatest("ka", "kb").alias("dkey"),
         )
+        # eo is mentioned THREE times below (both wedge sides + the
+        # closing semi-join); un-pinned, each mention inlines the whole
+        # degree+orientation subtree and the plan grows multiplicatively
+        # (round-9 audit: 154 Exchanges in q_triangle_count's static
+        # plan). Lazy checkpoint: computed once, O(m) rows, every
+        # mention reads the materialized RDD.
+        .localCheckpoint(eager=False)
     )
     wedge = (
         eo.select(F.col("src").alias("x"), F.col("dst").alias("y"), F.col("dkey").alias("k1"))

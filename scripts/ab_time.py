@@ -33,10 +33,8 @@ def main() -> None:
     registry["q_summaries"].builder(spark, SF_DIR).collect()
     bench._warm_page_cache(SF_DIR)
     bench._calibration_run(spark)
-    cal = round(
-        statistics.median(round(bench._calibration_run(spark), 3) for _ in range(3)), 3
-    )
-    out = {"cal": cal, "q": {}}
+    cal_samples = [round(bench._calibration_run(spark), 3) for _ in range(3)]
+    out = {"q": {}}
     for name in sys.argv[1:]:
         spec = registry[name]
         spec.builder(spark, SF_DIR).collect()  # warm
@@ -45,10 +43,15 @@ def main() -> None:
             t0 = time.perf_counter()
             spec.builder(spark, SF_DIR).collect()
             runs.append(time.perf_counter() - t0)
-        m = min(runs)
-        out["q"][name] = {"min": round(m, 3), "min_cal": round(m / cal, 3)}
-    cal_post = round(bench._calibration_run(spark), 3)
-    out["cal_post"] = cal_post
+        out["q"][name] = {"min": round(min(runs), 3)}
+    cal_samples += [round(bench._calibration_run(spark), 3) for _ in range(2)]
+    # calibrate on the pre+post median so a host-speed drift mid-session
+    # doesn't flatter or punish the queries timed in between
+    cal = round(statistics.median(cal_samples), 3)
+    out["cal"] = cal
+    out["cal_samples"] = cal_samples
+    for name, rec in out["q"].items():
+        rec["min_cal"] = round(rec["min"] / cal, 3)
     print(json.dumps(out))
 
 
