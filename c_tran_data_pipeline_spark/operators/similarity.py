@@ -407,6 +407,24 @@ def _sign_rows_lit(planes: int, plane_offset: int, dim: int) -> Column:
     return F.expr(_sign_rows_sql(planes, plane_offset, dim))
 
 
+def _flat_dot_sql(a: str, b: str, dim: int) -> str:
+    """⟨a, b⟩ as flat codegen'd SQL when both arrays have exactly
+    ``dim`` elements, falling back to the interpreted aggregate fold
+    (byte-identical semantics to operators.similarity.dot) otherwise —
+    so candidate-pair re-ranks pay codegen arithmetic instead of
+    ~µs-per-element lambda evaluation on the pair-grain hot path, with
+    NO behavior change on malformed lengths. Same left-associated fold
+    order as dot(): every double is bit-identical."""
+    flat = "0.0D" + "".join(f" + `{a}`[{d}] * `{b}`[{d}]" for d in range(dim))
+    fallback = (
+        f"aggregate(zip_with(`{a}`, `{b}`, (x, y) -> x * y), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+    return (
+        f"IF(size(`{a}`) = {dim} AND size(`{b}`) = {dim}, {flat}, {fallback})"
+    )
+
+
 def _bucket_expr(v: Column, planes: int, plane_offset: int = 0, dim: int | None = None) -> Column:
     if dim is not None:
         return _bucket_from_sign_rows(v, _sign_rows_lit(planes, plane_offset, dim), planes)
@@ -438,6 +456,18 @@ def multi_table_lsh_buckets(
     tables×planes×dim sign tensor is one Literal and the bucket array is
     one transform — constant-size plan no matter the table count (see
     _bucket_from_sign_rows)."""
+    # NOTE (round 9): a flat-SQL rewrite of these projections (unrolled
+    # codegen arithmetic instead of the interpreted HOF lambdas) was
+    # built, proven bit-identical, interleave-benchmarked — and
+    # REVERTED: the unrolled tree costs ~1.5-2.4 s of Catalyst analysis
+    # per DataFrame CONSTRUCTION (tables×planes×dim ≈ thousands of
+    # nodes vs ~50 here, where the sign matrix constant-folds to one
+    # literal), which exceeds the execution win at any per-query corpus
+    # this bench runs (interleaved min-of-3: lambda 0.6-1.8 s vs flat
+    # 1.7-2.6 s end-to-end). The interpreted projection cost is real but
+    # parallelizes (spread() at the call sites); the analysis cost is
+    # serial driver time paid per query. OPTIMIZATION_r09.md has the
+    # full numbers.
     v = _as_double(F.col(vec))
     if dim is not None:
         signs3 = F.expr(
@@ -1001,9 +1031,17 @@ def embedding_lsh_candidates(
     # vectors, never the embedding column — and LRU eviction bounds the
     # footprint across repeated calls.
     from c_tran_data_pipeline_spark.session import persist_once
+    from c_tran_data_pipeline_spark.sources.readers import spread
 
+    # spread BEFORE the projection pass: a single-row-group input (the
+    # fixture shape) would run the tables×planes interpreted projections
+    # on one core (interleaved min-of-3 at sf0.1: 1.7 s -> 0.7 s); at
+    # scale inputs are many-row-group and spread is a no-op. Scoped HERE
+    # — not at the caller — so the exact-cosine re-rank branches keep
+    # reading the parquet scan directly instead of paying the
+    # repartition per branch; the persist below amortizes the shuffle.
     b = persist_once(
-        multi_table_lsh_buckets(df, planes, tables, key, vec, dim).select(
+        multi_table_lsh_buckets(spread(df), planes, tables, key, vec, dim).select(
             "table", "bucket", key
         )
     )
@@ -1095,13 +1133,21 @@ def embedding_neardup_pairs_lsh(
     v2 = df.select(
         F.col(key).alias("d2"), _as_double(F.col(vec)).alias("__v2")
     ).withColumn("__n2", norm(F.col("__v2")))
+    # Pair-grain dot: flat codegen'd arithmetic when dim is known (the
+    # candidate stream is often 100×n rows — the interpreted lambda fold
+    # was the per-pair hot loop), exact fallback otherwise.
+    pair_dot = (
+        F.expr(_flat_dot_sql("__v1", "__v2", dim))
+        if dim is not None
+        else dot(F.col("__v1"), F.col("__v2"))
+    )
     return (
         pairs.join(v1, "d1")
         .join(v2, "d2")
         .select(
             "d1",
             "d2",
-            (dot(F.col("__v1"), F.col("__v2")) / (F.col("__n1") * F.col("__n2"))).alias("__cos"),
+            (pair_dot / (F.col("__n1") * F.col("__n2"))).alias("__cos"),
         )
         .filter(F.col("__cos") >= threshold)
         .select("d1", "d2", F.round("__cos", 4).alias("cosine"))

@@ -521,3 +521,28 @@ def test_hard_negative_lsh_recall_floor(spark):
     got = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.5, recall  # bucket recall at the tuned banding
+
+
+def test_flat_dot_sql_equals_hof_dot(spark):
+    """The flat codegen'd pair-grain dot (r9: embedding_neardup_pairs_lsh's
+    re-rank hot path) is bit-identical to the interpreted aggregate fold
+    on exact-dim vectors, and falls back to the fold's semantics on any
+    length mismatch (nulls poison both the same way)."""
+    from c_tran_data_pipeline_spark.operators.similarity import _flat_dot_sql, dot
+
+    rows = [
+        ([1.0, 2.0, 3.0], [4.0, 5.0, 6.0]),        # exact dim
+        ([0.1] * 3, [0.3] * 3),                      # rounding-sensitive
+        ([1.0, None, 3.0], [4.0, 5.0, 6.0]),         # null element
+        ([1.0, 2.0], [4.0, 5.0, 6.0]),               # a shorter than dim
+        ([1.0, 2.0, 3.0, 4.0], [4.0, 5.0, 6.0, 7.0]),  # both longer than dim
+        (None, [1.0, 2.0, 3.0]),                     # null array
+    ]
+    df = spark.createDataFrame(rows, "a array<double>, b array<double>")
+    got = df.select(
+        F.expr(_flat_dot_sql("a", "b", 3)).alias("flat"),
+        dot(F.col("a"), F.col("b")).alias("hof"),
+    ).collect()
+    for r in got:
+        # bit-exact comparison via repr (NaN never occurs here)
+        assert repr(r["flat"]) == repr(r["hof"]), (r["flat"], r["hof"])
