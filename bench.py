@@ -1,10 +1,18 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
-sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+sf0.1) on local[$SPARK_GRAFT_CPUS]; prints one JSON line PER QUERY
+followed by the ONE headline JSON line (the headline line is last, so
+tail-window consumers keep parsing exactly what they always did).
 
 Each query is built from the same registry the driver's correctness gate
 uses, timed end-to-end (plan + execute + collect). The metric is total
-wall seconds across the headline set, with the per-query breakdown in
-``queries``.
+wall seconds across the headline set; per-query medians/mins/raw runs
+are printed as individual ``{"query": ...}`` lines (round 10, VERDICT
+r9 #1 — so the driver can compute per-query round-over-round deltas
+itself) and also land in BENCH_DETAIL.json. A fixed-work calibration
+unit runs INTERLEAVED between every ~15-query group (not just at the
+endpoints), and each query's record carries the median of its
+bracketing samples — a mid-run host stall is now visible in the very
+records it distorts instead of being missed by endpoint-only sampling.
 """
 
 from __future__ import annotations
@@ -368,10 +376,20 @@ def main() -> None:
     # persisted IVF-PQ index) so the timed reps — even at reps=1 — measure
     # the amortized production path.
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    # Interleaved calibration (round 10, VERDICT r9 #1b): one fixed-work
+    # unit between every CAL_GROUP queries. Endpoint-only sampling missed
+    # a mid-run host stall entirely in round 9 (26 untouched queries
+    # flagged while both endpoint samples read fast); bracketing samples
+    # make such stalls self-adjudicating per query group.
+    cal_group = int(os.environ.get("SPARK_GRAFT_BENCH_CAL_GROUP", "15"))
+    cal_marks: list[float] = [calibration]  # sample before query group 0
     timings: dict[str, float] = {}
     timings_min: dict[str, float] = {}
     raw_runs: dict[str, list[float]] = {}
+    query_cal: dict[str, float] = {}  # median of each query's bracketing samples
+    group_index: dict[str, int] = {}
     failed: list[str] = []
+    n_run = 0
     for name in HEADLINE:
         spec = registry.get(name)
         if spec is None:
@@ -383,6 +401,10 @@ def main() -> None:
             # correctness anchors — neither is a throughput claim, so
             # neither is part of the headline metric (VERDICT r8 #3).
             continue
+        if n_run and n_run % cal_group == 0:
+            cal_marks.append(round(_calibration_run(spark), 3))
+        group_index[name] = n_run // cal_group
+        n_run += 1
         runs: list[float] = []
         try:
             spec.builder(spark, sf_dir).collect()  # warm-up, untimed
@@ -398,10 +420,16 @@ def main() -> None:
         timings_min[name] = round(min(runs), 3)
         raw_runs[name] = [round(r, 3) for r in runs]
 
-    # Post-run calibration: if the host slowed down mid-run (thermal,
-    # co-tenant), pre vs post shows it — a drift diagnostic, not part of
-    # the normalization constant.
+    # Post-run calibration: closes the final group's bracket (and the
+    # pre-vs-post pair stays the coarse drift diagnostic it always was).
     calibration_post = round(_calibration_run(spark), 3)
+    cal_marks.append(calibration_post)
+    for name, g in group_index.items():
+        if name in failed:
+            continue
+        lo = cal_marks[min(g, len(cal_marks) - 1)]
+        hi = cal_marks[min(g + 1, len(cal_marks) - 1)]
+        query_cal[name] = round(statistics.median([lo, hi]), 3)
 
     total = round(sum(timings.values()), 3)
     # The headline set grew past round 1's 20 queries (every _POST_R01
@@ -433,17 +461,42 @@ def main() -> None:
             "failed": failed,
             "calibration_runs": calibration_runs,
             "calibration_post": calibration_post,
+            # Interleaved fixed-work samples (one before each ~cal_group
+            # query group, plus the post sample) and each query's local
+            # unit = median of its bracketing samples (VERDICT r9 #1b).
+            "calibration_marks": cal_marks,
+            "query_cal": query_cal,
             # Calibrated per-query figures: seconds of FIXED-WORK units,
             # i.e. min/calibration — the number scripts/bench_compare.py
             # compares across rounds (regressed iff new calibrated min
-            # > 1.5× committed calibrated min).
+            # > 1.5× committed calibrated min). Uses each query's LOCAL
+            # bracketing unit where available (round 10); the session
+            # median remains the fallback.
             "queries_min_calibrated": {
-                n: round(v / calibration, 3) for n, v in timings_min.items()
+                n: round(v / query_cal.get(n, calibration), 3)
+                for n, v in timings_min.items()
             },
         }
     )
     with open(os.path.join(_REPO, "BENCH_DETAIL.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
+    # Per-query one-line JSONs BEFORE the headline line (VERDICT r9 #1a):
+    # additive — the headline line keeps its exact shape and stays LAST,
+    # so a tail-window consumer parses what it always parsed, while a
+    # full-stdout consumer now gets per-query medians/mins/raw runs and
+    # the local calibration unit without reading BENCH_DETAIL.json.
+    for name in timings:
+        print(
+            json.dumps(
+                {
+                    "query": name,
+                    "median": timings[name],
+                    "min": timings_min[name],
+                    "runs": raw_runs[name],
+                    "cal": query_cal.get(name, calibration),
+                }
+            )
+        )
     print(json.dumps(summary))
 
 

@@ -1,8 +1,9 @@
-"""Dump .explain('formatted') for the named queries to plans/<tag>/.
+"""Dump .explain('formatted') for the named queries to plans/<round>/.
 
 Usage: python scripts/dump_plans.py <tag_suffix> q_a q_b ...
-Writes plans/r09/<query>_<tag_suffix>.txt (the round's judge-facing
-plan evidence). Measurement harness only — not part of the engine.
+Writes plans/$SPARK_GRAFT_PLAN_ROUND/<query>_<tag_suffix>.txt (default
+r10 — the round's judge-facing plan evidence). Measurement harness
+only — not part of the engine.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ def main() -> None:
 
     spark = get_spark("dump-plans")
     registry = all_queries()
-    outdir = _REPO / "plans" / "r09"
+    outdir = _REPO / "plans" / os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r10")
     outdir.mkdir(parents=True, exist_ok=True)
     for name in names:
         df = registry[name].builder(spark, SF_DIR)
