@@ -59,7 +59,14 @@ def _sql_lit(s: str) -> str:
     which ``ParserUtils.unescapeSQLString`` decodes back to the exact
     codepoint — so the parsed literal equals ``F.lit(s)`` byte-for-byte
     for any BMP string (astral chars pass through raw, legal in a
-    literal)."""
+    literal).
+
+    Config dependency (ADVICE r9): the ``\\uXXXX`` decode requires
+    ``spark.sql.parser.escapedStringLiterals=false`` — the Spark default,
+    asserted at parse time by ``_assert_escaped_literals_off`` on every
+    entry point that feeds these literals into ``F.expr`` — because the
+    legacy literal mode would pass the escape text through RAW and merge
+    symbols containing quotes/backslashes/END would silently corrupt."""
     out = []
     for ch in s:
         o = ord(ch)
@@ -68,6 +75,21 @@ def _sql_lit(s: str) -> str:
         else:
             out.append(ch)
     return "'" + "".join(out) + "'"
+
+
+def _assert_escaped_literals_off(df: DataFrame) -> None:
+    """Hard-fail if the session runs the legacy literal parser (ADVICE
+    r9): merge symbols come from CORPUS DATA, so under
+    ``spark.sql.parser.escapedStringLiterals=true`` a symbol containing
+    a quote/backslash/control char would parse as the WRONG BYTES with
+    no error — corrupt BPE output is strictly worse than a crash."""
+    conf = df.sparkSession.conf.get("spark.sql.parser.escapedStringLiterals", "false")
+    if str(conf).lower() == "true":
+        raise RuntimeError(
+            "BPE SQL-literal rendering requires "
+            "spark.sql.parser.escapedStringLiterals=false (the default); "
+            "the legacy literal mode would silently corrupt merge symbols"
+        )
 
 
 def _merge_once_sql(inner: str, a: str, b: str) -> str:
@@ -156,6 +178,7 @@ def bpe_train(
     in merge order (KBs of driver state — ship it as a literal, like
     k-means centroids). Stops early when no pair reaches
     ``min_pair_count``."""
+    _assert_escaped_literals_off(docs)
     wf = word_freq_table(docs, text)
     # Eager localCheckpoint per iteration, NOT persist: each iteration's
     # frame must start from a TRUNCATED logical plan. The pair-count
@@ -195,7 +218,13 @@ def bpe_encode_words(
     """words + ``tokens`` (array of subword symbols): apply the learned
     merge list in rank order — the whole merge cascade is one chained
     Column expression (native fold per merge, no Python, no joins)."""
-    expr = f"concat(split(`{word}`, ''), array({_sql_lit(END)}))"
+    _assert_escaped_literals_off(words)
+    # Escape embedded backticks in the identifier (`` is the quoted-
+    # identifier escape, mirroring what _sql_lit does for string
+    # literals) so a column name containing ` parses correctly (ADVICE
+    # r9; the old F.col path handled such names).
+    ident = word.replace("`", "``")
+    expr = f"concat(split(`{ident}`, ''), array({_sql_lit(END)}))"
     for a, b, _n in merges:
         expr = _merge_once_sql(expr, a, b)
     return words.withColumn("tokens", F.expr(expr))

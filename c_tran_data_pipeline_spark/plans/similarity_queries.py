@@ -24,7 +24,7 @@ from c_tran_data_pipeline_spark.operators.similarity import (
     label_centroids,
 )
 from c_tran_data_pipeline_spark.plans.registry import query
-from c_tran_data_pipeline_spark.sources.readers import load_table, spread
+from c_tran_data_pipeline_spark.sources.readers import load_table
 
 _COS = "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))"
 
