@@ -190,30 +190,18 @@ def _materialize(df: DataFrame) -> DataFrame:
     return persist_once(df, StorageLevel.MEMORY_AND_DISK)
 
 
-def _with_buckets(
-    df: DataFrame, order_by, partitions: int | None, bounds: list[float] | None = None
-) -> tuple[DataFrame, list[Column]]:
-    """df + ``__gr_pid`` (deterministic range-bucket id, monotone along
-    the global order) and the window sort columns."""
-    for c in _RESERVED:
-        if c in df.columns:
-            raise ValueError(f"global rank/cumsum reserves column name {c!r}")
-    info = _order_info(order_by)
-    sort_cols = [w for w, _, _, _ in info]
+def _bucket_column(
+    df: DataFrame,
+    info: list[tuple[Column, Column, bool, bool]],
+    bounds: list[float],
+) -> Column:
+    """The deterministic range-bucket id for one global order (a PURE
+    FUNCTION of the row — see the module docstring) from already-
+    normalized order info and deduped-sorted boundaries."""
     _, lead, lead_desc, lead_nulls_first = info[0]
-    df = _materialize(df)
-    n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    if n <= 1:  # one bucket: no boundaries, no sampling pass
-        return df.withColumn(_PID, F.lit(0)), sort_cols
-    rk = _range_key(df, lead)
-    if bounds is None:
-        # One column-pruned sampling pass; ≤ n-1 doubles of driver state.
-        probs = [i / n for i in range(1, n)]
-        err = max(1.0 / (4 * n), 1e-4)
-        bounds = df.select(rk.alias("__gr_rk")).approxQuantile("__gr_rk", probs, err)
-    bounds = sorted(set(bounds))
     if not bounds:  # empty input or all-null lead key
-        return df.withColumn(_PID, F.lit(0)), sort_cols
+        return F.lit(0)
+    rk = _range_key(df, lead)
     # Chained boolean sums, NOT a higher-order F.filter over a literal
     # array: the lambda variable trips an [INTERNAL_ERROR_ATTRIBUTE_NOT_
     # FOUND] when the bucket expression is inlined through the
@@ -232,20 +220,44 @@ def _with_buckets(
     # (defaults: ASC→FIRST, DESC→LAST; approxQuantile already ignores
     # nulls, so the boundaries never see them).
     null_bucket = F.lit(0) if lead_nulls_first else F.lit(len(bounds))
-    bucket = F.when(rk.isNull(), null_bucket).otherwise(bucket)
-    return df.withColumn(_PID, bucket), sort_cols
+    return F.when(rk.isNull(), null_bucket).otherwise(bucket)
 
 
-def _offsets(counts: DataFrame, sum_cols: list[str]) -> DataFrame:
+def _with_buckets(
+    df: DataFrame, order_by, partitions: int | None, bounds: list[float] | None = None
+) -> tuple[DataFrame, list[Column]]:
+    """df + ``__gr_pid`` (deterministic range-bucket id, monotone along
+    the global order) and the window sort columns."""
+    for c in _RESERVED:
+        if c in df.columns:
+            raise ValueError(f"global rank/cumsum reserves column name {c!r}")
+    info = _order_info(order_by)
+    sort_cols = [w for w, _, _, _ in info]
+    _, lead, _, _ = info[0]
+    df = _materialize(df)
+    n = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if n <= 1:  # one bucket: no boundaries, no sampling pass
+        return df.withColumn(_PID, F.lit(0)), sort_cols
+    if bounds is None:
+        # One column-pruned sampling pass; ≤ n-1 doubles of driver state.
+        rk = _range_key(df, lead)
+        probs = [i / n for i in range(1, n)]
+        err = max(1.0 / (4 * n), 1e-4)
+        bounds = df.select(rk.alias("__gr_rk")).approxQuantile("__gr_rk", probs, err)
+    bounds = sorted(set(bounds))
+    return df.withColumn(_PID, _bucket_column(df, info, bounds)), sort_cols
+
+
+def _offsets(counts: DataFrame, sum_cols: list[str], pid: str = _PID) -> DataFrame:
     """Prefix-sum offsets + grand totals over the ≤ n-row bucket-count
     frame. Partitioned by a DERIVED constant (pid % 1 — non-foldable,
     so Catalyst keeps it): routes the bookkeeping rows through a normal
     hash exchange instead of the warning-logging global-sort path."""
-    one = F.pmod(F.col(_PID), F.lit(1))
-    w_prefix = Window.partitionBy(one).orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    one = F.pmod(F.col(pid), F.lit(1))
+    w_prefix = Window.partitionBy(one).orderBy(pid).rowsBetween(Window.unboundedPreceding, -1)
     w_all = Window.partitionBy(one)
     return counts.select(
-        _PID,
+        pid,
         *[
             F.coalesce(F.sum(c).over(w_prefix), F.lit(0)).alias(f"__gr_off_{c}")
             for c in sum_cols
@@ -382,16 +394,94 @@ def global_ntile(
     if n <= 0:
         raise ValueError(f"ntile bucket count must be positive, got {n}")
     out = _ranked(df, order_by, partitions, bounds)
-    # Pure bigint arithmetic (DIV, never float division): exact at any N.
-    # With q = N div n and r = N mod n, rows 1..r(q+1) fill the first r
-    # (fat, q+1-row) buckets; the rest land in q-row buckets. When
-    # q == 0 (N < n) every row satisfies the first branch, so the
-    # DIV-by-q arm is never evaluated (CASE WHEN is lazy per row).
-    bucket = F.expr(
-        f"CASE WHEN __gr_rank <= ({_TOT} % {n}) * ({_TOT} DIV {n} + 1)"
-        f" THEN 1 + (__gr_rank - 1) DIV ({_TOT} DIV {n} + 1)"
-        f" ELSE ({_TOT} % {n}) + 1"
-        f"      + (__gr_rank - ({_TOT} % {n}) * ({_TOT} DIV {n} + 1) - 1)"
-        f"        DIV ({_TOT} DIV {n}) END"
-    ).cast("int")
+    bucket = _ntile_expr(n, "__gr_rank", _TOT)
     return out.select(*df.columns, bucket.alias(bucket_col))
+
+
+def _ntile_expr(n: int, rank_col: str, tot_col: str) -> Column:
+    """ANSI NTILE(n) from a 1-based global rank and the total row count.
+    Pure bigint arithmetic (DIV, never float division): exact at any N.
+    With q = N div n and r = N mod n, rows 1..r(q+1) fill the first r
+    (fat, q+1-row) buckets; the rest land in q-row buckets. When
+    q == 0 (N < n) every row satisfies the first branch, so the
+    DIV-by-q arm is never evaluated (CASE WHEN is lazy per row)."""
+    return F.expr(
+        f"CASE WHEN {rank_col} <= ({tot_col} % {n}) * ({tot_col} DIV {n} + 1)"
+        f" THEN 1 + ({rank_col} - 1) DIV ({tot_col} DIV {n} + 1)"
+        f" ELSE ({tot_col} % {n}) + 1"
+        f"      + ({rank_col} - ({tot_col} % {n}) * ({tot_col} DIV {n} + 1) - 1)"
+        f"        DIV ({tot_col} DIV {n}) END"
+    ).cast("int")
+
+
+def global_ntile_multi(
+    df: DataFrame,
+    n: int,
+    orders: list[list[Column | str]],
+    bucket_cols: list[str],
+    partitions: int | None = None,
+    bounds_list: list[list[float]] | None = None,
+) -> DataFrame:
+    """Several exact ANSI ``NTILE(n)`` dimensions over ONE frame in one
+    fused pass — ``global_ntile`` chained k times layers each level's
+    window over the previous level's join output, so the plan pays the
+    persist + bookkeeping aggregate + broadcast machinery k times over
+    an ever-wider frame (q_rfm_segments measured 29 Exchanges for
+    k = 3). Fused, every dimension's bucket id is a pure function of
+    the SAME persisted input row, so the plan is: one boundary-sampling
+    pass for all dimensions, ONE bookkeeping aggregate at the
+    (pid_0, ..., pid_{k-1}) grain (bounded by Π bucket counts — tiny;
+    per-dimension counts re-aggregate from it without touching the
+    data again), k broadcast offset joins (no shuffle), and k in-bucket
+    rank windows over the same narrow frame. Per dimension the rank
+    arithmetic is byte-identical to :func:`global_ntile`
+    (tests/test_rank.py pins row equality), so swapping a chain for
+    this fusion cannot move a result."""
+    if n <= 0:
+        raise ValueError(f"ntile bucket count must be positive, got {n}")
+    if len(orders) != len(bucket_cols):
+        raise ValueError("global_ntile_multi: orders and bucket_cols must align")
+    for c in df.columns:
+        if c.startswith("__gr_"):  # suffixed per-dimension internals
+            raise ValueError(f"global rank/cumsum reserves the __gr_ prefix, got {c!r}")
+    for bc in bucket_cols:
+        if bc in df.columns:
+            raise ValueError(f"global ntile output column {bc!r} already exists")
+    df = _materialize(df)
+    infos = [_order_info(o) for o in orders]
+    nparts = partitions or int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if bounds_list is None:
+        bounds_list = (
+            [[] for _ in infos]
+            if nparts <= 1
+            else range_bounds(df, [info[0][1] for info in infos], nparts)
+        )
+    bounds_list = [sorted(set(b)) for b in bounds_list]
+    pid_names = [f"{_PID}_{i}" for i in range(len(infos))]
+    parted = df
+    for name, info, bounds in zip(pid_names, infos, bounds_list):
+        parted = parted.withColumn(name, _bucket_column(df, info, bounds))
+    # ONE pass over the data for every dimension's bookkeeping: the
+    # joint-cell aggregate is bounded by the product of bucket counts
+    # (bookkeeping-class, never corpus-sized); per-dimension bucket
+    # counts re-aggregate those cells.
+    cells = parted.groupBy(*pid_names).agg(F.count(F.lit(1)).alias(_CNT))
+    out = parted
+    rank_cols = []
+    for i, (name, info) in enumerate(zip(pid_names, infos)):
+        counts = cells.groupBy(name).agg(F.sum(_CNT).alias(_CNT))
+        offs = _offsets(counts, [_CNT], pid=name).select(
+            name,
+            F.col(f"__gr_off_{_CNT}").cast("bigint").alias(f"{_OFF}_{i}"),
+            F.col(f"__gr_tot_{_CNT}").cast("bigint").alias(f"{_TOT}_{i}"),
+        )
+        out = out.join(F.broadcast(offs), name)
+        w_local = Window.partitionBy(name).orderBy(*[w for w, _, _, _ in info])
+        rank_cols.append(
+            (F.col(f"{_OFF}_{i}") + F.row_number().over(w_local)).cast("bigint")
+        )
+    for i, bc in enumerate(bucket_cols):
+        out = out.withColumn(f"__gr_rank_{i}", rank_cols[i]).withColumn(
+            bc, _ntile_expr(n, f"__gr_rank_{i}", f"{_TOT}_{i}")
+        )
+    return out.select(*df.columns, *bucket_cols)

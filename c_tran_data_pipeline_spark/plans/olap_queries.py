@@ -2295,7 +2295,7 @@ def q_theilsen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("olap", "window", "segment"),
 )
 def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from c_tran_data_pipeline_spark.operators.rank import global_ntile
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile_multi
 
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate", "o_totalprice")
     agg = o.groupBy("o_custkey").agg(
@@ -2312,19 +2312,24 @@ def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frequency",
         "monetary_cents",
     )
-    # Three exact ANSI quintile scores via operators/rank.py global_ntile
-    # (range-partitioned rank arithmetic) — each dimension is one
-    # balanced range shuffle of the customer-grain table, never a
-    # single-partition sort of it. All three dimensions' bucket
-    # boundaries come from ONE sampling pass (range_bounds), so the
-    # boundary job doesn't triple.
-    from c_tran_data_pipeline_spark.operators.rank import range_bounds
-
-    b_r, b_f, b_m = range_bounds(agg, ["recency_days", "frequency", "monetary_cents"])
-    scored = global_ntile(agg, 5, ["recency_days", "custkey"], bucket_col="__r_nt", bounds=b_r)
-    scored = global_ntile(scored, 5, ["frequency", "custkey"], bucket_col="f_score", bounds=b_f)
-    scored = global_ntile(
-        scored, 5, ["monetary_cents", "custkey"], bucket_col="m_score", bounds=b_m
+    # Three exact ANSI quintile scores in ONE fused pass
+    # (operators/rank.py global_ntile_multi, round 10): one sampling
+    # pass for all three boundaries, one bookkeeping aggregate at the
+    # joint (r, f, m)-bucket grain, three broadcast offset joins and
+    # three in-bucket rank windows over the SAME persisted
+    # customer-grain frame — the chained form re-persisted and re-joined
+    # an ever-wider frame per dimension (29 Exchanges → see
+    # plans/r10/q_rfm_segments_*.txt). Bucket values are bit-identical
+    # per dimension (same rank arithmetic, pinned in tests/test_rank.py).
+    scored = global_ntile_multi(
+        agg,
+        5,
+        [
+            ["recency_days", "custkey"],
+            ["frequency", "custkey"],
+            ["monetary_cents", "custkey"],
+        ],
+        ["__r_nt", "f_score", "m_score"],
     )
     return scored.select(
         "custkey",

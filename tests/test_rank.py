@@ -156,3 +156,39 @@ def test_global_cummax_exclusive_matches_window(keyed, spark):
     }
     assert got == exp
     assert sum(v is None for v in got.values()) == 1  # exactly the first row
+
+
+def test_global_ntile_multi_equals_chained(spark):
+    """The fused multi-dimension NTILE (round 10, q_rfm_segments' plan
+    fix) is row-identical to chaining global_ntile once per dimension —
+    ties, NULL lead keys, descending orders and the ANSI remainder rule
+    all included."""
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile_multi
+
+    df = spark.range(0, 5_007).select(
+        F.col("id"),
+        (F.col("id") % 37).alias("a"),
+        F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") % 5).alias("b"),
+        (-(F.col("id") % 13)).alias("c"),
+    )
+    orders = [["a", "id"], [F.col("b").desc(), F.col("id").asc()], ["c", "id"]]
+    chained = df
+    for order, bc in zip(orders, ["na", "nb", "nc"]):
+        chained = global_ntile(chained, 5, order, bucket_col=bc)
+    exp = {r["id"]: (r["na"], r["nb"], r["nc"]) for r in chained.collect()}
+    got = {
+        r["id"]: (r["na"], r["nb"], r["nc"])
+        for r in global_ntile_multi(df, 5, orders, ["na", "nb", "nc"]).collect()
+    }
+    assert got == exp
+
+
+def test_global_ntile_multi_guards(keyed):
+    from c_tran_data_pipeline_spark.operators.rank import global_ntile_multi
+
+    with pytest.raises(ValueError, match="align"):
+        global_ntile_multi(keyed, 5, [["k", "id"]], ["x", "y"])
+    with pytest.raises(ValueError, match="reserves"):
+        global_ntile_multi(keyed.withColumn("__gr_pid_0", F.lit(1)), 5, [["k", "id"]], ["x"])
+    with pytest.raises(ValueError, match="already exists"):
+        global_ntile_multi(keyed, 5, [["k", "id"]], ["k"])

@@ -397,6 +397,13 @@ _ALLOWED_PYTHON = {
     "q_pair_curation_crossmodal",
     # same md5-pixel synthesis + aHash, incremental store probe (r8)
     "q_incremental_image_neardup",
+    # multi-table LSH bucket pass = Arrow mapInPandas numpy sequential
+    # fold (round 10 — LSH_SHAPE_AB_r10.json: 2.6× over the interpreted
+    # HOF shape at the 10× rung, bit-identical by the pinned three-shape
+    # test); candidate joins + re-rank stay pure relational
+    "q_ann_neardup_lsh",
+    "q_ann_lsh_topk",
+    "q_hard_negatives_lsh",
     # composes q_pair_curation_crossmodal's synthesis/aHash (r8)
     "q_crossmodal_clusters",
     # the end-to-end cross-modal corpus prep (r9): md5-pixel synthesis +
@@ -576,7 +583,7 @@ def _broadcast_bounded_class(sub: str) -> str | None:
     None if it could grow with the corpus."""
     if "HashAggregate(keys=[]" in sub:
         return "scalar-agg"  # 1-row global aggregate
-    if _re.search(r"Aggregate\(keys=\[__gr_pid#\d+", sub):
+    if _re.search(r"Aggregate\(keys=\[__gr_pid\w*#\d+", sub):
         # operators/rank.py prefix-offset bookkeeping: an aggregate
         # keyed by the range-bucket id — ≤ |buckets| rows by construction
         return "rank-bookkeeping"
