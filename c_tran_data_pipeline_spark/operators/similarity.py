@@ -439,6 +439,151 @@ def _bucket_expr(v: Column, planes: int, plane_offset: int = 0, dim: int | None 
     return acc
 
 
+def _flat_proj_sql(vcol: str, plane: int, dim: int) -> str:
+    """⟨v, signs(plane)⟩ unrolled to flat codegen arithmetic: the ±1
+    multiplications fold into +/- operators (IEEE-exact — x*1.0 ≡ x,
+    x*(-1.0) ≡ -x, and a - b ≡ a + (-b) bit-for-bit), left-associated in
+    dim order starting from 0.0, so every partial sum is bit-identical
+    to the interpreted zip_with/aggregate fold in
+    :func:`_bucket_from_sign_rows` (pinned in tests/test_similarity.py).
+    Meaningful ONLY when ``size(v) == dim`` — callers guard per row;
+    element access is ``get()`` (NULL on out-of-bounds) rather than
+    ``[]`` because these columns evaluate EAGERLY for every row,
+    including malformed ones the guard routes elsewhere, and ANSI mode
+    makes ``[]`` throw on a short array."""
+    parts = ["0.0D"]
+    for d in range(dim):
+        op = "+" if _sign_value(plane, d) > 0 else "-"
+        parts.append(f"{op} get(`{vcol}`, {d})")
+    return " ".join(parts)
+
+
+def _lambda_bucket_array(v: Column, planes: int, tables: int, dim: int) -> Column:
+    """The round-9 interpreted shape: the tables×planes×dim sign tensor
+    as ONE Literal, the bucket array as one transform over it
+    (constant-size plan no matter the table count — see
+    _bucket_from_sign_rows)."""
+    signs3 = F.expr(
+        "array(" + ",".join(_sign_rows_sql(planes, t * planes, dim) for t in range(tables)) + ")"
+    )
+    return F.transform(signs3, lambda sign_rows: _bucket_from_sign_rows(v, sign_rows, planes))
+
+
+def _multi_table_lsh_buckets_lambda(
+    df: DataFrame, planes: int, tables: int, key: str, vec: str, dim: int
+) -> DataFrame:
+    """Round-9 interpreted-HOF bucket pass, kept callable for A/B
+    comparisons (scripts/lsh_shape_ab.py) and as the semantics anchor
+    the flat shape is pinned against."""
+    v = _as_double(F.col(vec))
+    return df.select(
+        F.col(key), F.col(vec),
+        F.posexplode(_lambda_bucket_array(v, planes, tables, dim)).alias("table", "bucket"),
+    )
+
+
+def _multi_table_lsh_buckets_flat(
+    df: DataFrame, planes: int, tables: int, key: str, vec: str, dim: int
+) -> DataFrame:
+    """The JIT-able split-projection shape (round 10, VERDICT r9 #2):
+    every (table, plane) projection is its OWN column in a Project
+    below the posexplode Generate, so whole-stage codegen emits one
+    small method per projection (a fused tables×planes×dim expression
+    falls out of JIT — the round-9 finding), and the Generate barrier
+    keeps CollapseProject from re-fusing them into the generator.
+    Per-row guard: rows whose vector length ≠ dim route through the
+    interpreted lambda form — bit-identical semantics for malformed
+    lengths and NULLs (the flat sum is itself bit-identical for
+    well-formed rows, see _flat_proj_sql). Execution is ~5× the
+    interpreted form per row; the Catalyst-analysis cost of the
+    ~tables×planes×dim-node tree is paid once per (input plan, banding)
+    per session via the analyzed-plan cache in multi_table_lsh_buckets."""
+    v = _as_double(F.col(vec))
+    base = df.select(F.col(key), F.col(vec), v.alias("__mt_v"))
+    proj_cols = [
+        F.expr(_flat_proj_sql("__mt_v", t * planes + j, dim)).alias(f"__mt_p_{t}_{j}")
+        for t in range(tables)
+        for j in range(planes)
+    ]
+    proj = base.select(F.col(key), F.col(vec), F.col("__mt_v"), *proj_cols)
+    flat_tables = []
+    for t in range(tables):
+        terms = [
+            F.when(F.col(f"__mt_p_{t}_{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(
+                F.lit(0).cast("bigint")
+            )
+            for j in range(planes)
+        ]
+        flat_tables.append(sum(terms[1:], terms[0]))
+    buckets = F.when(F.size("__mt_v") == dim, F.array(*flat_tables)).otherwise(
+        _lambda_bucket_array(F.col("__mt_v"), planes, tables, dim)
+    )
+    return proj.select(
+        F.col(key), F.col(vec), F.posexplode(buckets).alias("table", "bucket")
+    )
+
+
+def _multi_table_lsh_buckets_arrow(
+    df: DataFrame, planes: int, tables: int, key: str, vec: str, dim: int
+) -> DataFrame:
+    """Arrow/numpy bucket pass (guide §4.2: batch-grain native compute):
+    each partition's vectors stream through mapInPandas; the
+    (tables·planes)×dim ±1 sign matrix is a closed-over numpy constant;
+    projections accumulate SEQUENTIALLY over the dim axis (vectorized
+    across rows and planes), so every partial sum is the same IEEE
+    float64 add chain as the interpreted zip_with/aggregate fold and the
+    flat SQL — bit-identical buckets (pinned in tests/test_similarity.py).
+    Rows whose vector is NULL or whose length ≠ dim get bucket 0 in
+    every table, exactly what the null-poisoned JVM fold produces.
+    Plan is constant-size (no Catalyst analysis growth, no codegen
+    limits); the cost is one Arrow round-trip of (key, vec)."""
+    import numpy as np
+
+    signs = np.array(
+        [[_sign_value(p, d) for d in range(dim)] for p in range(planes * tables)],
+        dtype=np.float64,
+    )  # row p = plane p; table t owns planes [t*planes, (t+1)*planes)
+    n_tables, n_planes = tables, planes
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+    key_t = dict(df.dtypes)[key]
+    vec_t = dict(df.dtypes)[vec]
+    out_schema = f"`{key}` {key_t}, `{vec}` {vec_t}, `table` int, `bucket` bigint"
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vs = pdf[vec]
+            lens = np.fromiter(
+                ((-1 if x is None else len(x)) for x in vs), dtype=np.int64, count=n
+            )
+            good = lens == dim
+            buckets = np.zeros((n, n_tables), dtype=np.int64)
+            if good.any():
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in vs[good]])
+                acc = np.zeros((V.shape[0], n_planes * n_tables), dtype=np.float64)
+                for d in range(dim):  # sequential over dims = the exact fold order
+                    acc += V[:, d : d + 1] * signs[:, d]
+                bits = acc > 0.0
+                buckets[good] = (
+                    bits.reshape(-1, n_tables, n_planes) * weights
+                ).sum(axis=2)
+            idx = np.repeat(np.arange(n), n_tables)
+            yield pd.DataFrame(
+                {
+                    key: pdf[key].to_numpy()[idx],
+                    vec: vs.to_numpy()[idx],
+                    "table": np.tile(np.arange(n_tables, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
+
+    return df.select(F.col(key), F.col(vec)).mapInPandas(gen, out_schema)
+
+
 def multi_table_lsh_buckets(
     df: DataFrame,
     planes: int = 4,
@@ -451,36 +596,37 @@ def multi_table_lsh_buckets(
     sets via plane_offset), long form (key, vec, table, bucket). Recall
     for neighbors at angle θ is 1-(1-p^planes)^tables with p = 1-θ/π —
     tables buy recall, planes buy precision (smaller candidate sets).
-    Emitted as one select with a posexplode over per-table bucket exprs:
-    still a single scan, no shuffle. With ``dim`` known the whole
-    tables×planes×dim sign tensor is one Literal and the bucket array is
-    one transform — constant-size plan no matter the table count (see
-    _bucket_from_sign_rows)."""
-    # NOTE (round 9): a flat-SQL rewrite of these projections (unrolled
-    # codegen arithmetic instead of the interpreted HOF lambdas) was
-    # built, proven bit-identical, interleave-benchmarked — and
-    # REVERTED: the unrolled tree costs ~1.5-2.4 s of Catalyst analysis
-    # per DataFrame CONSTRUCTION (tables×planes×dim ≈ thousands of
-    # nodes vs ~50 here, where the sign matrix constant-folds to one
-    # literal), which exceeds the execution win at any per-query corpus
-    # this bench runs (interleaved min-of-3: lambda 0.6-1.8 s vs flat
-    # 1.7-2.6 s end-to-end). The interpreted projection cost is real but
-    # parallelizes (spread() at the call sites); the analysis cost is
-    # serial driver time paid per query. OPTIMIZATION_r09.md has the
-    # full numbers.
-    v = _as_double(F.col(vec))
-    if dim is not None:
-        signs3 = F.expr(
-            "array(" + ",".join(_sign_rows_sql(planes, t * planes, dim) for t in range(tables)) + ")"
-        )
-        buckets = F.transform(
-            signs3, lambda sign_rows: _bucket_from_sign_rows(v, sign_rows, planes)
-        )
-    else:
+    One scan, no shuffle, on every shape.
+
+    With ``dim`` known the projections run in the ARROW/numpy shape
+    (_multi_table_lsh_buckets_arrow) — adopted in round 10 after a
+    three-way interleaved A/B at the fixture and a 10× corpus rung
+    (LSH_SHAPE_AB_r10.json, scripts/lsh_shape_ab.py):
+
+      rung 20k (9 planes × 36 tables), min-of-3, same session:
+        construction  lambda 0.63 s · flat 5.31 s · arrow 0.07 s
+        execution     lambda 2.88 s · flat 4.33 s · arrow 1.12 s
+
+    The round-9 interpreted-HOF ``lambda`` shape keeps a tiny plan but
+    pays µs-per-element interpreted folds at execution; the round-9
+    "adopt next round" ``flat`` split-projection shape was built, plus
+    an analyzed-plan cache per (input, banding) — and still LOSES: the
+    ~tables×planes×dim-node tree pays Catalyst optimization + codegen
+    per ACTION (not just analysis per construction, which the cache did
+    erase — see construct_warm in the A/B record), and its 100-column
+    Project breaks whole-stage codegen (janino InternalCompilerException
+    → per-expression fallback). The arrow shape is bit-identical by
+    construction (sequential float64 fold — tests pin all three shapes
+    equal), has a constant-size plan, and hands the projection GEMM-
+    shaped work to numpy (guide §4.2). The HOF shapes stay callable for
+    the A/B harness and as the semantics anchor."""
+    if dim is None:
+        v = _as_double(F.col(vec))
         buckets = F.array(*[_bucket_expr(v, planes, t * planes, dim) for t in range(tables)])
-    return df.select(
-        F.col(key), F.col(vec), F.posexplode(buckets).alias("table", "bucket")
-    )
+        return df.select(
+            F.col(key), F.col(vec), F.posexplode(buckets).alias("table", "bucket")
+        )
+    return _multi_table_lsh_buckets_arrow(df, planes, tables, key, vec, dim)
 
 
 def ann_lsh_topk(

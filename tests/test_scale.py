@@ -413,17 +413,39 @@ _ALLOWED_PYTHON = {
 }
 
 
+_REGISTRY_PLANS_CACHE: dict[int, list[tuple[str, str]]] = {}
+
+
 def _registry_plans(spark):
+    """Static physical plans for every registered query, built ONCE per
+    session and shared by the three default-conf audits below — each
+    walk pays every builder's eager work (counts, checkpoints, k-means
+    training at SF_SMOKE), ~2 min per walk in the full suite (round 10).
+    The broadcast audit builds its own walk because it flips
+    autoBroadcastJoinThreshold first."""
+    key = id(spark)
+    if key not in _REGISTRY_PLANS_CACHE:
+        _REGISTRY_PLANS_CACHE[key] = _walk_registry_plans(spark)
+    return _REGISTRY_PLANS_CACHE[key]
+
+
+def _walk_registry_plans(spark) -> list[tuple[str, str]]:
+    """Uncached walk — the broadcast audit calls this directly because it
+    plans under a flipped autoBroadcastJoinThreshold; caching its plans
+    (or serving it the default-conf ones) would void both gates."""
     from c_tran_data_pipeline_spark.plans import all_queries
     from tests.conftest import SF_SMOKE
 
+    plans = []
     for name, spec in all_queries().items():
         df = spec.builder(spark, SF_SMOKE)
         # static physical plan (pre-AQE) — join strategy and Python-eval
         # nodes are already decided here, no execution needed
-        yield name, df._jdf.queryExecution().executedPlan().toString()
+        plans.append((name, df._jdf.queryExecution().executedPlan().toString()))
+    return plans
 
 
+@pytest.mark.slow
 def test_no_unexpected_nested_loop_joins(spark):
     offenders = [
         n
@@ -515,6 +537,7 @@ def _single_partition_windows(plan: str) -> list[str]:
     return hits
 
 
+@pytest.mark.slow
 def test_no_unbounded_single_partition_windows(spark):
     offenders = []
     for name, plan in _registry_plans(spark):
@@ -529,6 +552,7 @@ def test_no_unbounded_single_partition_windows(spark):
     )
 
 
+@pytest.mark.slow
 def test_no_unexpected_python_in_plans(spark):
     markers = ("BatchEvalPython", "ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
     offenders = [
@@ -639,6 +663,7 @@ _BOUNDED_BROADCAST_NOTES = {
 }
 
 
+@pytest.mark.slow
 def test_broadcast_build_sides_bounded(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -651,7 +676,7 @@ def test_broadcast_build_sides_bounded(spark):
     spark.catalog.clearCache()
     try:
         offenders = []
-        for name, plan in _registry_plans(spark):
+        for name, plan in _walk_registry_plans(spark):
             for sub in _broadcast_subtrees(plan):
                 if _broadcast_bounded_class(sub) is not None:
                     continue
@@ -840,6 +865,7 @@ def test_zorder_layout_files_cover_compact_tiles(spark, tmp_path):
     assert z_span <= n / 2, f"zorder mean y-span {z_span} vs naive {x_span}"
 
 
+@pytest.mark.slow
 def test_lsh_candidate_volume_subquadratic_with_auto_banding(spark):
     """The scale-ladder invariant behind auto_banding (SCALE.md records
     the full 16× synthetic ladder; this is the fast in-CI slice over

@@ -546,3 +546,38 @@ def test_flat_dot_sql_equals_hof_dot(spark):
     for r in got:
         # bit-exact comparison via repr (NaN never occurs here)
         assert repr(r["flat"]) == repr(r["hof"]), (r["flat"], r["hof"])
+
+
+def test_lsh_bucket_shapes_bit_identical(spark):
+    """The three multi-table bucket-pass shapes — interpreted HOF
+    (lambda), split-projection flat SQL, Arrow/numpy sequential fold
+    (the round-10 default) — emit IDENTICAL (key, vec, table, bucket)
+    bags, including malformed rows (NULL / short / long / empty vectors
+    → bucket 0 in every table, the null-poisoned-fold semantics)."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _multi_table_lsh_buckets_arrow,
+        _multi_table_lsh_buckets_flat,
+        _multi_table_lsh_buckets_lambda,
+        multi_table_lsh_buckets,
+    )
+
+    dim = 8
+    rows = [
+        (1, [0.1 * (d + 1) * (-1) ** d for d in range(dim)]),
+        (2, [1e-300] * dim),            # sign decisions near zero
+        (3, [0.25] * dim),
+        (4, [0.2] * 3),                 # shorter than dim
+        (5, None),                      # null vector
+        (6, []),                        # empty
+        (7, [0.1] * (dim + 2)),         # longer than dim
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = _multi_table_lsh_buckets_lambda(df, 3, 4, "vec_id", "embedding", dim)
+    for alt in (
+        _multi_table_lsh_buckets_flat(df, 3, 4, "vec_id", "embedding", dim),
+        _multi_table_lsh_buckets_arrow(df, 3, 4, "vec_id", "embedding", dim),
+        multi_table_lsh_buckets(df, 3, 4, dim=dim),
+    ):
+        assert base.exceptAll(alt).count() == 0
+        assert alt.exceptAll(base).count() == 0
+        assert alt.count() == len(rows) * 4
