@@ -1231,25 +1231,43 @@ def crossmodal_joint_neardup(
     (same photo, different caption = still-useful training pair); both
     modalities' scores stay exposed for the audit trail.
 
-    100 TB shape: the caption join ships shingle ARRAYS only for the
-    LSH-bounded candidate set (two hash equi-joins on asset_id);
-    captions are short by nature — for document-length payloads use the
+    100 TB shape (round 10 — the incremental operator's recipe applied
+    to the batch form): the image candidate pairs are persisted once
+    (bounded by the hot-slice cap — the popcount join never re-runs for
+    the candidate-id derivation), the caption table is restricted to
+    candidate ids with ONE narrow semi-join BEFORE any shingling, and
+    the bounded caption slice is persisted so both join sides read it
+    once. The old form shingled EVERY caption and evaluated the
+    corpus-sized caption lineage twice (round-9 census: the synth/decode
+    upstream ran 3× per evaluation — once for the hash side, once per
+    shingle side); captions of non-candidate rows never needed to be
+    touched at all. Inner joins on (a1, a2 ⊆ candidate ids) make the
+    restriction result-invariant. For document-length payloads use the
     shared-shingle inverted-index form in operators/dedup.py instead."""
+    from c_tran_data_pipeline_spark.session import persist_once
+
     hashes = image_ahash(pairs.select("asset_id", "payload"), codec=codec)
-    img = ahash_neardup_pairs(
-        hashes, max_ham=max_ham, bands=bands, max_slice_factor=max_slice_factor
+    img = persist_once(
+        ahash_neardup_pairs(
+            hashes, max_ham=max_ham, bands=bands, max_slice_factor=max_slice_factor
+        )
     )
-    # The caption side is CORPUS-sized by contract — hint shuffle_hash so
-    # AQE's compressed-size heuristic can never promote it to a runtime
-    # broadcast (measured at the 1.6M-doc ladder rung: three ~1 GiB
-    # broadcast builds of the caps/band relations blew
-    # spark.driver.maxResultSize; with the hints the plan is two shuffled
-    # hash joins and the rung completes). Broadcast stays right only for
-    # bounded relations; a corpus never is.
-    caps = pairs.select("asset_id", "caption")
-    return _caption_joint_verdict(
-        img, caps, ngram, joint_num, joint_den, hint="shuffle_hash"
+    ids = (
+        img.select(F.col("a1").alias("asset_id"))
+        .unionByName(img.select(F.col("a2").alias("asset_id")))
+        .distinct()
     )
+    # Narrow semi-join (never a broadcast of ids — candidate ids are
+    # bounded by the cap but still grow with the corpus, the round-9
+    # maxResultSize lesson); the surviving slice is candidate-bounded,
+    # the same class the incremental operator broadcasts, so the
+    # shingle joins below need no shuffle_hash pin.
+    caps = persist_once(
+        pairs.select("asset_id", "caption").join(
+            ids.hint("shuffle_hash"), "asset_id", "left_semi"
+        )
+    )
+    return _caption_joint_verdict(img, caps, ngram, joint_num, joint_den, hint=None)
 
 
 def _caption_joint_verdict(

@@ -873,11 +873,15 @@ _CROSSMODAL_CTES = _crossmodal_ctes()
 def q_pair_curation_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from c_tran_data_pipeline_spark.operators.multimodal import crossmodal_joint_neardup
 
-    d = spread(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     # Photo-family count scales with the corpus (ONE count job at build
     # time, like the classifier/BPE training queries): ~5 docs share each
-    # family, so candidate volume stays linear in corpus size.
-    m = max(d.count() // 5, 1)
+    # family, so candidate volume stays linear in corpus size. Counted
+    # on the RAW scan (parquet answers count-star from row-group
+    # metadata) — counting after spread() paid the repartition shuffle
+    # for a number the shuffle cannot change (round 10).
+    m = max(base.count() // 5, 1)
+    d = spread(base)
     pairs = _synth_crossmodal(d, m)
     return crossmodal_joint_neardup(pairs, codec="fake", max_ham=3, bands=4)
 
