@@ -2,10 +2,16 @@
 # The oracle corpus is verified at BOTH sf0.01 (the driver's gate SF)
 # and sf0.1 (the bench SF); VERIFICATION.md records the latest results.
 
-.PHONY: test oracle oracle-sf01 bench bench-compare verify
+.PHONY: test test-all oracle oracle-sf01 bench bench-compare verify
 
+# Default profile: slow-marked E2E/property/audit tests deselected
+# (pytest.ini addopts) so a time-budgeted run finishes with a verdict.
 test:
 	python -m pytest tests/ -x -q
+
+# The builder's full gate: everything, including slow-marked tests.
+test-all:
+	python -m pytest tests/ -x -q -m "slow or not slow"
 
 oracle:
 	python -m c_tran_data_pipeline_spark.oracle

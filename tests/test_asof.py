@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import datetime as dt
 
 from pyspark.sql import Row
@@ -13,6 +14,7 @@ def _ts(s):
     return dt.datetime(2024, 1, 1, 0, 0, s)
 
 
+@pytest.mark.slow
 def test_asof_strict_excludes_same_timestamp(spark):
     left = spark.createDataFrame(
         [Row(id=1, k=1, ts=_ts(10)), Row(id=2, k=1, ts=_ts(20)), Row(id=3, k=2, ts=_ts(5))]

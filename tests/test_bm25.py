@@ -15,6 +15,7 @@ natural language is Zipfian, the fixture is the degenerate case."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from c_tran_data_pipeline_spark.plans.text_queries import _bm25_rank
@@ -46,6 +47,7 @@ def _zipf_docs(spark):
     return spark.createDataFrame(rows, "doc_id long, text string")
 
 
+@pytest.mark.slow
 def test_pruned_bm25_identical_results_zipf(spark):
     docs = _zipf_docs(spark)
     plain = _bm25_rank(spark, SF_ORACLE, prune=False, docs=docs)
@@ -53,6 +55,7 @@ def test_pruned_bm25_identical_results_zipf(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, pruned.collect()))
 
 
+@pytest.mark.slow
 def test_pruned_bm25_scores_fewer_candidates_zipf(spark):
     """On a Zipfian corpus the rare seed term establishes θ and the
     common terms (idf ≈ 0, ub ≈ 0) become non-essential: candidate
@@ -92,6 +95,7 @@ _doc = st.lists(_tok, min_size=1, max_size=6).map(" ".join)
 @settings(
     max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
 )
+@pytest.mark.slow
 def test_pruned_bm25_lossless_on_random_corpora(spark, texts):
     docs = spark.createDataFrame(
         [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"

@@ -30,6 +30,10 @@ from c_tran_data_pipeline_spark.streaming.crossmodal_ingest import (
 PAIR_SCHEMA = "asset_id long, payload binary, caption string"
 
 
+
+pytestmark = pytest.mark.slow  # long E2E/property sweep: excluded from the time-budgeted default profile (pytest.ini); the full-suite gate still runs it
+
+
 def _rows(ids_seeds_caps):
     return [
         (aid, make_fake_image(24, 16, 1, seed=seed), cap)

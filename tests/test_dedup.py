@@ -4,6 +4,8 @@ exact Jaccard ground truth on high-similarity pairs."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 
 from c_tran_data_pipeline_spark.operators.dedup import (
@@ -123,6 +125,7 @@ def test_connected_components_long_chain_and_nonconvergence(spark):
         connected_components(chain, max_iter=3)
 
 
+@pytest.mark.slow
 def test_star_cc_long_chain_where_min_propagation_refuses(spark):
     """A 40-node chain (diameter 39 ≫ 25): one-hop min-propagation at the
     default max_iter correctly refuses, while large-star/small-star

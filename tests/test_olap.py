@@ -4,6 +4,7 @@ exact count (the oracle can't compare engine-specific sketches)."""
 
 from __future__ import annotations
 
+import pytest
 from c_tran_data_pipeline_spark.plans.olap_queries import q_approx_distinct
 from tests.conftest import SF_ORACLE, SF_SMOKE
 
@@ -841,6 +842,7 @@ def test_sql_scripting_while_loop_convergence(spark):
     assert (got.k, got.covered, got.total) == (want_k, acc, total)
 
 
+@pytest.mark.slow
 def test_ltv_recursive_equals_one_shuffle_fold(spark):
     """The operator's max_depth switch routes between two physically
     different plans — native WITH RECURSIVE (one job per level) for

@@ -6,6 +6,7 @@ example runs Spark jobs."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -19,6 +20,10 @@ _settings = settings(
 )
 
 keys = st.integers(min_value=-5, max_value=5)
+
+
+
+pytestmark = pytest.mark.slow  # long E2E/property sweep: excluded from the time-budgeted default profile (pytest.ini); the full-suite gate still runs it
 
 
 @given(rows=st.lists(st.tuples(keys, st.integers(0, 100)), min_size=0, max_size=40))

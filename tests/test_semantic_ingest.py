@@ -73,6 +73,7 @@ def _run(spark, store, inp, root, tag):
     return spark.read.parquet(f"{root}/flags_{tag}")
 
 
+@pytest.mark.slow
 def test_multi_batch_ingest_and_cross_batch_dedup(spark, staged):
     store, inp, root, batch_a, batch_b, reps0 = staged
     flags = _run(spark, store, inp, root, "main")
@@ -95,6 +96,7 @@ def test_multi_batch_ingest_and_cross_batch_dedup(spark, staged):
     assert {r["vec_id"] for r in reps1.select("vec_id").collect()} == init | kept
 
 
+@pytest.mark.slow
 def test_replay_is_idempotent(spark, staged, tmp_path):
     """Re-processing already-ingested vectors (a fresh checkpoint over
     the same files — the at-least-once worst case) flags every row as a
@@ -112,6 +114,7 @@ def test_replay_is_idempotent(spark, staged, tmp_path):
             assert r["keep"] is False and r["component"] == k
 
 
+@pytest.mark.slow
 def test_torn_append_is_invisible_and_reclaimed(spark, staged):
     """The generation-append crash window: a crash between the
     generation write and the atomic sidecar replace leaves an UNLISTED
@@ -145,6 +148,7 @@ def test_torn_append_is_invisible_and_reclaimed(spark, staged):
     }
 
 
+@pytest.mark.slow
 def test_probe_prunes_every_generation(spark, staged):
     """The probed-cell read stays a parquet PartitionFilter in EVERY
     generation's scan — the union-of-generations layout must not cost
@@ -178,6 +182,7 @@ def test_legacy_flat_store_still_reads(spark, staged, tmp_path):
     assert cents == [(0, [0.0] * 64)] and meta == {"v": 0}
 
 
+@pytest.mark.slow
 def test_checkpoint_prevents_reprocessing(spark, staged):
     """The exactly-once-effect lever the replay test deliberately
     bypassed: a second availableNow run over the SAME checkpoint sees

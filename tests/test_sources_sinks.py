@@ -3,6 +3,8 @@ parser) and sinks (GeoJSON, Kafka message shape)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 
 from pyspark.sql import Row
@@ -414,6 +416,7 @@ def test_compaction_preserves_content_and_cuts_files(spark, tmp_path):
     assert sorted(r.id for r in spark.read.parquet(path).collect()) == rows_before
 
 
+@pytest.mark.slow
 def test_compaction_sort_by_gives_prunable_layout(spark, tmp_path):
     """With sort_by, each output file covers a disjoint id range: the
     per-file (min, max) intervals never overlap, which is what lets a

@@ -3,6 +3,7 @@ applyInPandasWithState driven by a file stream + memory sink."""
 
 from __future__ import annotations
 
+import pytest
 import json
 
 from c_tran_data_pipeline_spark import schemas
@@ -19,6 +20,10 @@ GOOD = {
     "DIRECTION": "90",
     "VELOCITY": "10",
 }
+
+
+
+pytestmark = pytest.mark.slow  # long E2E/property sweep: excluded from the time-budgeted default profile (pytest.ini); the full-suite gate still runs it
 
 
 def test_track_trips_stateful(spark, tmp_path):

@@ -44,6 +44,7 @@ GOOD = {
 }
 
 
+@pytest.mark.slow
 def test_breadcrumb_pipeline_end_to_end(spark, tmpdirs):
     rows = [
         GOOD,
@@ -323,6 +324,7 @@ def test_streaming_hotspot_to_geojson_sink(spark, tmpdirs, tmp_path):
     assert all(f["type"] == "Feature" and f["geometry"]["type"] == "Point" for f in feats)
 
 
+@pytest.mark.slow
 def test_stream_stream_interval_join_matches_batch(spark, tmpdirs):
     """Breadcrumb stream ⋈ timestamped stop stream on trip_id within a
     1h lookback: the streaming result (availableNow drain) must equal
@@ -482,6 +484,7 @@ def test_kafka_contract_roundtrip_stop_events(spark):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
 
 
+@pytest.mark.slow
 def test_stream_stream_left_outer_finalizes_unmatched_at_watermark(spark, tmpdirs):
     """how='left_outer': matched rows emit like the inner join;
     UNMATCHED left rows emit with NULL right columns only after the
