@@ -824,6 +824,71 @@ def _probe_cells(v: Column, cents: list[tuple[int, list[float]]], nprobe: int) -
     )
 
 
+def _assign_cells_arrow(
+    df: DataFrame,
+    key: str,
+    vec: str,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+) -> DataFrame:
+    """(key, __v, __cells): each row's double vector plus its ``nprobe``
+    nearest centroid ids — the Arrow/numpy twin of
+    ``df.select(key, v, _probe_cells(v, cents, nprobe))`` for the
+    n-grain assignment pass (round 10, VERDICT r9 #5; same rationale and
+    same bit-exactness discipline as _multi_table_lsh_buckets_arrow):
+    squared-L2 accumulates SEQUENTIALLY over the dim axis (vectorized
+    across rows and centroids), so every distance is the same IEEE
+    float64 chain as the interpreted zip_with fold in _l2sq, and the
+    probe order is lexsort by (distance, centroid id) — exactly
+    array_sort over struct(d, cid) including exact-tie and NaN cases
+    (pinned in tests/test_similarity.py). Rows whose vector is NULL or
+    whose length ≠ the centroid dim get the first ``nprobe`` centroid
+    ids in id order — the all-null-distance ordering the JVM fold
+    produces."""
+    import numpy as np
+
+    cids_sorted = [int(c) for c, _ in cents]
+    C = np.array([cv for _, cv in cents], dtype=np.float64)  # (nlist, dim)
+    cdim = C.shape[1] if len(cents) else 0
+    nprobe = min(nprobe, len(cents))
+    fallback = cids_sorted[:nprobe]
+    cids_np = np.array(cids_sorted, dtype=np.int64)
+    key_t = dict(df.dtypes)[key]
+    out_schema = f"`{key}` {key_t}, `__v` array<double>, `__cells` array<bigint>"
+    v = _as_double(F.col(vec))
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            vs = pdf["__v"]
+            lens = np.fromiter(
+                ((-1 if x is None else len(x)) for x in vs), dtype=np.int64, count=n
+            )
+            good = lens == cdim
+            cells = [fallback] * n
+            if good.any():
+                V = np.stack([np.asarray(x, dtype=np.float64) for x in vs[good]])
+                acc = np.zeros((V.shape[0], len(cents)), dtype=np.float64)
+                for d in range(cdim):  # sequential over dims = the exact fold order
+                    diff = V[:, d : d + 1] - C[:, d]
+                    acc += diff * diff
+                # columns are centroid-id-ASCENDING (cents id-sorted), so a
+                # STABLE argsort over the distance row == lexicographic
+                # (d, cid) — exact ties and NaN rows resolve to the lower
+                # cid, matching array_sort over struct(d, cid).
+                order = np.argsort(acc, axis=1, kind="stable")[:, :nprobe]
+                picked = cids_np[order]
+                for row_i, row_cells in zip(np.flatnonzero(good), picked):
+                    cells[row_i] = row_cells.tolist()
+            yield pd.DataFrame({key: pdf[key], "__v": vs, "__cells": cells})
+
+    return df.select(F.col(key), v.alias("__v")).mapInPandas(gen, out_schema)
+
+
 def _centroid_means(assigned: DataFrame, dim: int | None = None) -> DataFrame:
     """Element-wise mean of __v per centroid_id. With ``dim`` known: one
     HashAggregate of dim scalar AVGs (no explode, single shuffle of
@@ -1349,6 +1414,7 @@ def semantic_dedup(
 
     df = persist_once(df, StorageLevel.MEMORY_AND_DISK)
     v = _as_double(F.col(vec))
+    cents = None
     if nlist <= 1:
         # degenerate single cell = no blocking (exact all-pairs) — the
         # LSH-seeded k-means needs ≥1 plane so can't express one cell;
@@ -1367,16 +1433,23 @@ def semantic_dedup(
             train_df if train_df is not None else df,
             nlist=nlist, iters=iters, key=key, vec=vec, dim=dim,
         )
-        probes = _probe_cells(v, cents, min(nprobe, nlist))
-    # ONE assignment pass: the probe expression costs O(nlist·dim) per
+        probes = None
+    # ONE assignment pass: the probe computation costs O(nlist·dim) per
     # row, so it must not evaluate twice (once for blocking, once for
     # the output's primary cell). posexplode tags each probe with its
     # rank — pos 0 IS the primary cell, recovered by filter instead of
     # a second centroid-distance evaluation (measured ~0.7 s at sf0.1,
     # nlist=16). Re-landed after 86be68f hardened the planted-twin
     # unions against the Spark 4.1.2 UnionBase.rewriteConstraints bug
-    # the first landing tripped.
-    blocked = df.select(F.col(key), v.alias("__v"), probes.alias("__cells")).select(
+    # the first landing tripped. Round 10: the n-grain probe runs in the
+    # Arrow/numpy shape (_assign_cells_arrow — bit-identical probe order
+    # incl. exact ties, pinned) instead of the interpreted per-centroid
+    # zip_with folds, the same trade as the LSH bucket pass.
+    if cents is not None:
+        cells_frame = _assign_cells_arrow(df, key, vec, cents, min(nprobe, nlist))
+    else:
+        cells_frame = df.select(F.col(key), v.alias("__v"), probes.alias("__cells"))
+    blocked = cells_frame.select(
         F.col(key), "__v", F.posexplode("__cells").alias("__pos", "bcell")
     )
     assigned = blocked.filter(F.col("__pos") == 0).select(
@@ -1606,12 +1679,18 @@ def incremental_semantic_dedup(
     v = _as_double(F.col(vec))
     nlist = len(centroids)
     if nlist <= 1:
-        probes = F.array(F.lit(0).cast("bigint"))
+        cells_frame = new_df.select(
+            F.col(key), v.alias("__v"),
+            F.array(F.lit(0).cast("bigint")).alias("__cells"),
+        )
     else:
-        probes = _probe_cells(v, centroids, min(nprobe, nlist))
-    assigned = new_df.select(
-        F.col(key), v.alias("__v"), probes.alias("__cells")
-    ).select(F.col(key), "__v", F.element_at("__cells", 1).alias("cell"), "__cells")
+        # Arrow/numpy probe (bit-identical order, see _assign_cells_arrow)
+        cells_frame = _assign_cells_arrow(
+            new_df, key, vec, centroids, min(nprobe, nlist)
+        )
+    assigned = cells_frame.select(
+        F.col(key), "__v", F.element_at("__cells", 1).alias("cell"), "__cells"
+    )
     blocked_new = assigned.select(
         F.col(key), "__v", F.explode("__cells").alias("bcell"), F.lit(True).alias("__is_new")
     )

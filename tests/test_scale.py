@@ -404,6 +404,10 @@ _ALLOWED_PYTHON = {
     "q_ann_neardup_lsh",
     "q_ann_lsh_topk",
     "q_hard_negatives_lsh",
+    # SemDeDup n-grain cell assignment = Arrow mapInPandas numpy
+    # sequential L2 fold (round 10, same trade/pins as the bucket pass);
+    # the cell-GEMM pair stage was already an Arrow seam
+    "q_semantic_dedup",
     # composes q_pair_curation_crossmodal's synthesis/aHash (r8)
     "q_crossmodal_clusters",
     # the end-to-end cross-modal corpus prep (r9): md5-pixel synthesis +

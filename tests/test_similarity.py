@@ -581,3 +581,48 @@ def test_lsh_bucket_shapes_bit_identical(spark):
         assert base.exceptAll(alt).count() == 0
         assert alt.exceptAll(base).count() == 0
         assert alt.count() == len(rows) * 4
+
+
+def test_arrow_cell_assignment_matches_jvm_probe_order(spark):
+    """_assign_cells_arrow (the round-10 SemDeDup n-grain assignment) is
+    bit-identical to the interpreted array_sort-over-struct(d, cid)
+    probe, including EXACT distance ties (symmetric centroids around an
+    equidistant vector -> lower cid wins), NaN elements (NaN distances
+    sort last, ties by cid), and malformed rows (NULL / short / long
+    vectors -> first nprobe cids in id order)."""
+    from c_tran_data_pipeline_spark.operators.similarity import (
+        _as_double,
+        _assign_cells_arrow,
+        _probe_cells,
+    )
+
+    cents = [
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (5, [-1.0, 0.0, 0.0, 0.0]),   # exact tie with cid 3 at the origin
+        (9, [0.0, 2.0, 0.0, 0.0]),
+        (11, [0.0, 0.0, 0.5, 0.5]),
+    ]
+    cents = sorted(cents)
+    rows = [
+        (1, [0.0, 0.0, 0.0, 0.0]),            # equidistant to cids 3 and 5
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [float("nan"), 0.0, 0.0, 0.0]),   # NaN distances
+        (4, [0.1, 0.1]),                      # short
+        (5, None),                            # null
+        (6, [0.1] * 6),                       # long
+        (7, [-0.4, 1.9, 0.2, 0.1]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    for nprobe in (1, 2, 4):
+        v = _as_double(F.col("embedding"))
+        jvm = {
+            r["vec_id"]: r["c"]
+            for r in df.select(
+                "vec_id", _probe_cells(v, cents, nprobe).alias("c")
+            ).collect()
+        }
+        arrow = {
+            r["vec_id"]: r["__cells"]
+            for r in _assign_cells_arrow(df, "vec_id", "embedding", cents, nprobe).collect()
+        }
+        assert arrow == jvm, (nprobe, arrow, jvm)
