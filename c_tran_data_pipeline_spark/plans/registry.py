@@ -61,73 +61,70 @@ def query(name: str, oracle: str | None, doc: str = "", tags: tuple[str, ...] = 
 # 50 queries whose latest driver row is oldest, with new registrations
 # (evidence-free by construction) leading.
 _GATE_FIRST: tuple[str, ...] = (
-    # ROUND-9 ROTATION (VERDICT.md r8 item 1). Order: (a) the two NEW r9
-    # registrations (evidence-free by construction) — the end-to-end
-    # cross-modal corpus-prep flagship and the incremental IVF-PQ index
-    # append; then (b) the three queries whose PHYSICAL PLANS changed
-    # this round (the hot-slice cap is live in the perceptual-hash
-    # banding family and replayed in their oracles — values are
-    # hash-verified unchanged at both SFs in this repo's sweeps, but
-    # fresh driver rows close the loop); then (c) the FULL r03 cohort —
-    # all 19 exact queries whose latest driver evidence is round 3 —
-    # then (d) the alphabetically-first 26 of the r04 cohort to fill the
-    # 50-row budget. tests/test_evidence_freshness.py makes this
-    # rotation debt a RED TEST: any exact query whose latest committed
-    # CORRECTNESS row is >5 rounds old must be in this round's gate.
-    # (a) round-9 registrations:
-    "q_corpus_prep_crossmodal",
-    "q_ann_ivfpq_append",
-    # (b) round-9 plan changes (hot-slice cap, VERDICT r8 #2):
+    # ROUND-10 ROTATION (VERDICT.md r9 #1/#6 discipline; the freshness
+    # test makes the stale cohort mandatory). Order: (a) the seven
+    # exact-oracle queries whose PHYSICAL PLANS changed in this round's
+    # optimizations (fused multi-NTILE, Arrow LSH bucket pass,
+    # candidate-restricted caption shingling) — values hash-verified
+    # unchanged at BOTH SFs in this repo's sweeps, fresh driver rows
+    # close the loop; then (b) every exact query whose latest committed
+    # driver row is >5 rounds old (the r04-cohort remainder —
+    # tests/test_evidence_freshness.py fails unless all are here); then
+    # (c) the alphabetically-first 27 of the age-5 cohort, filling the
+    # 50-row budget.
+    # (a) round-10 plan-changed exact queries:
+    "q_rfm_segments",
+    "q_ann_neardup_lsh",
+    "q_ann_lsh_topk",
+    "q_hard_negatives_lsh",
     "q_pair_curation_crossmodal",
-    "q_incremental_image_neardup",
+    "q_corpus_prep_crossmodal",
     "q_crossmodal_clusters",
-    # (c) the full r03-stale cohort:
-    "q_debounce_events",
-    "q_debounce_heartbeat",
-    "q_disjunctive_revenue",
-    "q_fk_orphans",
-    "q_important_stock",
-    "q_incremental_neardup",
-    "q_min_cost_supplier",
-    "q_minhash_estimate",
-    "q_moving_average_24h",
-    "q_neardup_degree",
-    "q_negative_samples",
-    "q_promo_revenue",
-    "q_retrieval_metrics",
-    "q_rolling_actives",
-    "q_scd2_history",
-    "q_session_overlap",
-    "q_table_diff",
-    "q_table_stats",
-    "q_volume_shipping",
-    # (d) oldest r04 names, alphabetical, filling the 50-row budget:
-    "q_assoc_rules",
-    "q_attribution",
-    "q_autocorr_daily",
-    "q_benford_audit",
-    "q_cdc_chunks",
-    "q_clustering_coeff",
-    "q_conversion_latency",
-    "q_corr_matrix",
-    "q_cusum_changepoint",
-    "q_dataset_card",
-    "q_dedup_prefix_filter",
-    "q_degree_assortativity",
-    "q_dup_span_fraction",
-    "q_event_transitions",
-    "q_hits",
-    "q_incremental_cdc",
-    "q_interarrival_stats",
-    "q_kcore",
-    "q_ks_test",
-    "q_label_prop",
-    "q_large_orders",
-    "q_linkage_score",
-    "q_lm_score_kn",
-    "q_lsh_quality",
-    "q_mann_whitney",
-    "q_modal_priority",
+    # (b) every exact query with evidence >5 rounds old:
+    "q_quantile_norm",
+    "q_region_trend",
+    "q_repeated_ngrams",
+    "q_seasonal_index",
+    "q_session_ngrams",
+    "q_sorted_neighborhood",
+    "q_source_jsd",
+    "q_sssp_weighted",
+    "q_survival_curve",
+    "q_theilsen_trend",
+    "q_top_supplier_share",
+    "q_triangle_count",
+    "q_trimmed_mean",
+    "q_user_entropy",
+    "q_yoy_growth",
+    "q_zipf_fit",
+    # (c) alphabetically-first 27 of the age-5 cohort:
+    "q_asof_prev_purchase",
+    "q_asof_tolerance",
+    "q_binary_meta",
+    "q_bloom_prefilter_join",
+    "q_bm25_rank_pruned",
+    "q_cms_heavy_hitters",
+    "q_constraint_audit",
+    "q_corpus_prep",
+    "q_corpus_prep_neardup",
+    "q_cube_order_matrix",
+    "q_dedup_canonical",
+    "q_dedup_clusters",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_dedup_minhash_sig",
+    "q_dedup_ngram_jaccard",
+    "q_dedup_simhash_pairs",
+    "q_dedup_span_cut",
+    "q_domain_cap",
+    "q_feature_hashing",
+    "q_forecast_revenue",
+    "q_grouping_sets_shipping",
+    "q_incremental_ingest",
+    "q_interpolate_linear",
+    "q_khop_reach",
+    "q_lm_heldout",
+    "q_lm_mix_weights",
 )
 
 
