@@ -1025,8 +1025,10 @@ def q_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         incremental_image_neardup,
     )
 
-    d = spread(load_table(spark, sf_dir, "documents").select("doc_id"))
-    m = max(d.count() // 5, 1)
+    base = load_table(spark, sf_dir, "documents").select("doc_id")
+    # metadata count-star BEFORE spread — the repartition can't change it
+    m = max(base.count() // 5, 1)
+    d = spread(base)
 
     def _img(doc_id: int) -> bytes:
         fam, pert = doc_id % m, doc_id % 3 == 0
@@ -1049,7 +1051,13 @@ def q_incremental_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = d.mapInPandas(synthesize, "asset_id long, payload binary")
     existing = assets.filter(F.col("asset_id") % 10 < 8)
     new = assets.filter(F.col("asset_id") % 10 >= 8)
-    store = ahash_band_slices(image_ahash(existing, codec="fake"))
+    # A real store is a bucketed parquet table (read twice, decoded never);
+    # THIS fixture's store is a decode lineage, so pin it once — the
+    # operator's sizing aggregate and probe join would otherwise re-run
+    # the 80%-corpus synth+decode mapInPandas per consumer (round 10).
+    from c_tran_data_pipeline_spark.session import persist_once
+
+    store = persist_once(ahash_band_slices(image_ahash(existing, codec="fake")))
     pairs, _store = incremental_image_neardup(new, store, codec="fake")
     return pairs
 

@@ -47,10 +47,21 @@ def compare(old: dict, new: dict, threshold: float) -> dict:
     # If either side lacks calibration, compare raw-vs-raw so the units
     # still cancel (a one-sided division would manufacture fake movers).
     both_cal = bool(old_cal) and bool(new_cal)
+    # Round 10: records carry per-query LOCAL calibration (``query_cal``,
+    # the median of the interleaved samples bracketing each query's
+    # group) — use it when BOTH sides have it for a query, so a mid-run
+    # host stall normalizes against the unit measured NEXT TO the
+    # affected queries instead of the session endpoints (the round-9
+    # poisoned-rerun failure mode).
+    old_qcal = old.get("query_cal") or {}
+    new_qcal = new.get("query_cal") or {}
+
     regressed, improved, stable = [], [], []
     for name in sorted(set(old_min) & set(new_min)):
-        o = norm(old_min[name], old_cal if both_cal else None)
-        n = norm(new_min[name], new_cal if both_cal else None)
+        o_unit = old_qcal.get(name, old_cal)
+        n_unit = new_qcal.get(name, new_cal)
+        o = norm(old_min[name], o_unit if both_cal else None)
+        n = norm(new_min[name], n_unit if both_cal else None)
         if o <= 0:
             continue
         ratio = round(n / o, 3)
