@@ -426,15 +426,20 @@ def global_ntile_multi(
     fused pass — ``global_ntile`` chained k times layers each level's
     window over the previous level's join output, so the plan pays the
     persist + bookkeeping aggregate + broadcast machinery k times over
-    an ever-wider frame (q_rfm_segments measured 29 Exchanges for
-    k = 3). Fused, every dimension's bucket id is a pure function of
-    the SAME persisted input row, so the plan is: one boundary-sampling
-    pass for all dimensions, ONE bookkeeping aggregate at the
-    (pid_0, ..., pid_{k-1}) grain (bounded by Π bucket counts — tiny;
-    per-dimension counts re-aggregate from it without touching the
-    data again), k broadcast offset joins (no shuffle), and k in-bucket
-    rank windows over the same narrow frame. Per dimension the rank
-    arithmetic is byte-identical to :func:`global_ntile`
+    an ever-wider frame (q_rfm_segments measured 29 Exchanges and 8
+    parquet scans for k = 3). Fused, every dimension's bucket id is a
+    pure function of the SAME persisted input row, so the plan is: one
+    boundary-sampling pass for all dimensions, ONE grouping-sets
+    bookkeeping pass counting every dimension's buckets together
+    (collected — ≤ Σ per-dimension bucket counts rows, the same bounded
+    driver-state class as the approxQuantile boundaries this operator
+    family already collects), per-bucket offsets attached as literal
+    MAPS (zero joins, zero broadcast builds — a first cut attached them
+    via k broadcast offset joins and measured 19 Spark jobs vs the
+    chained form's 8: each broadcast build is its own job, and job
+    latency is serial driver wall; the literal form runs ~4 jobs), and
+    k in-bucket rank windows over the same narrow frame. Per dimension
+    the rank arithmetic is byte-identical to :func:`global_ntile`
     (tests/test_rank.py pins row equality), so swapping a chain for
     this fusion cannot move a result."""
     if n <= 0:
@@ -457,31 +462,45 @@ def global_ntile_multi(
             else range_bounds(df, [info[0][1] for info in infos], nparts)
         )
     bounds_list = [sorted(set(b)) for b in bounds_list]
-    pid_names = [f"{_PID}_{i}" for i in range(len(infos))]
+    k = len(infos)
+    pid_names = [f"{_PID}_{i}" for i in range(k)]
     parted = df
     for name, info, bounds in zip(pid_names, infos, bounds_list):
         parted = parted.withColumn(name, _bucket_column(df, info, bounds))
-    # ONE pass over the data for every dimension's bookkeeping: the
-    # joint-cell aggregate is bounded by the product of bucket counts
-    # (bookkeeping-class, never corpus-sized); per-dimension bucket
-    # counts re-aggregate those cells.
-    cells = parted.groupBy(*pid_names).agg(F.count(F.lit(1)).alias(_CNT))
+    # ONE grouping-sets pass counts every dimension's buckets together
+    # (Expand k-ways, partial-aggregated map-side, ≤ k·|buckets| rows
+    # out); grouping_id says which dimension each row belongs to —
+    # bucket ids are never NULL by construction, so NULL-as-marker is
+    # unambiguous.
+    gsets = (
+        parted.groupingSets([[name] for name in pid_names], *pid_names)
+        .agg(F.count(F.lit(1)).alias(_CNT), F.grouping_id().alias("__gr_gid"))
+        .collect()
+    )
+    per_dim: list[dict[int, int]] = [{} for _ in range(k)]
+    for r in gsets:
+        gid = r["__gr_gid"]
+        present = [j for j in range(k) if not (gid >> (k - 1 - j)) & 1]
+        if len(present) != 1:  # defensive: one grouping set per row
+            raise AssertionError(f"unexpected grouping_id {gid} for k={k}")
+        i = present[0]
+        per_dim[i][int(r[pid_names[i]])] = int(r[_CNT])
     out = parted
-    rank_cols = []
-    for i, (name, info) in enumerate(zip(pid_names, infos)):
-        counts = cells.groupBy(name).agg(F.sum(_CNT).alias(_CNT))
-        offs = _offsets(counts, [_CNT], pid=name).select(
-            name,
-            F.col(f"__gr_off_{_CNT}").cast("bigint").alias(f"{_OFF}_{i}"),
-            F.col(f"__gr_tot_{_CNT}").cast("bigint").alias(f"{_TOT}_{i}"),
-        )
-        out = out.join(F.broadcast(offs), name)
+    for i, (name, info, bc) in enumerate(zip(pid_names, infos, bucket_cols)):
+        counts = per_dim[i]
+        tot = sum(counts.values())
+        acc, offsets = 0, {}
+        for pid in sorted(counts):  # offset = rows in lower buckets
+            offsets[pid] = acc
+            acc += counts[pid]
+        if offsets:
+            entries = ",".join(f"{p},{o}L" for p, o in sorted(offsets.items()))
+            off_expr = F.element_at(F.expr(f"map({entries})"), F.col(name).cast("int"))
+        else:  # empty input
+            off_expr = F.lit(0).cast("bigint")
         w_local = Window.partitionBy(name).orderBy(*[w for w, _, _, _ in info])
-        rank_cols.append(
-            (F.col(f"{_OFF}_{i}") + F.row_number().over(w_local)).cast("bigint")
-        )
-    for i, bc in enumerate(bucket_cols):
-        out = out.withColumn(f"__gr_rank_{i}", rank_cols[i]).withColumn(
-            bc, _ntile_expr(n, f"__gr_rank_{i}", f"{_TOT}_{i}")
+        rank = (off_expr + F.row_number().over(w_local)).cast("bigint")
+        out = out.withColumn(f"__gr_rank_{i}", rank).withColumn(
+            bc, _ntile_expr(n, f"__gr_rank_{i}", f"CAST({tot} AS BIGINT)")
         )
     return out.select(*df.columns, *bucket_cols)
